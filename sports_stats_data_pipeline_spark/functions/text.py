@@ -1,0 +1,106 @@
+"""Text-analysis column expressions for the documents table.
+
+All pure built-in expressions (JVM-side, whole-stage-codegen friendly) —
+no Python UDFs anywhere in this module. That keeps the 100 TB path vector-
+ized: tokenization, shingling, MinHash, and quality scoring all run inside
+codegen over the parquet scan with zero Python crossings.
+
+MinHash design: the usual implementation draws random hash permutations;
+to make signatures exactly reproducible across engines (the DuckDB oracle
+must agree bit-for-bit) each permutation ``j`` is ``md5(j || ':' ||
+shingle)`` and the signature component is the lexicographic minimum of the
+hex digest — a valid min-wise hash family, deterministic everywhere md5
+exists. Banding pairs (bands of rows) follow Broder/LSH convention: docs
+sharing any band key become candidate pairs, verified with exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: stopword marker sets for the tiny n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "y", "los", "es"),
+}
+
+ENGLISH_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokenization (regex split, matching the oracle's
+    ``string_split_regex(text, '\\s+')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, r"\s+")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(
+    text: str | Column = "text", stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+) -> Column:
+    """Number of tokens that are stopwords (built-in filter lambda)."""
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop_arr, t)))
+
+
+def marker_score(text: str | Column, lang: str) -> Column:
+    return stopword_count(text, LANG_MARKERS[lang])
+
+
+def predicted_lang(text: str | Column = "text") -> Column:
+    """Argmax of marker counts with deterministic precedence (en, de, fr,
+    es) on ties; 'und' (undetermined) when no marker hits at all."""
+    scores = [(lang, marker_score(text, lang)) for lang in LANG_MARKERS]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    # build when-chain in reverse so earlier langs take precedence on ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(text: str | Column = "text", k: int = 3) -> Column:
+    """Distinct word ``k``-grams; whole text as single shingle when the
+    document is shorter than ``k`` tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + off) for off in range(k)]
+        ),
+    )
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(c)))
+
+
+def minhash(shingle_col: Column, j: int) -> Column:
+    """Component ``j`` of the MinHash signature (see module docstring)."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
+    return [minhash(shingle_col, j).alias(f"mh_{j}") for j in range(n_hashes)]
+
+
+def band_keys(n_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
+    """LSH band keys over an existing ``mh_{j}`` signature: hash of the
+    concatenated rows in each band, salted with the band index so keys
+    from different bands never collide."""
+    keys = []
+    for b in range(0, n_hashes // rows_per_band):
+        parts = [F.lit(f"{b}|")] + [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        keys.append(F.md5(F.concat(*parts)).alias(f"band_{b}"))
+    return keys

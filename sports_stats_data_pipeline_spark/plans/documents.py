@@ -1,0 +1,313 @@
+"""Text-analysis / dedup / similarity queries over ``documents`` and
+``embeddings`` — the LLM-training-data-pipeline operator family
+(BASELINE.json north star; SURVEY.md §7.2 step 6).
+
+The corpus has no duplicate documents, so the dedup queries synthesize
+overlapping copies *inside the query* (identical CTE on the Spark and
+DuckDB sides) — the operators are then exercised against known dup/near-
+dup structure and verified by the oracle.
+
+Determinism notes:
+- Jaccard thresholds are evaluated in integers (``10*|∩| >= 6*|∪|``) —
+  no float comparison can flip.
+- MinHash uses the md5-based hash family from functions.text (exactly
+  reproducible in DuckDB; see that module's docstring).
+- Cosine scores are computed in double with an identical operation order
+  on both engines (functions.vectors).
+
+Scale notes: exact dedup is one hash-aggregate on md5(text) — the 100 TB
+shape. MinHash banding is the standard LSH candidate-generation topology:
+signatures are computed in a single codegen stage over the scan, bands
+explode 4× and shuffle by band key, and only same-bucket pairs are joined;
+candidate verification re-joins shingle sets by doc_id. Nothing driver-
+side, no O(n²) stage. Brute-force cosine top-k is the *baseline* ANN path
+(a broadcast of the query vectors over a single scan of the corpus — linear,
+embarrassingly parallel); the bucketed/IVF variant arrives with the
+operators.similarity module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    ENGLISH_STOPWORDS,
+    band_keys,
+    minhash_signature,
+    predicted_lang,
+    shingles,
+    stopword_count,
+    token_count,
+)
+from ..functions.vectors import as_double, cosine
+from ..sources.tables import load_table
+from . import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+# SQL twin of functions.text tokenization / shingling / signature.
+_SQL_TOKS = "string_split_regex(text, '\\s+')"
+_SQL_SHINGLES = f"""
+    list_distinct(CASE WHEN len({_SQL_TOKS}) >= 3
+      THEN list_transform(range(1, len({_SQL_TOKS}) - 1),
+             p -> {_SQL_TOKS}[p] || ' ' || {_SQL_TOKS}[p+1] || ' ' || {_SQL_TOKS}[p+2])
+      ELSE [text] END)
+"""
+
+
+def _sql_minhash(j: int) -> str:
+    return (
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')"
+        f" AS mh_{j}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document text statistics + stopword-based language heuristic.
+# --------------------------------------------------------------------------
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+_MARKER_SQL = {
+    lang: "["
+    + ", ".join(f"'{w}'" for w in words)
+    + "]"
+    for lang, words in {
+        "en": ("the", "a", "of", "and", "is"),
+        "de": ("der", "die", "und", "das", "ist"),
+        "fr": ("le", "la", "et", "les", "est"),
+        "es": ("el", "la", "y", "los", "es"),
+    }.items()
+}
+
+
+@REGISTRY.register(
+    "doc_text_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(length(text) AS INTEGER) AS n_chars,
+        CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_STOP_SQL}, x))) AS INTEGER) AS n_stopwords,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_MARKER_SQL['en']}, x))) AS INTEGER) AS s_en,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_MARKER_SQL['de']}, x))) AS INTEGER) AS s_de,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_MARKER_SQL['fr']}, x))) AS INTEGER) AS s_fr,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_MARKER_SQL['es']}, x))) AS INTEGER) AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        stopword_count("text").alias("n_stopwords"),
+        (stopword_count("text").cast("double") / token_count("text")).alias(
+            "stop_ratio"
+        ),
+        predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on md5(text), first-wins canonical id.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "dedup_exact_docs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM docs
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        base.unionByName(copies)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dedup: MinHash (8 hashes) → LSH banding (4 bands × 2 rows) →
+# candidate pairs → exact Jaccard verification, threshold 0.6 evaluated
+# in integers.
+# --------------------------------------------------------------------------
+_NEARDUP_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' near dup tail marker'
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@REGISTRY.register(
+    "neardup_minhash_pairs",
+    oracle=f"""
+    WITH docs AS ({_NEARDUP_DOCS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM docs
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             {", ".join(_sql_minhash(j) for j in range(8))}
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, unnest([
+        md5('0|' || mh_0 || mh_1), md5('1|' || mh_2 || mh_3),
+        md5('2|' || mh_4 || mh_5), md5('3|' || mh_6 || mh_7)
+      ]) AS band_key
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter_n,
+           CAST(len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS union_n
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE 10 * CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+          >= 6 * CAST(len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+    """,
+)
+def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
+    )
+    docs = base.unionByName(near)
+    sh = docs.select("doc_id", shingles("text").alias("shingles"))
+    sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), 8))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union_n = (
+        F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter_n
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter_n.alias("inter_n"),
+            union_n.alias("union_n"),
+        )
+        .filter(F.lit(10) * F.col("inter_n") >= F.lit(6) * F.col("union_n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search baseline: brute-force cosine top-k for a small query
+# set — broadcast(queries) × scan(corpus), rank via per-query window.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "embedding_cosine_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4) AS cosine_r4
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    )
+    WHERE rank <= 3
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("cos"), 4).alias("cosine_r4"),
+        )
+    )

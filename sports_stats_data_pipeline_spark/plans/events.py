@@ -1,0 +1,258 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The reference has no streaming runtime, but its incremental design maps to
+micro-batch semantics (SURVEY.md §2.10); these queries are the *batch*
+expression of the windowed operators, with exact DuckDB oracles. The
+``streaming`` package runs the same logical windows under Structured
+Streaming with watermarks (no SQL oracle there — driver does a rows-only
+check; SURVEY.md §5.2).
+
+Timestamp convention: computed buckets/instants are emitted as epoch
+seconds / microseconds (BIGINT) — Spark truncates parquet ns → us while
+DuckDB keeps ns, so raw computed timestamps could hash-mismatch; integers
+cannot. Event ``value`` is a 2-dp double → exact integer cents (see
+plans.relational docstring).
+
+Scale notes: every query here is a single hash-aggregate or window over a
+shuffle on (bucket|user_id) — the same shape Structured Streaming state
+uses, so the batch and streaming paths share physical characteristics.
+Session windows shuffle once on user_id; skewed users are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import QueryRegistry
+from .relational import cents
+
+REGISTRY = QueryRegistry()
+
+
+# --------------------------------------------------------------------------
+# Tumbling window (fixed 1-hour buckets) per event type.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT
+      CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "event_type",
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window (1 hour wide, 30-minute slide): each event lands in two
+# buckets. Spark expresses this natively with window(); the oracle unnests
+# the two covering bucket starts.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "events_sliding_1h_30m",
+    oracle="""
+    SELECT CAST(epoch(b) AS BIGINT) AS bucket_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS b,
+             value
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session windows (10-minute inactivity gap) per user — Spark
+# session_window(); oracle is the classic gaps-and-islands construction.
+# A new session starts when the gap is >= the timeout (Spark sessions span
+# [start, last+gap), an event exactly at the boundary opens a new session).
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "events_user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) + 600000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from the props column (SURVEY.md §2.8 array/map/JSON
+# requirement): get_json_object stays JVM-side; no Python UDF.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "events_json_props_buckets",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_json_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        e.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("int") % 10
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily pivot of event types (SURVEY.md §2.9 restructuring): conditional
+# aggregation — identical semantics to pivot() but null-free and with a
+# fixed output schema, which is what you want at scale anyway (pivot with
+# inferred values needs an extra pass over 100 TB to discover the domain).
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@REGISTRY.register(
+    "events_daily_type_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# As-of lookup (purchase → most recent prior click, per user): the window
+# formulation of an as-of join — last_value(... IGNORE NULLS) over the
+# preceding frame. One shuffle on user_id; no self-join explosion.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "purchase_asof_last_click",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+           last_click_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN CAST(epoch_us(ts) AS BIGINT) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_us
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("purchase_us"),
+            "last_click_us",
+        )
+    )

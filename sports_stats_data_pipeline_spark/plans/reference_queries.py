@@ -1,0 +1,227 @@
+"""Oracle-checked parity queries for the reference's parsing semantics.
+
+The driver corpus has no fighter/fight tables, so these queries carry
+their own inputs: a literal VALUES relation, identical on the Spark side
+(``spark.createDataFrame``) and in the DuckDB oracle (``FROM (VALUES
+...)``). The callable ignores ``sf_dir``. Inputs cover the edge cases
+catalogued in FIXTURES.md §A4: two-part records, ``N/A`` sentinels, empty
+strings, garbage dates, malformed ``M:SS`` strings.
+
+This is the driver-visible face of functions.parsing; pytest unit tests
+exercise the same expressions more densely (tests/test_parsing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parsing import (
+    activity_flag,
+    dispatch_label,
+    parse_height_cm,
+    parse_mmss_seconds,
+    parse_of_pair,
+    parse_pct,
+    parse_reach_cm,
+    parse_record,
+    parse_ref_date,
+    parse_scheduled_rounds,
+    parse_weight_kg,
+)
+from ..operators.merge import first_wins_dedup
+from . import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+AS_OF = "2026-08-13"  # deterministic 'now' (FIXTURES.md pins this date)
+
+_FIGHTER_ROWS = [
+    (1, "28-1-0", "5' 11\"", "155 lbs.", "70\"", "58%"),
+    (2, "15-3", "6' 0\"", "205 lbs.", "84\"", "100%"),
+    (3, "Record: 10-2-1", "5' 4\"", "115 lbs.", "N/A", "0%"),
+    (4, "N/A", "N/A", "N/A", "", "N/A"),
+    (5, "garbage", "tall", "heavy", "??", "x%"),
+]
+_FIGHTER_VALUES = ", ".join(
+    "({}, '{}', '{}', '{}', '{}', '{}')".format(
+        r[0], r[1].replace("'", "''"), r[2].replace("'", "''"), r[3], r[4], r[5]
+    )
+    for r in _FIGHTER_ROWS
+)
+
+
+@REGISTRY.register(
+    "ref_parse_fighter_strings",
+    oracle="""
+    SELECT id,
+      TRY_CAST(NULLIF(NULLIF(trim(split_part(
+        trim(regexp_replace(record, '^Record:', '')), '-', 1)), 'N/A'), '')
+        AS INTEGER) AS wins,
+      TRY_CAST(NULLIF(NULLIF(trim(split_part(
+        trim(regexp_replace(record, '^Record:', '')), '-', 2)), 'N/A'), '')
+        AS INTEGER) AS losses,
+      TRY_CAST(NULLIF(NULLIF(trim(split_part(
+        trim(regexp_replace(record, '^Record:', '')), '-', 3)), 'N/A'), '')
+        AS INTEGER) AS draws,
+      CAST((TRY_CAST(NULLIF(regexp_extract(height, '^\\s*(\\d+)''', 1), '')
+              AS INTEGER) * 12
+            + TRY_CAST(NULLIF(regexp_extract(height, '(\\d+)"', 1), '')
+              AS INTEGER)) * CAST(2.54 AS DOUBLE) AS DOUBLE) AS height_cm,
+      CAST(TRY_CAST(NULLIF(regexp_extract(weight, '(\\d+)\\s*lbs', 1), '')
+             AS INTEGER) * CAST(0.45359237 AS DOUBLE) AS DOUBLE) AS weight_kg,
+      CAST(TRY_CAST(NULLIF(regexp_extract(reach, '(\\d+)"', 1), '')
+             AS INTEGER) * CAST(2.54 AS DOUBLE) AS DOUBLE) AS reach_cm,
+      CAST(TRY_CAST(NULLIF(regexp_extract(pct, '(\\d+)%', 1), '')
+             AS INTEGER) / CAST(100.0 AS DOUBLE) AS DOUBLE) AS str_acc
+    FROM (VALUES {values}) AS t(id, record, height, weight, reach, pct)
+    """.format(values=_FIGHTER_VALUES),
+)
+def ref_parse_fighter_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _FIGHTER_ROWS,
+        schema="id int, record string, height string, weight string, "
+        "reach string, pct string",
+    )
+    wins, losses, draws = parse_record(F.col("record"))
+    return df.select(
+        "id",
+        wins.alias("wins"),
+        losses.alias("losses"),
+        draws.alias("draws"),
+        parse_height_cm(F.col("height")).alias("height_cm"),
+        parse_weight_kg(F.col("weight")).alias("weight_kg"),
+        parse_reach_cm(F.col("reach")).alias("reach_cm"),
+        parse_pct(F.col("pct")).alias("str_acc"),
+    )
+
+
+_DATE_ROWS = [
+    (1, "Jul. 19, 1987", "Mar. 5, 2025"),
+    (2, "Dec. 1, 1990", "Jan. 15, 2020"),
+    (3, "N/A", "N/A"),
+    (4, "garbage date", "Aug. 13, 2024"),
+    (5, "Feb. 29, 2000", "Jul. 1, 2026"),
+]
+_DATE_VALUES = ", ".join(f"({r[0]}, '{r[1]}', '{r[2]}')" for r in _DATE_ROWS)
+
+
+@REGISTRY.register(
+    "ref_parse_dates_activity",
+    oracle="""
+    WITH parsed AS (
+      SELECT id,
+        CAST(try_strptime(NULLIF(trim(dob), 'N/A'), '%b. %d, %Y') AS DATE)
+          AS dob_d,
+        CAST(try_strptime(NULLIF(trim(last_fight), 'N/A'), '%b. %d, %Y')
+          AS DATE) AS last_fight_d
+      FROM (VALUES {values}) AS t(id, dob, last_fight)
+    )
+    SELECT id,
+      strftime(dob_d, '%Y-%m-%d') AS dob,
+      strftime(last_fight_d, '%Y-%m-%d') AS last_fight_date,
+      CASE
+        WHEN last_fight_d IS NULL THEN 'Inactive'
+        WHEN date_diff('day', last_fight_d, DATE '2026-08-13') / 365.0
+             <= 2.0 THEN 'Active'
+        ELSE 'Inactive'
+      END AS active_status
+    FROM parsed
+    """.format(values=_DATE_VALUES),
+)
+def ref_parse_dates_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _DATE_ROWS, schema="id int, dob string, last_fight string"
+    )
+    last = parse_ref_date(F.col("last_fight"))
+    return df.select(
+        "id",
+        F.date_format(parse_ref_date(F.col("dob")), "yyyy-MM-dd").alias("dob"),
+        F.date_format(last, "yyyy-MM-dd").alias("last_fight_date"),
+        activity_flag(last, AS_OF).alias("active_status"),
+    )
+
+
+_FIGHT_ROWS = [
+    (1, "45 of 112", "3:42", "3 Rnd (5-5-5)", "Round:"),
+    (2, "0 of 0", "0:00", "5 Rnd (5-5-5-5-5)", "Time:"),
+    (3, "N/A", "N/A", "N/A", "Time format:"),
+    (4, "12 of 9", "61:05", "1 Rnd + OT (12-3)", "Method:"),
+    (5, "garbage", "4:5", "No Time Limit", "Details:"),
+]
+_FIGHT_VALUES = ", ".join(
+    f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', '{r[4]}')" for r in _FIGHT_ROWS
+)
+
+
+@REGISTRY.register(
+    "ref_parse_fight_stats",
+    oracle="""
+    SELECT id,
+      TRY_CAST(NULLIF(regexp_extract(sig_str,
+        '^\\s*(\\d+)\\s+of\\s+\\d+', 1), '') AS INTEGER) AS sig_landed,
+      TRY_CAST(NULLIF(regexp_extract(sig_str,
+        'of\\s+(\\d+)\\s*$', 1), '') AS INTEGER) AS sig_attempted,
+      CAST(TRY_CAST(NULLIF(regexp_extract(ctrl,
+             '^\\s*(\\d+):(\\d\\d)\\s*$', 1), '') AS INTEGER) * 60
+           + TRY_CAST(NULLIF(regexp_extract(ctrl,
+             '^\\s*(\\d+):(\\d\\d)\\s*$', 2), '') AS INTEGER)
+        AS INTEGER) AS ctrl_s,
+      TRY_CAST(NULLIF(regexp_extract(time_format,
+        '^\\s*(\\d+)\\s+Rnd', 1), '') AS INTEGER) AS scheduled_rounds,
+      CASE
+        WHEN contains(lower(trim(replace(label, ':', ''))), 'time format')
+          THEN 'time_format'
+        WHEN lower(trim(replace(label, ':', ''))) = 'time' THEN 'time'
+        WHEN contains(lower(trim(replace(label, ':', ''))), 'round')
+             AND NOT contains(lower(trim(replace(label, ':', ''))), 'time')
+          THEN 'round'
+        WHEN contains(lower(trim(replace(label, ':', ''))), 'method')
+          THEN 'method'
+        ELSE NULL
+      END AS label_target
+    FROM (VALUES {values}) AS t(id, sig_str, ctrl, time_format, label)
+    """.format(values=_FIGHT_VALUES),
+)
+def ref_parse_fight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _FIGHT_ROWS,
+        schema="id int, sig_str string, ctrl string, time_format string, "
+        "label string",
+    )
+    landed, attempted = parse_of_pair(F.col("sig_str"))
+    return df.select(
+        "id",
+        landed.alias("sig_landed"),
+        attempted.alias("sig_attempted"),
+        parse_mmss_seconds(F.col("ctrl")).alias("ctrl_s"),
+        parse_scheduled_rounds(F.col("time_format")).alias("scheduled_rounds"),
+        dispatch_label(F.col("label")).alias("label_target"),
+    )
+
+
+_MERGE_ROWS = [
+    # (url, batch_seq, name) — batch_seq is explicit arrival order;
+    # first-wins must keep batch 1's row for url 'u1'.
+    ("u1", 1, "first-version"),
+    ("u1", 2, "second-version"),
+    ("u2", 1, "only-version"),
+    ("u3", 2, "late-arrival"),
+    ("u1", 3, "third-version"),
+]
+_MERGE_VALUES = ", ".join(f"('{r[0]}', {r[1]}, '{r[2]}')" for r in _MERGE_ROWS)
+
+
+@REGISTRY.register(
+    "ref_first_wins_dedup",
+    oracle="""
+    SELECT url, batch_seq, name
+    FROM (VALUES {values}) AS t(url, batch_seq, name)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY url ORDER BY batch_seq) = 1
+    """.format(values=_MERGE_VALUES),
+)
+def ref_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _MERGE_ROWS, schema="url string, batch_seq int, name string"
+    )
+    return first_wins_dedup(df, keys=["url"], order_by=["batch_seq"])

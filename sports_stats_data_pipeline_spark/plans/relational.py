@@ -1,0 +1,471 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+Covers the full join / aggregation / window / set-op / restructuring
+inventory from SURVEY.md §2.3–§2.7 (the reference itself only ever runs
+one anti-join; the rest is the analytics surface it exists to feed —
+SURVEY.md §0 item 2).
+
+Oracle-parity conventions (see plans.__init__):
+
+- **Money in scaled integers.** A double SUM is order-dependent in its
+  last bits, and Spark and DuckDB will sum in different orders; a rounded
+  double can still flip at an exact decimal boundary. Prices/discounts/
+  taxes in the corpus are exact 2-dp decimals, so ``CAST(ROUND(x*100) AS
+  BIGINT)`` recovers the exact integer cents; all arithmetic then happens
+  in int64 where every engine agrees bit-for-bit. Columns carry a suffix
+  stating the unit: ``_c`` = cents (1e-2), ``_c4`` = 1e-4 units, ``_c6`` =
+  1e-6 units.
+- **Averages as one division of agreed integers** — a single IEEE op on
+  identical inputs is identical everywhere.
+- **Raw columns pass through untouched** (both engines read the same
+  parquet bytes).
+- **Every ORDER BY under a LIMIT has a unique tiebreaker key.**
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.merge import insert_if_absent
+from ..sources.tables import load_table
+from . import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents from a 2-dp double (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# SQL twin of :func:`cents`.
+def _cents_sql(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan → filter → hash agg.
+# Catalyst plans a partial+final HashAggregate with the shipdate predicate
+# pushed into the parquet scan; no join, one shuffle on the 6-row key space.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)          AS sum_qty,
+      CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT)     AS sum_base_price_c,
+      CAST(SUM({_cents_sql('l_extendedprice')}
+             * {_cents_sql('1 - l_discount')}) AS BIGINT)      AS sum_disc_price_c4,
+      CAST(SUM({_cents_sql('l_extendedprice')}
+             * {_cents_sql('1 - l_discount')}
+             * {_cents_sql('1 + l_tax')}) AS BIGINT)           AS sum_charge_c6,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)      AS avg_qty,
+      CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price_c,
+      CAST(SUM({_cents_sql('l_discount')}) AS DOUBLE) / COUNT(*)      AS avg_disc_c,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price_c4 = cents("l_extendedprice") * cents(1 - F.col("l_discount"))
+    charge_c6 = disc_price_c4 * cents(1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_price_c"),
+        F.sum(disc_price_c4).alias("sum_disc_price_c4"),
+        F.sum(charge_c6).alias("sum_charge_c6"),
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*")
+        ).alias("avg_qty"),
+        (F.sum(cents("l_extendedprice")).cast("double") / F.count("*")).alias(
+            "avg_price_c"
+        ),
+        (F.sum(cents("l_discount")).cast("double") / F.count("*")).alias("avg_disc_c"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority (TPC-H Q3 shape): 3-way equi-join → agg → top-k.
+# customer is filtered to 1/5 before joining (Catalyst pushes the segment
+# predicate below the join); AQE broadcasts the filtered build sides when
+# runtime stats allow, else sort-merge on the shuffle keys.
+# --------------------------------------------------------------------------
+_REVENUE_SQL = (
+    f"CAST(SUM({_cents_sql('l_extendedprice')} * {_cents_sql('1 - l_discount')}) "
+    "AS BIGINT)"
+)
+
+
+@REGISTRY.register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {_REVENUE_SQL} AS revenue_c4,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_c4 DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue_c4 = cents("l_extendedprice") * cents(1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_c4).alias("revenue_c4"))
+        .select(
+            "l_orderkey",
+            "revenue_c4",
+            # ISO string, not DateType: date objects round-trip differently
+            # through Spark-pandas vs DuckDB-pandas and can hash-mismatch.
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume (TPC-H Q5 shape): 6-way join with a
+# co-location condition (c_nationkey = s_nationkey) → agg by nation.
+# region/nation are fixed-cardinality dims → explicit broadcast() hints;
+# the big lineitem⋈orders⋈customer chain stays shuffle-partitioned.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue_c4
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    revenue_c4 = cents("l_extendedprice") * cents(1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_c4).alias("revenue_c4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: top-k per group (SURVEY.md §2.6) — row_number over a partition,
+# the scalable top-k idiom (no global sort; one shuffle on the group key).
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 5
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window: running aggregate + lag (SURVEY.md §2.5) per customer order
+# history. Running sums accumulate in integer cents so frame-order
+# summation is exact on both engines.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "customer_order_history_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch_s,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_spend_c,
+           LAG(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_orderkey,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS order_seq
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+)
+def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch_s"),
+        cents("o_totalprice").alias("price_c"),
+        F.sum(cents("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend_c"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup (SURVEY.md §2.4 note): hierarchical totals region → nation.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "rollup_customers_by_geo",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(c_custkey) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("acctbal_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7): repeat customers via INTERSECT, churned
+# via EXCEPT. Spark plans both as aggregates/joins — no custom code.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "repeat_customers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))
+
+
+@REGISTRY.register(
+    "churned_customers_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).subtract(year(1996))
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (SURVEY.md §2.3): the reference's J1 anti-join shape,
+# as standalone operators over the corpus.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "parts_with_orders_semijoin",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_size <= 5
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def parts_with_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@REGISTRY.register(
+    "customers_without_orders_antijoin",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer join with null-handling (SURVEY.md §2.3 full surface).
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "nation_order_volume_outer",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS volume_c
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-06-01'
+    GROUP BY n.n_name
+    """,
+)
+def nation_order_volume_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"))
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(o, o.o_custkey == cust.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0).cast("long")).alias(
+                "volume_c"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental merge (the reference's core semantics, SURVEY.md §2.3 J1 /
+# §2.4 A5 / §2.7 U1-U2) demonstrated on the corpus: an "existing" sink and
+# an overlapping "incoming" batch; existing rows must win.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "merge_insert_if_absent",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, 'sink' AS src
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), incoming AS (
+      SELECT o_orderkey, o_custkey, 'overwrite-attempt' AS o_orderstatus,
+             'batch' AS src
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM existing
+    UNION ALL
+    SELECT i.* FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+    """,
+)
+def merge_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.lit("sink").alias("src")
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("overwrite-attempt").alias("o_orderstatus"),
+        F.lit("batch").alias("src"),
+    )
+    return insert_if_absent(existing, incoming, keys=["o_orderkey"])

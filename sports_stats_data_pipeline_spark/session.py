@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults target the harness environment (local[N], single JVM) but every
+setting is chosen to also be the right call on a 1000-executor cluster
+reading 100 TB:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion replace hand-tuned partition counts.
+- Arrow on: every pandas UDF / mapInPandas crossing is vectorized.
+- ``spark.sql.shuffle.partitions`` is only the AQE *initial* value; AQE
+  coalesces it down at small SF and fans it out under skew at large SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sports-stats-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: coalesce post-shuffle partitions, split skewed joins,
+        # convert sort-merge → broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all Python<->JVM data movement (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Session-local timezone pinned to UTC so timestamp semantics match
+        # the DuckDB oracle regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as int64 nanos and convert in the loader
+        # (sources.tables) — matches DuckDB's ns->us truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

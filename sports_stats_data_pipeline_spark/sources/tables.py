@@ -1,0 +1,62 @@
+"""Loaders for the driver-generated parquet corpus (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under a scale-factor
+directory such as ``/root/testdata/sf0.01``.
+
+Design notes for 100 TB:
+- ``spark.read.parquet`` hands Catalyst a pruning-friendly scan: column
+  pruning and predicate pushdown reach the parquet reader automatically
+  as long as downstream code stays declarative (verified in tests via
+  ``explain`` — ``PushedFilters`` / ``ReadSchema``).
+- No schema inference cost: parquet carries its schema.
+- At cluster scale the same loader works on a directory of thousands of
+  files; ``spark.sql.files.maxPartitionBytes`` governs split sizing and
+  AQE handles post-shuffle sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor
+#: (region: 5 rows, nation: 25 rows — fixed-cardinality in TPC-H-style data).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as int64 via nanosAsLong (see
+        # session.py); truncate ns -> us exactly like DuckDB's epoch_us.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view for spark.sql use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
