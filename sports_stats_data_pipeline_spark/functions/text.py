@@ -93,6 +93,56 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
     return [minhash(shingle_col, j).alias(f"mh_{j}") for j in range(n_hashes)]
 
 
+def simhash_bits(text: str | Column = "text", n_bits: int = 32) -> Column:
+    """SimHash as an ``n_bits``-char bitstring ('0'/'1').
+
+    Bit ``i`` is the majority vote over tokens of bit ``i`` of md5(token),
+    where "bit i" is the high bit of hex nibble ``i`` (digit >= '8') —
+    exactly reproducible in SQL (``substr(md5(t), i+1, 1) >= '8'``).
+    Computed entirely with higher-order built-ins: one md5 per token, then
+    ``n_bits`` integer folds over the hash array.
+    """
+    hashes = F.transform(tokens(text), lambda t: F.md5(t))
+
+    # closure factory, not a default-arg capture: pyspark derives the HOF
+    # lambda arity from the Python signature, so `lambda acc, h, i=i` would
+    # be (wrongly) bound as a 3-argument merge function.
+    def vote(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(vote(i) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def sql_simhash_bits(n_bits: int = 32, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`simhash_bits` (for oracle strings)."""
+    toks = f"string_split_regex({text_expr}, '\\s+')"
+    parts = []
+    for i in range(n_bits):
+        vote = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN "
+            f"substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)
+
+
+def hamming_expr(col_a: str, col_b: str, n_bits: int = 32) -> Column:
+    """Hamming distance between two equal-length bitstring columns."""
+    return F.expr(
+        f"size(filter(transform(sequence(1, {n_bits}), "
+        f"i -> substr({col_a}, i, 1) <> substr({col_b}, i, 1)), x -> x))"
+    )
+
+
 def band_keys(n_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
     """LSH band keys over an existing ``mh_{j}`` signature: hash of the
     concatenated rows in each band, salted with the band index so keys

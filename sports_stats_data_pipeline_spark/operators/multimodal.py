@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas`` (BASELINE.json north star).
+
+The container has no image/audio codecs, so the *decode* itself is either
+(a) a clearly-marked :func:`real_decode_stub` raising NotImplementedError,
+or (b) :func:`fake_decode_features`, a deterministic stand-in that reads
+real bytes and emits a stable feature row. Everything around the decode —
+binary column handling, schema, batch iteration, partitioning — is real
+Spark plumbing and is what these operators exercise.
+
+Scale notes: mapInPandas streams Arrow record batches; memory is bounded
+by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+partition size. Binary payloads stay off the Python heap until their
+batch arrives. For 100 TB of media you would additionally store payloads
+as separate object-store blobs with pointer columns; the operator shape
+(binary in, struct of features out) is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: schema of the decoded-feature output (keep in sync with fake_decode).
+DECODE_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, n_frames int, "
+    "checksum string"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque ``binary`` payload column + typed metadata
+    struct from the documents table (stand-in for reading image/audio
+    blobs; the engine-side handling is identical)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Deterministic fake decoder over Arrow batches.
+
+    Reads the real payload bytes and derives features any engine can
+    reproduce (first bytes, length mod, md5) — the point is the
+    mapInPandas plumbing, not the codec.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "width": payloads.map(lambda b: b[0]).astype("int32"),
+                    "height": payloads.map(lambda b: b[1]).astype("int32"),
+                    "n_frames": payloads.map(lambda b: len(b) % 16).astype(
+                        "int32"
+                    ),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        decode, schema=DECODE_SCHEMA
+    )
+
+
+def real_decode_stub(docs_with_payload: DataFrame) -> DataFrame:
+    """The real-codec path. STUB: the container ships no image/audio
+    libraries; wire PIL/ffmpeg/torchaudio here when available."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; use "
+        "fake_decode_features for the pipeline shape"
+    )
+
+
+def frame_sample(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Frame-sampling plumbing over decoded metadata: expand n_frames to
+    frame indices and keep every ``every_nth`` one — pure built-ins
+    (sequence + explode + filter), no Python."""
+    # sequence(0, -1) would yield a DESCENDING [0, -1] for zero-frame rows
+    # (Spark sequence auto-reverses); guard to an empty array instead,
+    # which explode drops.
+    frames = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        decoded.withColumn("frame_idx", F.explode(frames))
+        .filter(F.col("frame_idx") % every_nth == 0)
+        .select("doc_id", "frame_idx", "width", "height")
+    )

@@ -50,9 +50,16 @@ class QueryRegistry:
 
 def all_registries() -> QueryRegistry:
     """Collect every plans module's registry into one."""
-    from . import documents, events, reference_queries, relational
+    from . import (
+        advanced,
+        documents,
+        events,
+        multimodal,
+        reference_queries,
+        relational,
+    )
 
     combined = QueryRegistry()
-    for mod in (relational, events, documents, reference_queries):
+    for mod in (relational, advanced, events, documents, multimodal, reference_queries):
         combined.merge(mod.REGISTRY)
     return combined

@@ -1,0 +1,200 @@
+"""Second tier of the relational surface: nested/array restructuring,
+range (non-equi) joins, cube/grouping sets, scalar subqueries, and the
+string-function library (SURVEY.md §2.8–§2.9 beyond the reference's own
+usage — required by the driver corpus).
+
+Same oracle-parity conventions as plans.relational. Arrays are emitted as
+joined strings (``concat_ws`` / ``array_to_string``) because list cells
+round-trip differently through the two engines' pandas bridges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import QueryRegistry
+from .relational import cents
+
+REGISTRY = QueryRegistry()
+
+
+# --------------------------------------------------------------------------
+# Nest → flatten round trip (SURVEY.md §2.9 V1 analog): per-order sorted
+# array of line numbers, then explode back to verify reversibility.
+# collect_list is order-nondeterministic under shuffles, so the array is
+# array_sort'ed — the only deterministic way to emit collections.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "order_lines_nested",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+             AS linenumbers,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber"))).alias(
+            "linenumbers"
+        ),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join (non-equi): orders binned into literal date ranges. Spark
+# plans this as a broadcast nested-loop join against the tiny ranges side
+# — the correct physical choice; with Photon/DBR a range-join hint would
+# kick in, on OSS Spark BNLJ + AQE is the scalable shape for dim ranges.
+# --------------------------------------------------------------------------
+_QUARTERS = [
+    ("1995-Q1", "1995-01-01", "1995-04-01"),
+    ("1995-Q2", "1995-04-01", "1995-07-01"),
+    ("1995-H2", "1995-07-01", "1996-01-01"),
+    ("1996-FY", "1996-01-01", "1997-01-01"),
+]
+_QUARTER_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _QUARTERS
+)
+
+
+@REGISTRY.register(
+    "orders_by_period_rangejoin",
+    oracle=f"""
+    SELECT p.period_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS volume_c
+    FROM orders o
+    JOIN (VALUES {_QUARTER_VALUES}) AS p(period_name, period_start, period_end)
+      ON o.o_orderdate >= p.period_start AND o.o_orderdate < p.period_end
+    GROUP BY p.period_name
+    """,
+)
+def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    periods = spark.createDataFrame(
+        [(n, s, e) for n, s, e in _QUARTERS],
+        schema="period_name string, period_start string, period_end string",
+    ).select(
+        "period_name",
+        F.col("period_start").cast("timestamp").alias("period_start"),
+        F.col("period_end").cast("timestamp").alias("period_end"),
+    )
+    return (
+        orders.join(
+            F.broadcast(periods),
+            (orders.o_orderdate >= periods.period_start)
+            & (orders.o_orderdate < periods.period_end),
+        )
+        .groupBy("period_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("volume_c"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cube with grouping() flags (SURVEY.md §2.4 note): all 4 combinations of
+# (orderstatus, orderpriority) totals in one pass.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: customers whose account balance exceeds their nation's
+# average. Catalyst decorrelates this into a join against the aggregated
+# subquery — no per-row re-execution.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "customers_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM customer c
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+      SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("acctbal_c")
+    )
+    nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum("acctbal_c").cast("double") / F.count("*")).alias("avg_c")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), cust.c_nationkey == nation_avg.nk)
+        .filter(F.col("acctbal_c") > F.col("avg_c"))
+        .select("c_custkey", "c_nationkey", "acctbal_c")
+    )
+
+
+# --------------------------------------------------------------------------
+# String-function library over part names (SURVEY.md §2.8 X1/X2/X7 family
+# exercised on corpus data): case, trim/pad, substring, replace, position,
+# concat templating.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           p_brand || '/' || p_type AS brand_type
+    FROM part
+    WHERE p_partkey % 10 = 0
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        # DuckDB length() is BIGINT, Spark's is INT — but the driver
+        # compares pandas values; keep INT and cast the oracle? No:
+        # length() here returns INT in Spark; oracle length() yields
+        # BIGINT which pandas widens identically. Cast both to be safe.
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )

@@ -34,9 +34,12 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     ENGLISH_STOPWORDS,
     band_keys,
+    hamming_expr,
     minhash_signature,
     predicted_lang,
     shingles,
+    simhash_bits,
+    sql_simhash_bits,
     stopword_count,
     token_count,
 )
@@ -215,9 +218,26 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
     )
-    docs = base.unionByName(near)
-    sh = docs.select("doc_id", shingles("text").alias("shingles"))
-    sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), 8))
+    # The parquet scan yields O(file-size / maxPartitionBytes) partitions —
+    # far fewer than the cores for a small-but-CPU-heavy stage like the md5
+    # signature forest. Repartition to full parallelism first (at cluster
+    # scale: cores × executors; the shuffle is trivially small next to the
+    # hash compute it unlocks).
+    docs = base.unionByName(near).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Materialization boundary: without it Catalyst's projection collapse
+    # inlines the tokenize→shingle→minhash expression tree into every
+    # downstream reference (8 signature components + 4 band keys + both
+    # sides of the verification join), recomputing the md5 forest ~14×.
+    # At cluster scale this stage would be written to a parquet/Delta
+    # signature table; in-session, persist() is the same cut.
+    sig = (
+        docs.select("doc_id", shingles("text").alias("shingles"))
+        .select("doc_id", "shingles", *minhash_signature(F.col("shingles"), 8))
+        .persist()
+    )
+    sh = sig.select("doc_id", "shingles")
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
     )
@@ -253,6 +273,150 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             union_n.alias("union_n"),
         )
         .filter(F.lit(10) * F.col("inter_n") >= F.lit(6) * F.col("union_n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dedup: 32-bit signatures (majority vote over token md5
+# bits), banded 4×8 bits for candidates, verified by exact Hamming <= 3.
+# Same LSH topology as MinHash banding; SimHash trades shingle sets for a
+# constant-size signature — the cheaper signal at 100 TB.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH docs AS ({_NEARDUP_DOCS_SQL}),
+    sig AS (
+      SELECT doc_id, {sql_simhash_bits(32)} AS simhash FROM docs
+    ),
+    banded AS (
+      SELECT doc_id, simhash,
+             unnest([
+               '0|' || substr(simhash, 1, 8),
+               '1|' || substr(simhash, 9, 8),
+               '2|' || substr(simhash, 17, 8),
+               '3|' || substr(simhash, 25, 8)
+             ]) AS band_key
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 33),
+                i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1)))
+             AS INTEGER) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 33),
+          i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
+    )
+    docs = base.unionByName(near).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # persist: stop projection collapse from inlining the 32-fold vote
+    # expression into the band keys and both join sides (cf. MinHash note).
+    sig = docs.select(
+        "doc_id", simhash_bits("text", 32).alias("simhash")
+    ).persist()
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        F.substring("simhash", 1 + 8 * b, 8),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_expr("sh_a", "sh_b", 32))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: the `label` column acts as the coarse-quantizer cell
+# (at scale: k-means centroid assignment written at ingest). Search only
+# the query's own cell — candidate set shrinks by ~|cells|× vs brute
+# force, the standard IVF trade.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "ann_ivf_label_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             c.label AS cell,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    )
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_label") == F.col("cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "rank")
     )
 
 

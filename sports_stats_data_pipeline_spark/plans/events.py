@@ -64,6 +64,30 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The same tumbling aggregation executed by Structured Streaming
+# (file-stream source, availableNow, complete mode → memory sink).
+# Output contract — and oracle — are identical to the batch form above;
+# the driver therefore verifies the streaming runtime end-to-end.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "streaming_tumbling_hourly",
+    oracle="""
+    SELECT
+      CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import streaming_tumbling_hourly_table
+
+    return streaming_tumbling_hourly_table(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # Sliding window (1 hour wide, 30-minute slide): each event lands in two
 # buckets. Spark expresses this natively with window(); the oracle unnests
 # the two covering bucket starts.
