@@ -161,6 +161,91 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distinct aggregation (SURVEY.md §2.4 A4 at scale): Catalyst plans
+# count-distinct as an expand + two-phase aggregate — no driver-side set.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "distinct_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT CAST(ts_month AS VARCHAR)) AS BIGINT)
+             AS n_active_months
+    FROM (
+      SELECT o_orderpriority, o_custkey,
+             strftime(o_orderdate, '%Y-%m') AS ts_month
+      FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ts_month"),
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct("ts_month").alias("n_active_months"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full outer join with coalesced keys: customer activity across two years
+# including customers active in only one of them.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "customer_yoy_fullouter",
+    oracle="""
+    WITH y95 AS (
+      SELECT o_custkey, COUNT(*) AS n95 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND o_custkey % 7 = 0
+      GROUP BY o_custkey
+    ), y96 AS (
+      SELECT o_custkey, COUNT(*) AS n96 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_custkey % 7 = 0
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
+           COALESCE(n95, 0) AS n95,
+           COALESCE(n96, 0) AS n96
+    FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+    """,
+)
+def customer_yoy_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 7 == 0
+    )
+
+    def year(y: int, out: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (
+                    F.col("o_orderdate")
+                    < F.lit(f"{y + 1}-01-01").cast("timestamp")
+                )
+            )
+            .groupBy(F.col("o_custkey").alias(f"ck{y}"))
+            .agg(F.count("*").alias(out))
+        )
+
+    a, b = year(1995, "n95"), year(1996, "n96")
+    return a.join(b, a.ck1995 == b.ck1996, "full_outer").select(
+        F.coalesce("ck1995", "ck1996").alias("custkey"),
+        F.coalesce("n95", F.lit(0).cast("long")).alias("n95"),
+        F.coalesce("n96", F.lit(0).cast("long")).alias("n96"),
+    )
+
+
+# --------------------------------------------------------------------------
 # String-function library over part names (SURVEY.md §2.8 X1/X2/X7 family
 # exercised on corpus data): case, trim/pad, substring, replace, position,
 # concat templating.

@@ -421,6 +421,235 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: threshold join blocked by the
+# coarse cell (label) — the embedding-space member of the dedup family.
+# Blocking bounds the pair space to sum(|cell|²) instead of N²; at scale
+# the cell comes from a k-means/IVF assignment written at ingest.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "neardup_embedding_cosine_pairs",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      -- synthesized near-dups (the corpus has none): one dimension nudged
+      SELECT vec_id + 1000000, label,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.5
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id % 9 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cell,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+             AS cosine_r4
+    FROM vecs a
+    JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    """,
+)
+def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("embedding")
+    )
+    nudged = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i = 0 THEN x + 0.5D ELSE x END)"
+        ).alias("embedding"),
+    )
+    vecs = emb.unionByName(nudged)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("cell_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.8)
+        .select(
+            "vec_a",
+            "vec_b",
+            "cell",
+            F.round(F.col("cos"), 4).alias("cosine_r4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-n-gram Jaccard similarity join: exact 4-gram set overlap,
+# blocked by (lang, length bucket) — the non-hashed member of the dedup
+# family (useful when recall must be exact within a blocking key).
+# Threshold evaluated in integers: jaccard >= 1/3 <=> 3*|∩| >= |∪|.
+# --------------------------------------------------------------------------
+_SQL_CHAR_GRAMS = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), "
+    "i -> substr(text, i, 4)))"
+)
+
+
+@REGISTRY.register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(length(text) // 100 AS INTEGER) AS len_bucket,
+             {_SQL_CHAR_GRAMS} AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_n,
+           CAST(len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS union_n
+    FROM g a
+    JOIN g b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+            AND a.doc_id < b.doc_id
+    WHERE 3 * CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+          >= CAST(len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS BIGINT)
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 3, 1)), "
+            "i -> substr(text, i, 4))"
+        )
+    )
+    g = docs.select(
+        "doc_id",
+        "lang",
+        (F.length("text").cast("int") / 100).cast("int").alias("len_bucket"),
+        grams.alias("grams"),
+    ).persist()
+    a = g.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "len_bucket",
+        F.col("grams").alias("ga"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("len_bucket_b"),
+        F.col("grams").alias("gb"),
+    )
+    inter_n = F.size(F.array_intersect("ga", "gb")).cast("long")
+    union_n = F.size("ga").cast("long") + F.size("gb").cast("long") - inter_n
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("len_bucket") == F.col("len_bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter_n.alias("inter_n"),
+            union_n.alias("union_n"),
+        )
+        .filter(F.lit(3) * F.col("inter_n") >= F.col("union_n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: bottom-k sketch over rolling 8-token windows
+# (winnowing-style). Two documents sharing a fingerprint share content;
+# the sketch is constant-size per document regardless of length.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_transform(range(1, len(t) - 6),
+                 p -> md5(array_to_string(t[p:p+7], ' ')))
+             ELSE [md5(array_to_string(t, ' '))] END AS hashes
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(hashes)[1:3], ',') AS fingerprint,
+           CAST(len(hashes) AS INTEGER) AS n_windows
+    FROM wins
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = tokens("text")
+    n = F.size(t)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - 8),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.get(t, i + off) for off in range(8)])
+        ),
+    )
+    hashes = F.when(n >= 8, windows).otherwise(
+        F.array(F.md5(F.concat_ws(" ", t)))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 3)).alias(
+            "fingerprint"
+        ),
+        F.size(hashes).alias("n_windows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: regex pre-tokenization (letter runs / digit runs
+# / single punctuation) — the unit count LLM-pipeline budgeting uses when
+# a real tokenizer is too expensive for a scan-side estimate.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "doc_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS INTEGER) AS n_bpe_units,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_bpe_units"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search baseline: brute-force cosine top-k for a small query
 # set — broadcast(queries) × scan(corpus), rank via per-query window.
 # --------------------------------------------------------------------------

@@ -200,6 +200,69 @@ def ref_parse_fight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Gold-layer name-resolution join (J2): fights.fighter_a/_b ->
+# fighters.Name — the FK the reference records but never joins
+# (SURVEY.md §1.4). Broadcast the fighters dim; one row per fight side.
+# --------------------------------------------------------------------------
+_GOLD_FIGHTERS = [
+    ("Alex Example", 21, 2),
+    ("Bo Sample", 15, 5),
+    ("Cy Test", 9, 9),
+]
+_GOLD_FIGHTS = [
+    (1, "Alex Example", "Bo Sample", "KO/TKO"),
+    (2, "Cy Test", "Alex Example", "Decision - Unanimous"),
+    (3, "Bo Sample", "Unknown Person", "Submission"),
+]
+_GOLD_FIGHTERS_VALUES = ", ".join(
+    f"('{n}', {w}, {l})" for n, w, l in _GOLD_FIGHTERS
+)
+_GOLD_FIGHTS_VALUES = ", ".join(
+    f"({i}, '{a}', '{b}', '{m}')" for i, a, b, m in _GOLD_FIGHTS
+)
+
+
+@REGISTRY.register(
+    "ref_gold_name_resolution_join",
+    oracle="""
+    WITH fighters AS (
+      SELECT * FROM (VALUES {fighters}) AS t(name, wins, losses)
+    ), fights AS (
+      SELECT * FROM (VALUES {fights}) AS t(fight_id, fighter_a, fighter_b,
+                                           method)
+    )
+    SELECT f.fight_id, f.method,
+           f.fighter_a, fa.wins AS a_wins,
+           f.fighter_b, fb.wins AS b_wins
+    FROM fights f
+    LEFT JOIN fighters fa ON f.fighter_a = fa.name
+    LEFT JOIN fighters fb ON f.fighter_b = fb.name
+    """.format(fighters=_GOLD_FIGHTERS_VALUES, fights=_GOLD_FIGHTS_VALUES),
+)
+def ref_gold_name_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fighters = spark.createDataFrame(
+        _GOLD_FIGHTERS, schema="name string, wins int, losses int"
+    )
+    fights = spark.createDataFrame(
+        _GOLD_FIGHTS,
+        schema="fight_id int, fighter_a string, fighter_b string, method string",
+    )
+    fa = fighters.select(
+        F.col("name").alias("fa_name"), F.col("wins").alias("a_wins")
+    )
+    fb = fighters.select(
+        F.col("name").alias("fb_name"), F.col("wins").alias("b_wins")
+    )
+    return (
+        fights.join(F.broadcast(fa), fights.fighter_a == fa.fa_name, "left")
+        .join(F.broadcast(fb), fights.fighter_b == fb.fb_name, "left")
+        .select(
+            "fight_id", "method", "fighter_a", "a_wins", "fighter_b", "b_wins"
+        )
+    )
+
+
 _MERGE_ROWS = [
     # (url, batch_seq, name) — batch_seq is explicit arrival order;
     # first-wins must keep batch 1's row for url 'u1'.

@@ -1,0 +1,94 @@
+"""Physical-plan guard tests: the optimizations we rely on at 100 TB must
+be visible in explain() output, or a refactor silently regressed them.
+
+- predicate pushdown + column pruning reach the parquet scan
+  (PushedFilters / ReadSchema);
+- fixed-cardinality dims broadcast (BroadcastHashJoin), big joins stay
+  shuffled;
+- the relational hot path contains no row-wise Python (BatchEvalPython);
+  Python appears only as Arrow-batched evaluation in the multimodal path;
+- the incremental merge plans as a real anti-join.
+"""
+
+from __future__ import annotations
+
+from sports_stats_data_pipeline_spark.plans.documents import (
+    embedding_cosine_topk,
+)
+from sports_stats_data_pipeline_spark.plans.multimodal import (
+    multimodal_decode_features,
+)
+from sports_stats_data_pipeline_spark.plans.relational import (
+    merge_insert_if_absent,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(q1_pricing_summary(spark, SF))
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split(
+        "PushedFilters:"
+    )[1].split("\n")[0], "shipdate predicate not pushed to parquet scan"
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema, (
+        "column pruning failed: unused l_orderkey read from parquet"
+    )
+
+
+def test_q3_filters_pushed_below_join(spark):
+    plan = _plan(q3_shipping_priority(spark, SF))
+    assert plan.count("PushedFilters: [") >= 3
+    assert "c_mktsegment" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan, "dim joins did not broadcast"
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    plan = _plan(embedding_cosine_topk(spark, SF))
+    assert "Broadcast" in plan, "query-vector side not broadcast"
+
+
+def test_merge_plans_as_anti_join(spark):
+    plan = _plan(merge_insert_if_absent(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_relational_path_has_no_python(spark):
+    for fn in (q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume):
+        plan = _plan(fn(spark, SF))
+        assert "EvalPython" not in plan, f"{fn.__name__} crosses into Python"
+
+
+def test_multimodal_python_is_arrow_batched(spark):
+    plan = _plan(multimodal_decode_features(spark, SF))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan, "row-wise Python UDF in decode path"
+
+
+def test_q1_whole_stage_codegen(spark):
+    import contextlib
+    import io
+
+    # formatted mode under AQE shows the pre-execution plan without
+    # codegen ids; codegen mode prints the generated subtrees directly.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q1_pricing_summary(spark, SF).explain(mode="codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
