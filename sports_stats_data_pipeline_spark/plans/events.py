@@ -236,6 +236,53 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Grouped-map pandas UDF (applyInPandas): per-user top-5 purchases ranked
+# inside a pandas function — the custom-stateful-per-group escape hatch
+# (SURVEY.md §2.11). Semantics chosen to be window-expressible so the
+# oracle can verify the UDF path exactly; rank ints, no float drift.
+# Scale: one shuffle on user_id, Arrow batches per group — same topology
+# as the built-in window, with Python only inside each group.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "user_purchase_rank_grouped_pandas",
+    oracle="""
+    SELECT event_id, user_id, CAST(rnk AS INTEGER) AS value_rank
+    FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS rnk
+      FROM events WHERE event_type = 'purchase'
+    )
+    WHERE rnk <= 5
+    """,
+)
+def user_purchase_rank_grouped_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(5)
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "user_id", "value_rank"]].astype(
+            {"value_rank": "int32"}
+        )
+
+    return purchases.groupBy("user_id").applyInPandas(
+        rank_group, schema="event_id long, user_id long, value_rank int"
+    )
+
+
+# --------------------------------------------------------------------------
 # As-of lookup (purchase → most recent prior click, per user): the window
 # formulation of an as-of join — last_value(... IGNORE NULLS) over the
 # preceding frame. One shuffle on user_id; no self-join explosion.

@@ -263,6 +263,52 @@ def ref_gold_name_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# A1/S3 shape: explode a packed fight-date list (the reference keeps fight
+# dates as a Python list, fighters_scraper.py:117-127; our bronze layer
+# packs them pipe-joined) into rows, parse, and take max per fighter.
+# --------------------------------------------------------------------------
+_FIGHT_DATE_ROWS = [
+    ("u1", "Mar. 5, 2025|Jan. 15, 2020|bogus"),
+    ("u2", "Aug. 13, 2024"),
+    ("u3", ""),
+]
+_FIGHT_DATE_VALUES = ", ".join(
+    f"('{u}', '{d}')" for u, d in _FIGHT_DATE_ROWS
+)
+
+
+@REGISTRY.register(
+    "ref_fight_dates_explode_max",
+    oracle="""
+    WITH exploded AS (
+      SELECT url,
+             CAST(try_strptime(d, '%b. %d, %Y') AS DATE) AS fight_date
+      FROM (VALUES {values}) AS t(url, fight_dates),
+           UNNEST(string_split(fight_dates, '|')) AS u(d)
+    )
+    SELECT url,
+           COUNT(fight_date) AS n_parsed_dates,
+           strftime(MAX(fight_date), '%Y-%m-%d') AS last_fight_date
+    FROM exploded
+    GROUP BY url
+    """.format(values=_FIGHT_DATE_VALUES),
+)
+def ref_fight_dates_explode_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _FIGHT_DATE_ROWS, schema="url string, fight_dates string"
+    )
+    exploded = df.select(
+        "url", F.explode(F.split("fight_dates", r"\|")).alias("d")
+    ).select("url", parse_ref_date(F.col("d")).alias("fight_date"))
+    return exploded.groupBy("url").agg(
+        F.count("fight_date").alias("n_parsed_dates"),
+        F.date_format(F.max("fight_date"), "yyyy-MM-dd").alias(
+            "last_fight_date"
+        ),
+    )
+
+
 _MERGE_ROWS = [
     # (url, batch_seq, name) — batch_seq is explicit arrival order;
     # first-wins must keep batch 1's row for url 'u1'.
