@@ -49,6 +49,9 @@ def get_spark(
         # reader rejects; read as int64 nanos and convert in the loader
         # (sources.tables) — matches DuckDB's ns->us truncation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed-table location for bucketed materializations (static
+        # conf — must be set before the session exists).
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

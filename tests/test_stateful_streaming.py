@@ -1,0 +1,72 @@
+"""applyInPandasWithState: state must accumulate across micro-batches
+and the final per-user profile must equal the batch ground truth."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.plans.relational import cents
+from sports_stats_data_pipeline_spark.sources.tables import load_table
+from sports_stats_data_pipeline_spark.streaming.pipeline import (
+    EVENTS_RAW_SCHEMA,
+)
+from sports_stats_data_pipeline_spark.streaming.stateful import (
+    user_profile_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_profile_across_batches(spark, tmp_path):
+    # split events into two files so maxFilesPerTrigger=1 yields two
+    # micro-batches -> state genuinely crosses a batch boundary.
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_src")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/part0")
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src + "/part1")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    stream = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+    sink = f"profiles_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode emits one row per user per batch it appeared in; the
+    # final state is the row with the max n_events per user.
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_c").alias("value_c"),
+        )
+    )
+    truth = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("value_c"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["value_c"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["value_c"]) for r in truth.collect()}
+    assert got == want
