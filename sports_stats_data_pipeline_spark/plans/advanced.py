@@ -161,6 +161,106 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Global sort + limit (SURVEY.md §2.6): TakeOrderedAndProject — Spark
+# never materializes a full global sort for a top-N; each partition
+# keeps N, the driver merges. Unique tiebreaker for determinism.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "orders_global_topn",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+           o_orderpriority
+    FROM orders
+    ORDER BY price_c DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def orders_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            cents("o_totalprice").alias("price_c"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("price_c").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# One-pass column profiling (data-quality operator every large pipeline
+# runs before training): null counts, min/max, distinct estimate — a
+# single aggregate over the scan, no per-column passes.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(*) - COUNT(o_orderstatus) AS null_status,
+           CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS min_price_c,
+           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c,
+           CAST(MIN(epoch(o_orderdate)) AS BIGINT) AS min_date_s,
+           CAST(MAX(epoch(o_orderdate)) AS BIGINT) AS max_date_s,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
+        F.min(cents("o_totalprice")).alias("min_price_c"),
+        F.max(cents("o_totalprice")).alias("max_price_c"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("min_date_s"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("max_date_s"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted two-stage aggregation: the skew-mitigation pattern (SURVEY.md
+# §4.2 / 100 TB design). A hot group key is sharded across
+# (key, salt) partial aggregates, then combined — identical results to a
+# direct groupBy, which is exactly what the oracle verifies. With AQE's
+# skew handling this is rarely hand-written, but the operator must exist
+# for deliberate use (e.g. stable partial outputs for incremental jobs).
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "salted_aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS volume_c
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn("salt", (F.col("o_orderkey") % 8).cast("int"))
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(cents("o_totalprice")).alias("pv"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("pv").alias("volume_c"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Distinct aggregation (SURVEY.md §2.4 A4 at scale): Catalyst plans
 # count-distinct as an expand + two-phase aggregate — no driver-side set.
 # --------------------------------------------------------------------------

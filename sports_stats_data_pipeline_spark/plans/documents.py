@@ -130,6 +130,74 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Composite quality score (LLM-data curation gate): integer basis-point
+# arithmetic end-to-end so the score is bit-identical across engines.
+# Components: stopword density (signal of natural language), mean token
+# length in a sane band, document length band.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+        CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter({_SQL_TOKS},
+             x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+      10000 * n_stop // n_tokens AS stop_bp,
+      10 * n_chars // n_tokens AS mean_tok_len_dp,
+      CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+         + CASE WHEN 10000 * n_stop // n_tokens BETWEEN 200 AND 6000
+                THEN 40 ELSE 0 END
+         + CASE WHEN 10 * n_chars // n_tokens BETWEEN 30 AND 90
+                THEN 20 ELSE 0 END AS BIGINT) AS quality_score
+    FROM base
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text").cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = stopword_count("text").cast("long")
+    # floor-division on both engines (DuckDB `//`): a plain double cast
+    # would round in DuckDB but truncate in Spark.
+    stop_bp = F.floor(F.lit(10000) * n_stop / n_tokens).cast("long")
+    mean_tok_len_dp = F.floor(F.lit(10) * n_chars / n_tokens).cast("long")
+    score = (
+        F.when(n_tokens.between(20, 1000), F.lit(40)).otherwise(0)
+        + F.when(stop_bp.between(200, 6000), F.lit(40)).otherwise(0)
+        + F.when(mean_tok_len_dp.between(30, 90), F.lit(20)).otherwise(0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        stop_bp.alias("stop_bp"),
+        mean_tok_len_dp.alias("mean_tok_len_dp"),
+        score.alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches (rows-only driver check: HLL/quantile-digest
+# internals differ across engines, so no value oracle is possible —
+# correctness is bounded-error by construction and pytest checks the
+# bounds against exact answers).
+# --------------------------------------------------------------------------
+@REGISTRY.register("sketch_approx_stats")  # no oracle: engine-specific HLL
+def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias(
+            "value_p50_p95"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on md5(text), first-wins canonical id.
 # --------------------------------------------------------------------------
 @REGISTRY.register(

@@ -205,6 +205,35 @@ def events_json_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Map-typed JSON handling (SURVEY.md §2.8 map functions): parse props into
+# map<string,int>, explode entries — schema-free key discovery, unlike
+# the fixed-path get_json_object query above.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "events_props_map_explode",
+    oracle="""
+    SELECT k AS prop_key,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+             AS BIGINT) AS sum_prop_value
+    FROM events, UNNEST(json_keys(props)) AS t(k)
+    GROUP BY k
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    exploded = e.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "prop_key", "prop_value"
+        )
+    )
+    return exploded.groupBy("prop_key").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("prop_value").cast("long")).alias("sum_prop_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Daily pivot of event types (SURVEY.md §2.9 restructuring): conditional
 # aggregation — identical semantics to pivot() but null-free and with a
 # fixed output schema, which is what you want at scale anyway (pivot with

@@ -34,11 +34,40 @@ def oracle():
     con.close()
 
 
+#: ops whose internals are engine-specific (sketches) — rows-only check.
+NO_ORACLE_ALLOWED = {"sketch_approx_stats"}
+
+
 def test_every_query_has_an_oracle_or_is_flagged():
-    missing = sorted(set(REG.queries) - set(REG.oracles))
+    missing = sorted(set(REG.queries) - set(REG.oracles) - NO_ORACLE_ALLOWED)
     # non-SQL-expressible ops are allowed to omit the oracle; keep the
     # list explicit so additions are deliberate.
     assert missing == [], f"queries without oracle (add or whitelist): {missing}"
+
+
+def test_sketches_within_error_bounds(spark):
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        sketch_approx_stats,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["event_type"]: r for r in sketch_approx_stats(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    for et, nd in exact.items():
+        got = approx[et]["approx_users"]
+        assert abs(got - nd) <= max(3, 0.1 * nd), (et, got, nd)
+        p50, p95 = approx[et]["value_p50_p95"]
+        assert p50 <= p95
 
 
 @pytest.mark.parametrize("name", sorted(REG.oracles))
