@@ -93,16 +93,24 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
     return [minhash(shingle_col, j).alias(f"mh_{j}") for j in range(n_hashes)]
 
 
-def simhash_bits(text: str | Column = "text", n_bits: int = 32) -> Column:
-    """SimHash as an ``n_bits``-char bitstring ('0'/'1').
+def token_hashes(text: str | Column = "text") -> Column:
+    """md5 per token — the shared input of the SimHash bit votes.
+
+    Materialize this column (persist / write) before fanning out into
+    :func:`simhash_from_hashes`: each of the n_bits aggregates references
+    it, and without a boundary Catalyst inlines the md5 transform into
+    every one of them (n_bits× the hashing cost).
+    """
+    return F.transform(tokens(text), lambda t: F.md5(t))
+
+
+def simhash_from_hashes(hashes: Column, n_bits: int = 32) -> Column:
+    """SimHash bitstring from a precomputed md5-per-token array.
 
     Bit ``i`` is the majority vote over tokens of bit ``i`` of md5(token),
     where "bit i" is the high bit of hex nibble ``i`` (digit >= '8') —
     exactly reproducible in SQL (``substr(md5(t), i+1, 1) >= '8'``).
-    Computed entirely with higher-order built-ins: one md5 per token, then
-    ``n_bits`` integer folds over the hash array.
     """
-    hashes = F.transform(tokens(text), lambda t: F.md5(t))
 
     # closure factory, not a default-arg capture: pyspark derives the HOF
     # lambda arity from the Python signature, so `lambda acc, h, i=i` would
@@ -120,6 +128,53 @@ def simhash_bits(text: str | Column = "text", n_bits: int = 32) -> Column:
         for i in range(n_bits)
     ]
     return F.concat(*bits)
+
+
+def simhash_bits(text: str | Column = "text", n_bits: int = 32) -> Column:
+    """SimHash straight from text — fine for one-shot use; for fan-out
+    pipelines compute :func:`token_hashes` once behind a persist boundary
+    and use :func:`simhash_from_hashes`."""
+    return simhash_from_hashes(token_hashes(text), n_bits)
+
+
+def simhash_int_from_hashes(hashes: Column, n_bits: int = 32) -> Column:
+    """SimHash packed into a BIGINT (bit i of md5 = high bit of hex
+    nibble i; majority vote sets bit ``n_bits-1-i``). Integer form makes
+    pair verification a single ``bit_count(xor())`` instead of n_bits
+    string comparisons — the difference between 13s and ~0 on millions
+    of candidate pairs.
+    """
+
+    def vote(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out + F.when(
+            vote(i) > 0, F.lit(1 << (n_bits - 1 - i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def sql_simhash_int(n_bits: int = 32, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`simhash_int_from_hashes` (from text)."""
+    toks = f"string_split_regex({text_expr}, '\\s+')"
+    parts = []
+    for i in range(n_bits):
+        vote = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN "
+            f"substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+        )
+        parts.append(
+            f"CASE WHEN {vote} > 0 THEN CAST({1 << (n_bits - 1 - i)} AS BIGINT)"
+            f" ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
 
 
 def sql_simhash_bits(n_bits: int = 32, text_expr: str = "text") -> str:

@@ -34,14 +34,14 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     ENGLISH_STOPWORDS,
     band_keys,
-    hamming_expr,
     minhash_signature,
     predicted_lang,
     shingles,
-    simhash_bits,
-    sql_simhash_bits,
+    simhash_int_from_hashes,
+    sql_simhash_int,
     stopword_count,
     token_count,
+    token_hashes,
 )
 from ..functions.vectors import as_double, cosine
 from ..sources.tables import load_table
@@ -355,31 +355,24 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH docs AS ({_NEARDUP_DOCS_SQL}),
     sig AS (
-      SELECT doc_id, {sql_simhash_bits(32)} AS simhash FROM docs
+      SELECT doc_id, {sql_simhash_int(32)} AS simhash FROM docs
     ),
     banded AS (
       SELECT doc_id, simhash,
-             unnest([
-               '0|' || substr(simhash, 1, 8),
-               '1|' || substr(simhash, 9, 8),
-               '2|' || substr(simhash, 17, 8),
-               '3|' || substr(simhash, 25, 8)
-             ]) AS band_key
+             unnest([0, 1, 2, 3]) AS band_idx
       FROM sig
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sh_a, b.simhash AS sh_b
-      FROM banded a JOIN banded b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    keyed AS (
+      SELECT doc_id, simhash, band_idx,
+             (simhash // CAST(pow(2, 8 * band_idx) AS BIGINT)) % 256 AS band_val
+      FROM banded
     )
-    SELECT doc_a, doc_b,
-           CAST(len(list_filter(range(1, 33),
-                i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1)))
-             AS INTEGER) AS hamming
-    FROM cand
-    WHERE len(list_filter(range(1, 33),
-          i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= 3
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,45 +384,42 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = base.unionByName(near).repartition(
         spark.sparkContext.defaultParallelism
     )
-    # persist: stop projection collapse from inlining the 32-fold vote
-    # expression into the band keys and both join sides (cf. MinHash note).
-    sig = docs.select(
-        "doc_id", simhash_bits("text", 32).alias("simhash")
+    # two persist boundaries: (1) hash each token once — the 32 bit-vote
+    # aggregates all reference the md5 array and would otherwise each
+    # recompute it; (2) stop projection collapse from inlining the votes
+    # into the band keys and both join sides (cf. MinHash note).
+    hashed = docs.select(
+        "doc_id", token_hashes("text").alias("hashes")
+    ).persist()
+    sig = hashed.select(
+        "doc_id",
+        simhash_int_from_hashes(F.col("hashes"), 32).alias("simhash"),
     ).persist()
     banded = sig.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}|"),
-                        F.substring("simhash", 1 + 8 * b, 8),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_key"),
-    )
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * band_idx) % 256"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # candidates stay duplicated across bands until AFTER the cheap
+    # xor/popcount filter — distinct on the filtered survivors is ~15×
+    # smaller than distinct on the raw candidate set.
+    return (
         a.join(
             b,
-            (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming_expr("sh_a", "sh_b", 32))
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
