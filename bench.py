@@ -31,6 +31,8 @@ HEADLINE = (
     "dedup_exact_docs",
     "neardup_minhash_pairs",
     "embedding_cosine_topk",
+    "ann_topk_fast",
+    "simhash_neardup_pairs",
 )
 
 

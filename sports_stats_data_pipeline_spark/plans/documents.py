@@ -185,6 +185,18 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness is bounded-error by construction and pytest checks the
 # bounds against exact answers).
 # --------------------------------------------------------------------------
+@REGISTRY.register("ann_topk_fast")  # no oracle: float sums in BLAS order
+def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-kernel brute-force ANN (operators.similarity): identical
+    neighbor sets to embedding_cosine_topk (asserted in pytest); scores
+    differ in float summation order so no value oracle — driver records
+    rows-only."""
+    from ..operators.similarity import ann_topk_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_numpy(emb, F.col("vec_id") < 8, k=3)
+
+
 @REGISTRY.register("sketch_approx_stats")  # no oracle: engine-specific HLL
 def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

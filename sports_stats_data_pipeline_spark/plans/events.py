@@ -265,6 +265,67 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The generic as-of join operator (operators.asof) under the driver gate:
+# purchases as-of joined to the latest strictly-earlier click per user,
+# carrying the click's payload columns.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+           asof_click_us, asof_click_value_c
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN CAST(epoch_us(ts) AS BIGINT) END
+                        IGNORE NULLS) OVER w AS asof_click_us,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN CAST(ROUND(value * 100) AS BIGINT) END
+                        IGNORE NULLS) OVER w AS asof_click_value_c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        cents("value").alias("click_value_c"),
+        # tiebreak inside equal timestamps follows event_id order, same
+        # as the oracle's ORDER BY ts, event_id
+        "event_id",
+    )
+    out = asof_join(
+        purchases.withColumn("__order", F.col("event_id")),
+        clicks.withColumnRenamed("event_id", "__order"),
+        key="user_id",
+        left_ts="purchase_us",
+        right_ts="click_us",
+        right_payload=["click_us", "click_value_c"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.col("asof_click_us"),
+        F.col("asof_click_value_c"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Grouped-map pandas UDF (applyInPandas): per-user top-5 purchases ranked
 # inside a pandas function — the custom-stateful-per-group escape hatch
 # (SURVEY.md §2.11). Semantics chosen to be window-expressible so the

@@ -264,6 +264,111 @@ def ref_gold_name_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# The full silver transform (transforms.silver.fighters_silver) under the
+# driver gate: literal bronze rows -> typed columns. Derived doubles use
+# single-multiply constants (see functions.parsing) so values are
+# bit-identical; dates emitted as ISO strings.
+# --------------------------------------------------------------------------
+_SILVER_BRONZE_ROWS = [
+    # Name, Nickname, Record, Height, Weight, Reach, STANCE, DOB, SLpM,
+    # Str.Acc., SApM, Str.Def, TD Avg., TD Acc., TD Def., Sub.Avg.,
+    # fight_dates, url
+    (
+        "Jon Example", "Bones", "28-1-0", "5' 11\"", "155 lbs.", "70\"",
+        "Orthodox", "Jul. 19, 1987", "4.32", "58%", "2.22", "64%", "1.93",
+        "45%", "95%", "0.5", "Mar. 5, 2025|Jan. 15, 2020", "u1",
+    ),
+    (
+        "Ann Sparse", None, "15-3", "5' 4\"", "115 lbs.", "N/A", None,
+        "N/A", None, "N/A", None, None, None, None, None, None, "", "u2",
+    ),
+]
+_SILVER_VALUES = ", ".join(
+    "("
+    + ", ".join("NULL" if v is None else "'" + v.replace("'", "''") + "'" for v in r)
+    + ")"
+    for r in _SILVER_BRONZE_ROWS
+)
+
+
+@REGISTRY.register(
+    "ref_silver_fighters_transform",
+    oracle="""
+    WITH bronze AS (
+      SELECT * FROM (VALUES {values}) AS t(
+        Name, Nickname, Record, Height, Weight, Reach, STANCE, DOB, SLpM,
+        StrAcc, SApM, StrDef, TDAvg, TDAcc, TDDef, SubAvg, fight_dates, url)
+    ), dates AS (
+      SELECT url, MAX(CAST(try_strptime(d, '%b. %d, %Y') AS DATE)) AS lf
+      FROM bronze, UNNEST(string_split(fight_dates, '|')) AS u(d)
+      GROUP BY url
+    )
+    SELECT b.Name AS name,
+      b.Nickname AS nickname,
+      TRY_CAST(NULLIF(trim(split_part(Record, '-', 1)), 'N/A') AS INTEGER)
+        AS wins,
+      TRY_CAST(NULLIF(trim(split_part(Record, '-', 2)), 'N/A') AS INTEGER)
+        AS losses,
+      TRY_CAST(NULLIF(trim(split_part(Record, '-', 3)), 'N/A') AS INTEGER)
+        AS draws,
+      CAST((TRY_CAST(NULLIF(regexp_extract(Height, '^\\s*(\\d+)''', 1), '')
+              AS INTEGER) * 12
+            + TRY_CAST(NULLIF(regexp_extract(Height, '(\\d+)"', 1), '')
+              AS INTEGER)) * CAST(2.54 AS DOUBLE) AS DOUBLE) AS height_cm,
+      CAST(TRY_CAST(NULLIF(regexp_extract(Weight, '(\\d+)\\s*lbs', 1), '')
+             AS INTEGER) * CAST(0.45359237 AS DOUBLE) AS DOUBLE) AS weight_kg,
+      CAST(TRY_CAST(NULLIF(regexp_extract(Reach, '(\\d+)"', 1), '')
+             AS INTEGER) * CAST(2.54 AS DOUBLE) AS DOUBLE) AS reach_cm,
+      b.STANCE AS stance,
+      strftime(CAST(try_strptime(NULLIF(trim(DOB), 'N/A'), '%b. %d, %Y')
+               AS DATE), '%Y-%m-%d') AS dob,
+      TRY_CAST(SLpM AS DOUBLE) AS slpm,
+      CAST(TRY_CAST(NULLIF(regexp_extract(StrAcc, '(\\d+)%', 1), '')
+             AS INTEGER) / CAST(100.0 AS DOUBLE) AS DOUBLE) AS str_acc,
+      strftime(d.lf, '%Y-%m-%d') AS last_fight_date,
+      CASE WHEN d.lf IS NULL THEN 'Inactive'
+           WHEN date_diff('day', d.lf, DATE '2026-08-13') / 365.0 <= 2.0
+           THEN 'Active' ELSE 'Inactive' END AS active_status,
+      b.url
+    FROM bronze b LEFT JOIN dates d ON b.url = d.url
+    """.format(values=_SILVER_VALUES),
+)
+def ref_silver_fighters_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transforms.silver import fighters_silver
+
+    bronze = spark.createDataFrame(
+        _SILVER_BRONZE_ROWS,
+        schema=(
+            "Name string, Nickname string, Record string, Height string, "
+            "Weight string, Reach string, STANCE string, DOB string, "
+            "SLpM string, `Str. Acc.` string, SApM string, `Str. Def` string, "
+            "`TD Avg.` string, `TD Acc.` string, `TD Def.` string, "
+            "`Sub. Avg.` string, fight_dates string, url string"
+        ),
+    )
+    silver = fighters_silver(bronze, AS_OF)
+    return silver.select(
+        "name",
+        "nickname",
+        "wins",
+        "losses",
+        "draws",
+        "height_cm",
+        "weight_kg",
+        "reach_cm",
+        "stance",
+        F.date_format("dob", "yyyy-MM-dd").alias("dob"),
+        "slpm",
+        "str_acc",
+        F.date_format("last_fight_date", "yyyy-MM-dd").alias(
+            "last_fight_date"
+        ),
+        "active_status",
+        "url",
+    )
+
+
+# --------------------------------------------------------------------------
 # A1/S3 shape: explode a packed fight-date list (the reference keeps fight
 # dates as a Python list, fighters_scraper.py:117-127; our bronze layer
 # packs them pipe-joined) into rows, parse, and take max per fighter.

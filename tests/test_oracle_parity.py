@@ -34,8 +34,9 @@ def oracle():
     con.close()
 
 
-#: ops whose internals are engine-specific (sketches) — rows-only check.
-NO_ORACLE_ALLOWED = {"sketch_approx_stats"}
+#: ops whose internals are engine-specific (sketches, BLAS float order) —
+#: rows-only driver check; pytest covers them against exact ground truth.
+NO_ORACLE_ALLOWED = {"sketch_approx_stats", "ann_topk_fast"}
 
 
 def test_every_query_has_an_oracle_or_is_flagged():
