@@ -39,7 +39,22 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query path relies on, applied defensively: the
+    harness may hand us a session built without our factory (session.py).
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      reader otherwise rejects outright;
+    - UTC session timezone: epoch outputs (unix_timestamp over NTZ
+      timestamps) must not depend on the host timezone, and the DuckDB
+      oracle computes wall-clock epochs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read as int64 via nanosAsLong (see

@@ -41,6 +41,9 @@ EVENTS_RAW_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events parquet (ns -> us like the
     batch loader)."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     # file-stream sources take a directory; select the one table's file
     # with a glob filter (a live deployment would point at a landing dir).
     raw = (

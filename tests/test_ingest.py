@@ -127,6 +127,33 @@ def fleet_transport():
     return urls, FlakyTransport(script)
 
 
+def test_ingest_fights_end_to_end(spark, tmp_path):
+    urls = [f"http://example.com/fight-details/x{i}" for i in range(3)]
+    transport = FlakyTransport(
+        {u: [(200, fx.FIGHT_PAGE)] for u in urls}
+        | {urls[2]: [(200, fx.FIGHT_PAGE_MALFORMED)]}
+    )
+    sink = str(tmp_path / "fights_sink")
+    df = ingest(
+        spark, urls, transport, sink, kind="fight", cfg=_cfg(), concurrency=2
+    )
+    rows = df.collect()
+    assert len(rows) == 2  # malformed page (single fighter) dropped
+    r = rows[0]
+    assert r["fighter_a"] == "Fighter One"
+    assert r["sig_str_a"] == "45 of 112"
+    assert r["method"] == "KO/TKO"
+
+    # silver over the ingested bronze
+    from sports_stats_data_pipeline_spark.transforms.silver import (
+        fights_silver,
+    )
+
+    silver = fights_silver(df).collect()[0]
+    assert silver["fighter_a_sig_str_landed"] == 45
+    assert silver["end_time_s"] == 255
+
+
 def test_ingest_end_to_end_and_resume_safety(spark, fleet_transport, tmp_path):
     urls, transport = fleet_transport
     sink = str(tmp_path / "fighters_sink")
