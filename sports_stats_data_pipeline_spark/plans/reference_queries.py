@@ -201,6 +201,87 @@ def ref_parse_fight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The whole ingest chain under the driver gate: Python DataSource
+# (alphabet-partitioned synthetic pages) -> HTML parse (mapInPandas) ->
+# silver casts. The oracle is a VALUES relation computed here in plain
+# Python from the *generator parameters* (not by parsing HTML), so the
+# Spark path — regex extraction + expression casts — is checked against
+# an independent derivation. All doubles are single-multiply products of
+# exact ints, bit-identical everywhere.
+# --------------------------------------------------------------------------
+_INGEST_LETTERS = "abc"
+_INGEST_PER_LETTER = 5
+
+
+def _expected_ingest_rows():
+    from ..sources.synthetic_pages import synth_fighter_page
+    import hashlib
+
+    rows = []
+    for letter in _INGEST_LETTERS:
+        for i in range(_INGEST_PER_LETTER):
+            url, _ = synth_fighter_page(letter, i)
+            h = hashlib.md5(f"{letter}:{i}".encode()).hexdigest()
+            name = f"{letter.upper()}ighter {letter.upper()}{i}"
+            w, l, d = int(h[0:2], 16) % 40, int(h[2:4], 16) % 15, int(h[4:5], 16) % 3
+            feet, inches = 5 + int(h[5], 16) % 2, int(h[6:8], 16) % 12
+            weight = 115 + 10 * (int(h[8:10], 16) % 16)
+            rows.append((name, w, l, d, feet * 12 + inches, weight, url))
+    return rows
+
+
+_INGEST_VALUES = ", ".join(
+    f"('{n}', {w}, {l}, {d}, {total_in}, {weight}, '{u}')"
+    for n, w, l, d, total_in, weight, u in _expected_ingest_rows()
+)
+
+
+@REGISTRY.register(
+    "ref_ingest_datasource_end_to_end",
+    # doubles computed from exact ints with DOUBLE-cast constants — a
+    # float literal in VALUES would take DuckDB's DECIMAL parse path and
+    # can land one ulp away from the IEEE product.
+    oracle="""
+    SELECT name, wins, losses, draws,
+           CAST(total_inches * CAST(2.54 AS DOUBLE) AS DOUBLE) AS height_cm,
+           CAST(weight_lbs * CAST(0.45359237 AS DOUBLE) AS DOUBLE)
+             AS weight_kg,
+           url
+    FROM (VALUES {values})
+      AS t(name, wins, losses, draws, total_inches, weight_lbs, url)
+    """.format(values=_INGEST_VALUES),
+)
+def ref_ingest_datasource_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..schemas import FIGHTERS_RAW, fighters_raw_ddl
+    from ..sources.html_source import parse_pages
+    from ..sources.synthetic_pages import FighterPagesDataSource
+    from ..sources.tables import ensure_session_confs
+    from ..transforms.silver import fighters_silver
+
+    # ship the package BEFORE registering the DataSource: its schema()
+    # resolution already runs in a Python subprocess that must import us.
+    ensure_session_confs(spark)
+    spark.dataSource.register(FighterPagesDataSource)
+    pages = (
+        spark.read.format("fighter_pages")
+        .option("letters", _INGEST_LETTERS)
+        .option("perLetter", str(_INGEST_PER_LETTER))
+        .load()
+        .select("url", "html")
+    )
+    field_names = [f.name for f in FIGHTERS_RAW if f.name != "URL"]
+    bronze = parse_pages(
+        pages, kind="fighter", schema=fighters_raw_ddl(), field_names=field_names
+    )
+    silver = fighters_silver(bronze, AS_OF)
+    return silver.select(
+        "name", "wins", "losses", "draws", "height_cm", "weight_kg", "url"
+    )
+
+
+# --------------------------------------------------------------------------
 # Gold-layer name-resolution join (J2): fights.fighter_a/_b ->
 # fighters.Name — the FK the reference records but never joins
 # (SURVEY.md §1.4). Broadcast the fighters dim; one row per fight side.

@@ -76,6 +76,9 @@ def fetch_urls(
     ``concurrency`` bounds parallel fetch streams by repartitioning the
     key list (rate limit I2 applies within each partition).
     """
+    from .tables import ensure_session_confs
+
+    ensure_session_confs(url_df.sparkSession)
     cfg = cfg or FetchConfig()
     if concurrency:
         url_df = url_df.repartition(concurrency)

@@ -184,6 +184,9 @@ def parse_pages(
     passed separately — DDL strings with backticked names like
     ```Str. Acc.``` are not split-parsable).
     """
+    from .tables import ensure_session_confs
+
+    ensure_session_confs(pages_df.sparkSession)
     parse = parse_fighter_page if kind == "fighter" else parse_fight_page
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

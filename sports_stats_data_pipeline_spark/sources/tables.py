@@ -47,10 +47,43 @@ def ensure_session_confs(spark: SparkSession) -> None:
       reader otherwise rejects outright;
     - UTC session timezone: epoch outputs (unix_timestamp over NTZ
       timestamps) must not depend on the host timezone, and the DuckDB
-      oracle computes wall-clock epochs.
+      oracle computes wall-clock epochs;
+    - ship this package to Python workers: mapInPandas / DataSource
+      closures reference module functions by name, and the harness's
+      worker processes don't necessarily have the repo on PYTHONPATH.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        "/tmp", f"{pkg_name}-{os.path.getmtime(pkg_dir):.0f}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    # idempotent per session; re-adding the same path is a no-op warning.
+    already = getattr(spark, "_ssdp_shipped", None)
+    if already != zip_path:
+        spark.sparkContext.addPyFile(zip_path)
+        spark._ssdp_shipped = zip_path
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
