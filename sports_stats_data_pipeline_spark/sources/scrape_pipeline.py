@@ -103,3 +103,30 @@ def discover_fighter_urls(
                 seen.add(u)
                 out.append(u)
     return out
+
+
+def discover_fight_urls(
+    spark: SparkSession,
+    event_urls: list[str],
+    transport: Transport,
+    cfg: FetchConfig | None = None,
+    concurrency: int = 4,
+    marker: str = "fight-details",
+) -> DataFrame:
+    """S2+S3 two-level fan-out (the reference's get_event_links →
+    get_fight_links nesting, fights_scraper.py:43-66): fetch each event
+    page distributed, explode its child fight links — unlike the
+    reference's sequential double loop, level 2 is a single distributed
+    explode over the level-1 fetch results."""
+    from pyspark.sql import functions as F
+
+    from .html_source import extract_links
+
+    event_df = spark.createDataFrame(
+        [(u,) for u in event_urls], schema="url string"
+    ).dropDuplicates(["url"])
+    pages = fetch_urls(event_df, transport, cfg, concurrency=concurrency)
+    extract = F.udf(lambda html: extract_links(html, marker), "array<string>")
+    return pages.select(
+        F.explode(extract("html")).alias("url")
+    ).dropDuplicates(["url"])

@@ -127,6 +127,35 @@ def fleet_transport():
     return urls, FlakyTransport(script)
 
 
+EVENT_INDEX_PAGE = """
+<html><body>
+<a href="http://example.com/fight-details/f1">bout 1</a>
+<a href="http://example.com/fight-details/f2">bout 2</a>
+<a href="http://example.com/other/skip">no</a>
+<a href="http://example.com/fight-details/f1">dup</a>
+</body></html>
+"""
+
+
+def test_two_level_fanout_discovery(spark):
+    from sports_stats_data_pipeline_spark.sources.scrape_pipeline import (
+        discover_fight_urls,
+    )
+
+    events = ["http://example.com/event-details/e1",
+              "http://example.com/event-details/e2"]
+    # e2 serves the same bouts -> cross-event dedup must collapse them
+    transport = FlakyTransport({u: [(200, EVENT_INDEX_PAGE)] for u in events})
+    urls = discover_fight_urls(
+        spark, events, transport, cfg=_cfg(), concurrency=2
+    )
+    got = sorted(r["url"] for r in urls.collect())
+    assert got == [
+        "http://example.com/fight-details/f1",
+        "http://example.com/fight-details/f2",
+    ]
+
+
 def test_ingest_fights_end_to_end(spark, tmp_path):
     urls = [f"http://example.com/fight-details/x{i}" for i in range(3)]
     transport = FlakyTransport(
