@@ -161,6 +161,59 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Expression kitchen-sink over literals: null-safe equality, IN-lists,
+# BETWEEN, greatest/least, coalesce chains, CASE — the §2.8 conditional
+# family in one oracle-checked relation.
+# --------------------------------------------------------------------------
+_EXPR_ROWS = [
+    (1, 10, 10), (2, 10, None), (3, None, None), (4, 7, 10), (5, None, 3),
+]
+_EXPR_VALUES = ", ".join(
+    "({}, {}, {})".format(i, "NULL" if a is None else a, "NULL" if b is None else b)
+    for i, a, b in _EXPR_ROWS
+)
+
+
+@REGISTRY.register(
+    "expression_conditionals",
+    oracle=f"""
+    SELECT id,
+      (a IS NOT DISTINCT FROM b) AS null_safe_eq,
+      -- three-valued logic surfaced as ints: NULL booleans round-trip as
+      -- None vs NaN through the two engines' pandas bridges
+      COALESCE(CAST((a IN (7, 10)) AS INTEGER), -1) AS in_list_i,
+      COALESCE(CAST((a BETWEEN 5 AND 10) AS INTEGER), -1) AS in_band_i,
+      greatest(a, b) AS hi,
+      least(a, b) AS lo,
+      COALESCE(a, b, -1) AS first_present,
+      CASE WHEN a IS NULL AND b IS NULL THEN 'both-null'
+           WHEN a IS NULL OR b IS NULL THEN 'one-null'
+           WHEN a = b THEN 'equal' ELSE 'differ' END AS shape
+    FROM (VALUES {_EXPR_VALUES}) AS t(id, a, b)
+    """,
+)
+def expression_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_EXPR_ROWS, schema="id int, a int, b int")
+    a, b = F.col("a"), F.col("b")
+    return df.select(
+        "id",
+        a.eqNullSafe(b).alias("null_safe_eq"),
+        F.coalesce(a.isin(7, 10).cast("int"), F.lit(-1)).alias("in_list_i"),
+        F.coalesce(a.between(5, 10).cast("int"), F.lit(-1)).alias(
+            "in_band_i"
+        ),
+        F.greatest(a, b).alias("hi"),
+        F.least(a, b).alias("lo"),
+        F.coalesce(a, b, F.lit(-1)).alias("first_present"),
+        F.when(a.isNull() & b.isNull(), "both-null")
+        .when(a.isNull() | b.isNull(), "one-null")
+        .when(a == b, "equal")
+        .otherwise("differ")
+        .alias("shape"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Global sort + limit (SURVEY.md §2.6): TakeOrderedAndProject — Spark
 # never materializes a full global sort for a top-N; each partition
 # keeps N, the driver merges. Unique tiebreaker for determinism.

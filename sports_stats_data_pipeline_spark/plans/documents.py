@@ -244,6 +244,62 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup survivorship policy: keep the LONGEST copy per duplicate group
+# (arg-max survivorship, vs the reference's first-wins). The windowed
+# arg-max is the standard one-shuffle pattern; ties break on doc_id.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "dedup_keep_longest",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- truncated copies: the survivor must be the longer original
+      SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 40)
+      FROM documents WHERE doc_id % 4 = 0
+    ), keyed AS (
+      SELECT doc_id, text,
+             md5(substr(text, 1, 40)) AS group_key,
+             length(text) AS text_len
+      FROM docs
+    )
+    SELECT group_key,
+           CAST(doc_id AS BIGINT) AS survivor_doc_id,
+           CAST(text_len AS INTEGER) AS survivor_len,
+           COUNT(*) OVER (PARTITION BY group_key) AS n_copies
+    FROM keyed
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY group_key ORDER BY text_len DESC, doc_id
+    ) = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    truncated = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    keyed = base.unionByName(truncated).select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("group_key"),
+        F.length("text").alias("text_len"),
+    )
+    w = Window.partitionBy("group_key")
+    rank_w = w.orderBy(F.col("text_len").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "group_key",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("text_len").cast("int").alias("survivor_len"),
+            "n_copies",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dedup: MinHash (8 hashes) → LSH banding (4 bands × 2 rows) →
 # candidate pairs → exact Jaccard verification, threshold 0.6 evaluated
 # in integers.

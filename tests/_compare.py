@@ -11,11 +11,15 @@ import pandas as pd
 
 
 def _canon_cell(v) -> str:
+    # None and float-NaN both mean SQL NULL, but the two engines' pandas
+    # bridges pick different representations per column type; keep them
+    # DISTINCT here so any cross-engine divergence fails loudly in pytest
+    # before an opaque driver hasher sees it.
     if v is None:
-        return "NULL"
+        return "NULL:none"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NULL"
+            return "NULL:nan"
         if v == int(v) and abs(v) < 2**53:
             # nullable-int columns surface as float64 on one side only
             return f"i:{int(v)}"
