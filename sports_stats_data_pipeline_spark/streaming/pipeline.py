@@ -87,6 +87,16 @@ def streaming_tumbling_hourly_table(
     return spark.table(sink)
 
 
+def streaming_dedup(events_stream: DataFrame, keys: list[str]) -> DataFrame:
+    """State-store keyed dedup — the exact streaming analog of the
+    reference's processed-key set (SURVEY.md §2.10 row 2): first
+    occurrence of a key passes, replays and duplicates are dropped by
+    state. The watermark bounds how long a key is remembered, which is
+    what makes the state finite at 100 TB (the reference's in-memory
+    ``set`` grows without bound)."""
+    return events_stream.withWatermark("ts", "1 hour").dropDuplicates(keys)
+
+
 def run_streaming_upsert(
     spark: SparkSession,
     sf_dir: str,

