@@ -776,6 +776,110 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Random-hyperplane LSH for cosine (SimHash-for-vectors): bucket bit j is
+# sign(dot(v, plane_j)). Planes are corpus-sampled directions (vec_id
+# 100..107) — data-dependent LSH that both engines derive from the table
+# itself, no literal-coefficient round-trip. Same-bucket candidate pairs
+# verified by exact cosine >= 0.8 over synthesized near-dup copies.
+# Single-probe: recall is partial by design (each plane splits a near-dup
+# pair with probability angle/pi); deterministic either way.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "ann_rp_lsh_pairs",
+    oracle="""
+    WITH planes AS (
+      SELECT vec_id - 100 AS pid, embedding::DOUBLE[] AS p
+      FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.5
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id % 9 = 0
+    ), bucketed AS (
+      SELECT vec_id, v,
+             CAST(SUM(CASE WHEN list_dot_product(v, p) > 0
+                  THEN CAST(pow(2, pid) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM vecs CROSS JOIN planes
+      GROUP BY vec_id, v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_r4
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+    """,
+)
+def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    nudged = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 9 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "CASE WHEN i = 0 THEN CAST(x AS DOUBLE) + 0.5D "
+                "ELSE CAST(x AS DOUBLE) END)"
+            ).alias("v"),
+        )
+    )
+    vecs = emb.unionByName(nudged)
+    planes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(100, 107))
+        .select(
+            (F.col("vec_id") - 100).alias("pid"),
+            as_double(F.col("embedding")).alias("p"),
+        )
+    )
+    bucketed = (
+        vecs.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "bit",
+            F.when(
+                dot(F.col("v"), F.col("p")) > 0,
+                F.pow(F.lit(2.0), F.col("pid")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").alias("bucket"), F.first("v").alias("v"))
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket"),
+        F.col("v").alias("va"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.8)
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            F.round(F.col("cos"), 4).alias("cosine_r4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search baseline: brute-force cosine top-k for a small query
 # set — broadcast(queries) × scan(corpus), rank via per-query window.
 # --------------------------------------------------------------------------
