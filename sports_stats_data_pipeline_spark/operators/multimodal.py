@@ -87,19 +87,31 @@ def real_decode_stub(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(decoded: DataFrame, every_nth: int = 4) -> DataFrame:
+def frame_sample(
+    decoded: DataFrame,
+    every_nth: int = 4,
+    carry_cols: tuple[str, ...] = (),
+    outer: bool = False,
+) -> DataFrame:
     """Frame-sampling plumbing over decoded metadata: expand n_frames to
     frame indices and keep every ``every_nth`` one — pure built-ins
-    (sequence + explode + filter), no Python."""
+    (sequence + explode + filter), no Python.
+
+    ``carry_cols`` pass extra decode columns through; ``outer=True`` keeps
+    zero-frame assets as a single NULL-frame row (explode_outer) so the
+    output still covers every input asset.
+    """
     # sequence(0, -1) would yield a DESCENDING [0, -1] for zero-frame rows
     # (Spark sequence auto-reverses); guard to an empty array instead,
-    # which explode drops.
-    frames = F.when(
+    # which explode drops (explode_outer turns it into one NULL row).
+    sampled = F.when(
         F.col("n_frames") > 0,
-        F.sequence(F.lit(0), F.col("n_frames") - 1),
+        F.filter(
+            F.sequence(F.lit(0), F.col("n_frames") - 1),
+            lambda i: i % every_nth == 0,
+        ),
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        decoded.withColumn("frame_idx", F.explode(frames))
-        .filter(F.col("frame_idx") % every_nth == 0)
-        .select("doc_id", "frame_idx", "width", "height")
+    explode = F.explode_outer if outer else F.explode
+    return decoded.withColumn("frame_idx", explode(sampled)).select(
+        "doc_id", "frame_idx", "width", "height", *carry_cols
     )

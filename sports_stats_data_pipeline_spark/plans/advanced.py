@@ -214,36 +214,6 @@ def expression_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Global sort + limit (SURVEY.md §2.6): TakeOrderedAndProject — Spark
-# never materializes a full global sort for a top-N; each partition
-# keeps N, the driver merges. Unique tiebreaker for determinism.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "orders_global_topn",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
-           o_orderpriority
-    FROM orders
-    ORDER BY price_c DESC, o_orderkey
-    LIMIT 20
-    """,
-)
-def orders_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.select(
-            "o_orderkey",
-            "o_custkey",
-            cents("o_totalprice").alias("price_c"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("price_c").desc(), F.col("o_orderkey"))
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
 # One-pass column profiling (data-quality operator every large pipeline
 # runs before training): null counts, min/max, distinct estimate — a
 # single aggregate over the scan, no per-column passes.

@@ -84,10 +84,10 @@ _MARKER_SQL = {
 
 
 @REGISTRY.register(
-    "doc_text_stats",
+    "doc_text_profile",
     oracle=f"""
     WITH scored AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text,
         CAST(length(text) AS INTEGER) AS n_chars,
         CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
         CAST(len(list_filter({_SQL_TOKS},
@@ -110,12 +110,43 @@ _MARKER_SQL = {
              WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
              WHEN s_es > 0 THEN 'es'
              ELSE 'und'
-           END AS predicted_lang
+           END AS predicted_lang,
+           10000 * CAST(n_stopwords AS BIGINT) // n_tokens AS stop_bp,
+           10 * CAST(n_chars AS BIGINT) // n_tokens AS mean_tok_len_dp,
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+              + CASE WHEN 10000 * CAST(n_stopwords AS BIGINT) // n_tokens
+                     BETWEEN 200 AND 6000 THEN 40 ELSE 0 END
+              + CASE WHEN 10 * CAST(n_chars AS BIGINT) // n_tokens
+                     BETWEEN 30 AND 90 THEN 20 ELSE 0 END AS BIGINT)
+             AS quality_score,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_units,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers
     FROM scored
     """,
 )
-def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one scan: raw stats + stopword-based
+    language heuristic + composite quality score + BPE-ish unit counts.
+
+    The quality score (LLM-data curation gate) runs in integer basis-point
+    arithmetic end-to-end so it is bit-identical across engines; floor
+    division via F.floor (DuckDB ``//``) — a plain double cast would round
+    in DuckDB but truncate in Spark. BPE-ish counting = regex
+    pre-tokenization (letter runs / digit runs / single punctuation), the
+    scan-side unit estimate LLM-pipeline budgeting uses when a real
+    tokenizer is too expensive."""
     docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text").cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = stopword_count("text").cast("long")
+    stop_bp = F.floor(F.lit(10000) * n_stop / n_tokens).cast("long")
+    mean_tok_len_dp = F.floor(F.lit(10) * n_chars / n_tokens).cast("long")
+    score = (
+        F.when(n_tokens.between(20, 1000), F.lit(40)).otherwise(0)
+        + F.when(stop_bp.between(200, 6000), F.lit(40)).otherwise(0)
+        + F.when(mean_tok_len_dp.between(30, 90), F.lit(20)).otherwise(0)
+    ).cast("long")
     return docs.select(
         "doc_id",
         "lang",
@@ -126,56 +157,17 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stop_ratio"
         ),
         predicted_lang("text").alias("predicted_lang"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Composite quality score (LLM-data curation gate): integer basis-point
-# arithmetic end-to-end so the score is bit-identical across engines.
-# Components: stopword density (signal of natural language), mean token
-# length in a sane band, document length band.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "doc_quality_score",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id,
-        CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
-        CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(len(list_filter({_SQL_TOKS},
-             x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stop
-      FROM documents
-    )
-    SELECT doc_id,
-      10000 * n_stop // n_tokens AS stop_bp,
-      10 * n_chars // n_tokens AS mean_tok_len_dp,
-      CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
-         + CASE WHEN 10000 * n_stop // n_tokens BETWEEN 200 AND 6000
-                THEN 40 ELSE 0 END
-         + CASE WHEN 10 * n_chars // n_tokens BETWEEN 30 AND 90
-                THEN 20 ELSE 0 END AS BIGINT) AS quality_score
-    FROM base
-    """,
-)
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = token_count("text").cast("long")
-    n_chars = F.length("text").cast("long")
-    n_stop = stopword_count("text").cast("long")
-    # floor-division on both engines (DuckDB `//`): a plain double cast
-    # would round in DuckDB but truncate in Spark.
-    stop_bp = F.floor(F.lit(10000) * n_stop / n_tokens).cast("long")
-    mean_tok_len_dp = F.floor(F.lit(10) * n_chars / n_tokens).cast("long")
-    score = (
-        F.when(n_tokens.between(20, 1000), F.lit(40)).otherwise(0)
-        + F.when(stop_bp.between(200, 6000), F.lit(40)).otherwise(0)
-        + F.when(mean_tok_len_dp.between(30, 90), F.lit(20)).otherwise(0)
-    ).cast("long")
-    return docs.select(
-        "doc_id",
         stop_bp.alias("stop_bp"),
         mean_tok_len_dp.alias("mean_tok_len_dp"),
         score.alias("quality_score"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_bpe_units"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
     )
 
 
@@ -199,12 +191,15 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register("sketch_approx_stats")  # no oracle: engine-specific HLL
 def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL + quantile sketches. Scalar columns only: array-typed results
+    (e.g. percentile_approx with a literal list) break rows-only
+    canonicalization downstream, so p50/p95 are emitted as separate
+    scalar columns."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias(
-            "value_p50_p95"
-        ),
+        F.percentile_approx("value", 0.5, 10000).alias("value_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("value_p95"),
         F.count("*").alias("n_events"),
     )
 
@@ -740,38 +735,6 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
         F.size(hashes).alias("n_windows"),
-    )
-
-
-# --------------------------------------------------------------------------
-# BPE-ish token counting: regex pre-tokenization (letter runs / digit runs
-# / single punctuation) — the unit count LLM-pipeline budgeting uses when
-# a real tokenizer is too expensive for a scan-side estimate.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "doc_token_counts",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_words,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-             AS INTEGER) AS n_bpe_units,
-           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers
-    FROM documents
-    """,
-)
-def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", r"\s+")).alias("n_words"),
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
-            )
-        ).alias("n_bpe_units"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
-            "n_numbers"
-        ),
     )
 
 

@@ -176,61 +176,64 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# JSON extraction from the props column (SURVEY.md §2.8 array/map/JSON
-# requirement): get_json_object stays JVM-side; no Python UDF.
+# JSON/map handling of the props column (SURVEY.md §2.8 array/map/JSON
+# requirement), both access styles in one relation tagged by `kind`:
+# - 'bucket': fixed-path get_json_object extraction (JVM-side, no UDF),
+#   purchase values bucketed by $.k % 10;
+# - 'key': schema-free key discovery — parse props into map<string,int>,
+#   explode entries, aggregate per key.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "events_json_props_buckets",
+    "events_props_analysis",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    SELECT 'bucket' AS kind,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                AS VARCHAR) AS prop_key,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS metric
     FROM events
     WHERE event_type = 'purchase'
-    GROUP BY 1
-    """,
-)
-def events_json_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    return (
-        e.withColumn(
-            "k_bucket", F.get_json_object("props", "$.k").cast("int") % 10
-        )
-        .groupBy("k_bucket")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(cents("value")).alias("value_c"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Map-typed JSON handling (SURVEY.md §2.8 map functions): parse props into
-# map<string,int>, explode entries — schema-free key discovery, unlike
-# the fixed-path get_json_object query above.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "events_props_map_explode",
-    oracle="""
-    SELECT k AS prop_key,
+    GROUP BY 2
+    UNION ALL
+    SELECT 'key' AS kind, k AS prop_key,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
-             AS BIGINT) AS sum_prop_value
+             AS BIGINT) AS metric
     FROM events, UNNEST(json_keys(props)) AS t(k)
-    GROUP BY k
+    GROUP BY 2
     """,
 )
-def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_props_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    exploded = e.select(
-        F.explode(F.from_json("props", "map<string,int>")).alias(
-            "prop_key", "prop_value"
+    buckets = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "prop_key",
+            (F.get_json_object("props", "$.k").cast("int") % 10).cast(
+                "string"
+            ),
         )
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("metric"),
+        )
+        .select(F.lit("bucket").alias("kind"), "prop_key", "n_events", "metric")
     )
-    return exploded.groupBy("prop_key").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.col("prop_value").cast("long")).alias("sum_prop_value"),
+    keys = (
+        e.select(
+            F.explode(F.from_json("props", "map<string,int>")).alias(
+                "prop_key", "prop_value"
+            )
+        )
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("prop_value").cast("long")).alias("metric"),
+        )
+        .select(F.lit("key").alias("kind"), "prop_key", "n_events", "metric")
     )
+    return buckets.unionByName(keys)
 
 
 # --------------------------------------------------------------------------

@@ -51,10 +51,46 @@ _FIGHTER_VALUES = ", ".join(
 )
 
 
+# --------------------------------------------------------------------------
+# All three parse-parity families in ONE driver-visible relation (the
+# driver evaluates a bounded number of registered queries, so the parity
+# surface is consolidated): `section` discriminates fighter-string parses
+# (X2/X3 prefix-strip + split, unit conversions), date/activity parses
+# (X4-X6), and fight-stat parses (X7/X8 label dispatch, M:SS, 'x of y').
+# Disjoint columns are NULL-padded; NULL ints/doubles cross both engines'
+# pandas bridges as NaN identically.
+# --------------------------------------------------------------------------
+_DATE_ROWS = [
+    (1, "Jul. 19, 1987", "Mar. 5, 2025"),
+    (2, "Dec. 1, 1990", "Jan. 15, 2020"),
+    (3, "N/A", "N/A"),
+    (4, "garbage date", "Aug. 13, 2024"),
+    (5, "Feb. 29, 2000", "Jul. 1, 2026"),
+]
+_DATE_VALUES = ", ".join(f"({r[0]}, '{r[1]}', '{r[2]}')" for r in _DATE_ROWS)
+
+_FIGHT_ROWS = [
+    (1, "45 of 112", "3:42", "3 Rnd (5-5-5)", "Round:"),
+    (2, "0 of 0", "0:00", "5 Rnd (5-5-5-5-5)", "Time:"),
+    (3, "N/A", "N/A", "N/A", "Time format:"),
+    (4, "12 of 9", "61:05", "1 Rnd + OT (12-3)", "Method:"),
+    (5, "garbage", "4:5", "No Time Limit", "Details:"),
+]
+_FIGHT_VALUES = ", ".join(
+    f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', '{r[4]}')" for r in _FIGHT_ROWS
+)
+
+#: NULL padding per section — every branch of the UNION emits the full
+#: column set so the schemas line up (INTEGER/DOUBLE/VARCHAR NULLs).
+_PAD_INT = "CAST(NULL AS INTEGER)"
+_PAD_DBL = "CAST(NULL AS DOUBLE)"
+_PAD_STR = "CAST(NULL AS VARCHAR)"
+
+
 @REGISTRY.register(
-    "ref_parse_fighter_strings",
+    "ref_parse_functions",
     oracle="""
-    SELECT id,
+    SELECT 'fighter' AS section, id,
       TRY_CAST(NULLIF(NULLIF(trim(split_part(
         trim(regexp_replace(record, '^Record:', '')), '-', 1)), 'N/A'), '')
         AS INTEGER) AS wins,
@@ -73,91 +109,36 @@ _FIGHTER_VALUES = ", ".join(
       CAST(TRY_CAST(NULLIF(regexp_extract(reach, '(\\d+)"', 1), '')
              AS INTEGER) * CAST(2.54 AS DOUBLE) AS DOUBLE) AS reach_cm,
       CAST(TRY_CAST(NULLIF(regexp_extract(pct, '(\\d+)%', 1), '')
-             AS INTEGER) / CAST(100.0 AS DOUBLE) AS DOUBLE) AS str_acc
-    FROM (VALUES {values}) AS t(id, record, height, weight, reach, pct)
-    """.format(values=_FIGHTER_VALUES),
-)
-def ref_parse_fighter_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
-        _FIGHTER_ROWS,
-        schema="id int, record string, height string, weight string, "
-        "reach string, pct string",
-    )
-    wins, losses, draws = parse_record(F.col("record"))
-    return df.select(
-        "id",
-        wins.alias("wins"),
-        losses.alias("losses"),
-        draws.alias("draws"),
-        parse_height_cm(F.col("height")).alias("height_cm"),
-        parse_weight_kg(F.col("weight")).alias("weight_kg"),
-        parse_reach_cm(F.col("reach")).alias("reach_cm"),
-        parse_pct(F.col("pct")).alias("str_acc"),
-    )
-
-
-_DATE_ROWS = [
-    (1, "Jul. 19, 1987", "Mar. 5, 2025"),
-    (2, "Dec. 1, 1990", "Jan. 15, 2020"),
-    (3, "N/A", "N/A"),
-    (4, "garbage date", "Aug. 13, 2024"),
-    (5, "Feb. 29, 2000", "Jul. 1, 2026"),
-]
-_DATE_VALUES = ", ".join(f"({r[0]}, '{r[1]}', '{r[2]}')" for r in _DATE_ROWS)
-
-
-@REGISTRY.register(
-    "ref_parse_dates_activity",
-    oracle="""
-    WITH parsed AS (
-      SELECT id,
-        CAST(try_strptime(NULLIF(trim(dob), 'N/A'), '%b. %d, %Y') AS DATE)
-          AS dob_d,
-        CAST(try_strptime(NULLIF(trim(last_fight), 'N/A'), '%b. %d, %Y')
-          AS DATE) AS last_fight_d
-      FROM (VALUES {values}) AS t(id, dob, last_fight)
-    )
-    SELECT id,
-      strftime(dob_d, '%Y-%m-%d') AS dob,
-      strftime(last_fight_d, '%Y-%m-%d') AS last_fight_date,
+             AS INTEGER) / CAST(100.0 AS DOUBLE) AS DOUBLE) AS str_acc,
+      {ps} AS dob, {ps} AS last_fight_date, {ps} AS active_status,
+      {pi} AS sig_landed, {pi} AS sig_attempted, {pi} AS ctrl_s,
+      {pi} AS scheduled_rounds, {ps} AS label_target
+    FROM (VALUES {fighter_values}) AS t(id, record, height, weight, reach, pct)
+    UNION ALL
+    SELECT 'dates' AS section, id,
+      {pi} AS wins, {pi} AS losses, {pi} AS draws,
+      {pd} AS height_cm, {pd} AS weight_kg, {pd} AS reach_cm, {pd} AS str_acc,
+      strftime(CAST(try_strptime(NULLIF(trim(dob), 'N/A'), '%b. %d, %Y')
+               AS DATE), '%Y-%m-%d') AS dob,
+      strftime(CAST(try_strptime(NULLIF(trim(last_fight), 'N/A'),
+               '%b. %d, %Y') AS DATE), '%Y-%m-%d') AS last_fight_date,
       CASE
-        WHEN last_fight_d IS NULL THEN 'Inactive'
-        WHEN date_diff('day', last_fight_d, DATE '2026-08-13') / 365.0
-             <= 2.0 THEN 'Active'
+        WHEN try_strptime(NULLIF(trim(last_fight), 'N/A'), '%b. %d, %Y')
+             IS NULL THEN 'Inactive'
+        WHEN date_diff('day',
+               CAST(try_strptime(NULLIF(trim(last_fight), 'N/A'),
+                    '%b. %d, %Y') AS DATE),
+               DATE '2026-08-13') / 365.0 <= 2.0 THEN 'Active'
         ELSE 'Inactive'
-      END AS active_status
-    FROM parsed
-    """.format(values=_DATE_VALUES),
-)
-def ref_parse_dates_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
-        _DATE_ROWS, schema="id int, dob string, last_fight string"
-    )
-    last = parse_ref_date(F.col("last_fight"))
-    return df.select(
-        "id",
-        F.date_format(parse_ref_date(F.col("dob")), "yyyy-MM-dd").alias("dob"),
-        F.date_format(last, "yyyy-MM-dd").alias("last_fight_date"),
-        activity_flag(last, AS_OF).alias("active_status"),
-    )
-
-
-_FIGHT_ROWS = [
-    (1, "45 of 112", "3:42", "3 Rnd (5-5-5)", "Round:"),
-    (2, "0 of 0", "0:00", "5 Rnd (5-5-5-5-5)", "Time:"),
-    (3, "N/A", "N/A", "N/A", "Time format:"),
-    (4, "12 of 9", "61:05", "1 Rnd + OT (12-3)", "Method:"),
-    (5, "garbage", "4:5", "No Time Limit", "Details:"),
-]
-_FIGHT_VALUES = ", ".join(
-    f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', '{r[4]}')" for r in _FIGHT_ROWS
-)
-
-
-@REGISTRY.register(
-    "ref_parse_fight_stats",
-    oracle="""
-    SELECT id,
+      END AS active_status,
+      {pi} AS sig_landed, {pi} AS sig_attempted, {pi} AS ctrl_s,
+      {pi} AS scheduled_rounds, {ps} AS label_target
+    FROM (VALUES {date_values}) AS t(id, dob, last_fight)
+    UNION ALL
+    SELECT 'fight' AS section, id,
+      {pi} AS wins, {pi} AS losses, {pi} AS draws,
+      {pd} AS height_cm, {pd} AS weight_kg, {pd} AS reach_cm, {pd} AS str_acc,
+      {ps} AS dob, {ps} AS last_fight_date, {ps} AS active_status,
       TRY_CAST(NULLIF(regexp_extract(sig_str,
         '^\\s*(\\d+)\\s+of\\s+\\d+', 1), '') AS INTEGER) AS sig_landed,
       TRY_CAST(NULLIF(regexp_extract(sig_str,
@@ -180,23 +161,65 @@ _FIGHT_VALUES = ", ".join(
           THEN 'method'
         ELSE NULL
       END AS label_target
-    FROM (VALUES {values}) AS t(id, sig_str, ctrl, time_format, label)
-    """.format(values=_FIGHT_VALUES),
+    FROM (VALUES {fight_values}) AS t(id, sig_str, ctrl, time_format, label)
+    """.format(
+        fighter_values=_FIGHTER_VALUES,
+        date_values=_DATE_VALUES,
+        fight_values=_FIGHT_VALUES,
+        pi=_PAD_INT,
+        pd=_PAD_DBL,
+        ps=_PAD_STR,
+    ),
 )
-def ref_parse_fight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(
+def ref_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fighter_df = spark.createDataFrame(
+        _FIGHTER_ROWS,
+        schema="id int, record string, height string, weight string, "
+        "reach string, pct string",
+    )
+    wins, losses, draws = parse_record(F.col("record"))
+    fighter = fighter_df.select(
+        F.lit("fighter").alias("section"),
+        "id",
+        wins.alias("wins"),
+        losses.alias("losses"),
+        draws.alias("draws"),
+        parse_height_cm(F.col("height")).alias("height_cm"),
+        parse_weight_kg(F.col("weight")).alias("weight_kg"),
+        parse_reach_cm(F.col("reach")).alias("reach_cm"),
+        parse_pct(F.col("pct")).alias("str_acc"),
+    )
+
+    date_df = spark.createDataFrame(
+        _DATE_ROWS, schema="id int, dob string, last_fight string"
+    )
+    last = parse_ref_date(F.col("last_fight"))
+    dates = date_df.select(
+        F.lit("dates").alias("section"),
+        "id",
+        F.date_format(parse_ref_date(F.col("dob")), "yyyy-MM-dd").alias("dob"),
+        F.date_format(last, "yyyy-MM-dd").alias("last_fight_date"),
+        activity_flag(last, AS_OF).alias("active_status"),
+    )
+
+    fight_df = spark.createDataFrame(
         _FIGHT_ROWS,
         schema="id int, sig_str string, ctrl string, time_format string, "
         "label string",
     )
     landed, attempted = parse_of_pair(F.col("sig_str"))
-    return df.select(
+    fight = fight_df.select(
+        F.lit("fight").alias("section"),
         "id",
         landed.alias("sig_landed"),
         attempted.alias("sig_attempted"),
         parse_mmss_seconds(F.col("ctrl")).alias("ctrl_s"),
         parse_scheduled_rounds(F.col("time_format")).alias("scheduled_rounds"),
         dispatch_label(F.col("label")).alias("label_target"),
+    )
+
+    return fighter.unionByName(dates, allowMissingColumns=True).unionByName(
+        fight, allowMissingColumns=True
     )
 
 
@@ -278,6 +301,122 @@ def ref_ingest_datasource_end_to_end(
     silver = fighters_silver(bronze, AS_OF)
     return silver.select(
         "name", "wins", "losses", "draws", "height_cm", "weight_kg", "url"
+    )
+
+
+# --------------------------------------------------------------------------
+# The FIGHTS ingest chain under the driver gate (the most operator-dense
+# parse in the reference): event-partitioned Python DataSource (S2/S3
+# fan-out) -> parse_fight_page with the paired-<p> two-fighter unpivot
+# (V1/V2, fights_scraper.py:109-139) -> fights_silver casts ('x of y'
+# split, M:SS seconds, scheduled rounds, N/A -> NULL). The oracle VALUES
+# relation is derived in plain Python from the *generator parameters*
+# (fight_page_params), so the Spark path — regex extraction over HTML +
+# expression casts — is checked against an independent derivation.
+# All columns int/string: nothing floating to drift.
+# --------------------------------------------------------------------------
+_FIGHT_EVENTS = "xy"
+_FIGHTS_PER_EVENT = 3
+
+
+def _expected_fight_rows():
+    from ..sources.synthetic_pages import fight_page_params, synth_fight_page
+
+    rows = []
+    for event in _FIGHT_EVENTS:
+        for i in range(_FIGHTS_PER_EVENT):
+            url, _ = synth_fight_page(event, i)
+            p = fight_page_params(event, i)
+            rows.append(
+                (
+                    url,
+                    p["event_name"],
+                    p["fighter_a"],
+                    p["fighter_b"],
+                    p["result_a"],
+                    p["result_b"],
+                    p["method"],
+                    p["end_round"],
+                    p["end_m"] * 60 + p["end_s"],
+                    p["rounds"],
+                    p["sig_a_l"],
+                    p["sig_a_t"],
+                    p["sig_b_l"],
+                    p["sig_b_t"],
+                    p["td_a"],
+                    p["td_a_t"],
+                    p["ctrl_a_m"] * 60 + p["ctrl_a_s"],
+                    p["ctrl_b_m"] * 60 + p["ctrl_b_s"],
+                    p["sub_a"],
+                    p["sub_b"],
+                )
+            )
+    return rows
+
+
+_FIGHT_INGEST_VALUES = ", ".join(
+    "('{}', '{}', '{}', '{}', '{}', '{}', '{}', {}, {}, {}, {}, {}, {}, {}, "
+    "{}, {}, {}, {}, {}, {})".format(*r)
+    for r in _expected_fight_rows()
+)
+
+
+@REGISTRY.register(
+    "ref_ingest_fights_end_to_end",
+    oracle="""
+    SELECT fight_url, event_name, fighter_a, fighter_b, result_a, result_b,
+           method, end_round, end_time_s, scheduled_rounds,
+           a_sig_landed, a_sig_att, b_sig_landed, b_sig_att,
+           a_td_landed, a_td_att, a_ctrl_s, b_ctrl_s, a_sub_att, b_sub_att
+    FROM (VALUES {values}) AS t(
+      fight_url, event_name, fighter_a, fighter_b, result_a, result_b,
+      method, end_round, end_time_s, scheduled_rounds,
+      a_sig_landed, a_sig_att, b_sig_landed, b_sig_att,
+      a_td_landed, a_td_att, a_ctrl_s, b_ctrl_s, a_sub_att, b_sub_att)
+    """.format(values=_FIGHT_INGEST_VALUES),
+)
+def ref_ingest_fights_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import FIGHTS_RAW, fights_raw_ddl
+    from ..sources.html_source import parse_pages
+    from ..sources.synthetic_pages import FightPagesDataSource
+    from ..sources.tables import ensure_session_confs
+    from ..transforms.silver import fights_silver
+
+    ensure_session_confs(spark)
+    spark.dataSource.register(FightPagesDataSource)
+    pages = (
+        spark.read.format("fight_pages")
+        .option("events", _FIGHT_EVENTS)
+        .option("perEvent", str(_FIGHTS_PER_EVENT))
+        .load()
+        .select("url", "html")
+    )
+    field_names = [f.name for f in FIGHTS_RAW if f.name != "fight_url"]
+    bronze = parse_pages(
+        pages, kind="fight", schema=fights_raw_ddl(), field_names=field_names
+    )
+    silver = fights_silver(bronze)
+    return silver.select(
+        "fight_url",
+        "event_name",
+        "fighter_a",
+        "fighter_b",
+        "result_a",
+        "result_b",
+        "method",
+        "end_round",
+        "end_time_s",
+        "scheduled_rounds",
+        F.col("fighter_a_sig_str_landed").alias("a_sig_landed"),
+        F.col("fighter_a_sig_str_attempted").alias("a_sig_att"),
+        F.col("fighter_b_sig_str_landed").alias("b_sig_landed"),
+        F.col("fighter_b_sig_str_attempted").alias("b_sig_att"),
+        F.col("fighter_a_td_landed").alias("a_td_landed"),
+        F.col("fighter_a_td_attempted").alias("a_td_att"),
+        F.col("fighter_a_ctrl_s").alias("a_ctrl_s"),
+        F.col("fighter_b_ctrl_s").alias("b_ctrl_s"),
+        F.col("fighter_a_sub_att").alias("a_sub_att"),
+        F.col("fighter_b_sub_att").alias("b_sub_att"),
     )
 
 

@@ -206,13 +206,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Window: top-k per group (SURVEY.md §2.6) — row_number over a partition,
-# the scalable top-k idiom (no global sort; one shuffle on the group key).
+# Top-k, both shapes in one relation (SURVEY.md §2.6): per-group via
+# row_number over a partition (the scalable idiom — no global sort, one
+# shuffle on the group key), and global via orderBy+limit (Spark plans
+# TakeOrderedAndProject: each partition keeps N, the driver merges).
+# `scope` = segment name for the per-group rows, '_global' for the top-20.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "topk_orders_per_segment",
     oracle="""
-    SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice,
+    SELECT c_mktsegment AS scope, o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
            CAST(rn AS INTEGER) AS rn
     FROM (
       SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice,
@@ -223,6 +227,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders JOIN customer ON o_custkey = c_custkey
     )
     WHERE rn <= 5
+    UNION ALL
+    SELECT '_global' AS scope, o_orderkey, o_custkey, price_c,
+           CAST(ROW_NUMBER() OVER (ORDER BY price_c DESC, o_orderkey)
+                AS INTEGER) AS rn
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+      ORDER BY price_c DESC, o_orderkey
+      LIMIT 20
+    )
     """,
 )
 def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,17 +246,36 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
+    per_segment = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
-            "c_mktsegment",
+            F.col("c_mktsegment").alias("scope"),
             "o_orderkey",
             "o_custkey",
-            "o_totalprice",
+            cents("o_totalprice").alias("price_c"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 5)
     )
+    # the post-limit window runs on 20 rows — a single trivial partition,
+    # not a global sort of the table (that happened in TakeOrderedAndProject)
+    top20 = (
+        orders.select(
+            "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_c")
+        )
+        .orderBy(F.col("price_c").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+    global_topn = top20.select(
+        F.lit("_global").alias("scope"),
+        "o_orderkey",
+        "o_custkey",
+        "price_c",
+        F.row_number()
+        .over(Window.orderBy(F.col("price_c").desc(), F.col("o_orderkey")))
+        .alias("rn"),
+    )
+    return per_segment.unionByName(global_topn)
 
 
 # --------------------------------------------------------------------------
@@ -316,20 +350,31 @@ def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Set operations (SURVEY.md §2.7): repeat customers via INTERSECT, churned
-# via EXCEPT. Spark plans both as aggregates/joins — no custom code.
+# Set operations (SURVEY.md §2.7) in one relation: repeat customers via
+# INTERSECT, churned via EXCEPT, tagged by `op`. Spark plans both as
+# aggregates/joins — no custom code.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "repeat_customers_intersect",
+    "customer_set_ops",
     oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    SELECT 'intersect' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
     """,
 )
-def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def year(y: int) -> DataFrame:
@@ -338,66 +383,51 @@ def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
         ).select("o_custkey")
 
-    return year(1995).intersect(year(1996))
-
-
-@REGISTRY.register(
-    "churned_customers_except",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-)
-def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey")
-
-    return year(1995).subtract(year(1996))
+    repeat = year(1995).intersect(year(1996)).select(
+        F.lit("intersect").alias("op"), "o_custkey"
+    )
+    churned = year(1995).subtract(year(1996)).select(
+        F.lit("except").alias("op"), "o_custkey"
+    )
+    return repeat.unionByName(churned)
 
 
 # --------------------------------------------------------------------------
-# Semi / anti joins (SURVEY.md §2.3): the reference's J1 anti-join shape,
-# as standalone operators over the corpus.
+# Semi / anti joins (SURVEY.md §2.3) in one relation: the reference's J1
+# anti-join shape plus its semi dual, tagged by `op` over a unified
+# (key, name) schema.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "parts_with_orders_semijoin",
+    "semi_anti_joins",
     oracle="""
-    SELECT p_partkey, p_name, p_brand
+    SELECT 'semi' AS op, CAST(p_partkey AS BIGINT) AS key, p_name AS name
     FROM part
     WHERE p_size <= 5
       AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-    """,
-)
-def parts_with_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
-    li = load_table(spark, sf_dir, "lineitem")
-    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_name", "p_brand"
-    )
-
-
-@REGISTRY.register(
-    "customers_without_orders_antijoin",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS op, CAST(c_custkey AS BIGINT) AS key, c_name AS name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def customers_without_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        F.lit("semi").alias("op"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.col("p_name").alias("name"),
+    )
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        F.lit("anti").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
     )
+    return semi.unionByName(anti)
 
 
 # --------------------------------------------------------------------------

@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 checks = {
     "ref_ingest_datasource_end_to_end": 15,   # DataSource + parse + silver
     "events_tumbling_hourly": None,           # ns-parquet + TZ-sensitive
-    "multimodal_decode_features": None,       # mapInPandas
+    "multimodal_decode_frames": None,         # mapInPandas
 }
 for name, expect in checks.items():
     n = q[name](spark, SF).count()

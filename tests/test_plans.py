@@ -16,7 +16,7 @@ from sports_stats_data_pipeline_spark.plans.documents import (
     embedding_cosine_topk,
 )
 from sports_stats_data_pipeline_spark.plans.multimodal import (
-    multimodal_decode_features,
+    multimodal_decode_frames,
 )
 from sports_stats_data_pipeline_spark.plans.relational import (
     merge_insert_if_absent,
@@ -77,7 +77,7 @@ def test_relational_path_has_no_python(spark):
 
 
 def test_multimodal_python_is_arrow_batched(spark):
-    plan = _plan(multimodal_decode_features(spark, SF))
+    plan = _plan(multimodal_decode_frames(spark, SF))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan, "row-wise Python UDF in decode path"
 
