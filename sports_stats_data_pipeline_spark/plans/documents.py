@@ -37,8 +37,8 @@ from ..functions.text import (
     minhash_signature,
     predicted_lang,
     shingles,
-    simhash_int_from_hashes,
-    sql_simhash_int,
+    simhash64_from_hashes,
+    sql_simhash64_int,
     stopword_count,
     token_count,
     token_hashes,
@@ -296,9 +296,21 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Near-dedup: MinHash (8 hashes) → LSH banding (4 bands × 2 rows) →
-# candidate pairs → exact Jaccard verification, threshold 0.6 evaluated
-# in integers.
+# bucket-size cap → candidate pairs → exact Jaccard verification,
+# threshold 0.6 evaluated in integers.
+#
+# The bucket cap is the skew guard: on a homogeneous/boilerplate corpus a
+# single band key can collect a large fraction of all docs (observed: 8M
+# candidate pairs at sf0.1 on the uncapped word-soup corpus), and a hot
+# bucket is QUADRATIC in its size. Buckets above the cap are skipped —
+# work is bounded by cap²·n_buckets regardless of adversarial skew; docs
+# in a skipped bucket can still pair through their other bands. Mirrored
+# in the oracle: bounded-recall LSH is the operator's contract, and at
+# 100 TB you'd log the skipped-bucket count as a data-quality metric
+# (duplicate-heavy corpora should be exact-deduped first).
 # --------------------------------------------------------------------------
+_MINHASH_BUCKET_CAP = 64
+
 _NEARDUP_DOCS_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -326,9 +338,13 @@ _NEARDUP_DOCS_SQL = """
       ]) AS band_key
       FROM sig
     ),
+    capped AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band_key) <= {_MINHASH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -372,7 +388,11 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # skew guard (see module comment): super-buckets never reach the join.
+    capped = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_key"))
+    ).filter(F.col("bucket_n") <= _MINHASH_BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
             b,
@@ -408,17 +428,33 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dedup: 32-bit signatures (majority vote over token md5
-# bits), banded 4×8 bits for candidates, verified by exact Hamming <= 3.
+# SimHash near-dedup: 64-bit signatures (majority vote over token md5
+# bits), banded 4×16 bits for candidates, verified by exact Hamming <= 3.
 # Same LSH topology as MinHash banding; SimHash trades shingle sets for a
 # constant-size signature — the cheaper signal at 100 TB.
+#
+# Scale design (the two knobs that decide whether this survives 100 TB):
+# - Band width 16 bits = 65,536 buckets/band: an 8-bit band (256 buckets)
+#   saturates — every bucket degenerates to ~N/256 members and the
+#   candidate join goes quadratic. 16-bit buckets keep expected bucket
+#   size ~N/65k per band; widen further (or add bands) as N grows.
+# - Bucket-size cap (_SIMHASH_BUCKET_CAP): an adversarial/boilerplate-
+#   heavy corpus can still concentrate one band value (think millions of
+#   near-identical boilerplate pages); any such super-bucket is SKIPPED
+#   rather than joined — candidate work is bounded by cap²·n_buckets
+#   regardless of skew. Docs in a skipped bucket can still pair through
+#   their other 3 bands. The cap is mirrored in the oracle so the
+#   semantics (bounded-recall LSH, not exact) are part of the contract.
 # --------------------------------------------------------------------------
+_SIMHASH_BUCKET_CAP = 64
+
+
 @REGISTRY.register(
     "simhash_neardup_pairs",
     oracle=f"""
     WITH docs AS ({_NEARDUP_DOCS_SQL}),
     sig AS (
-      SELECT doc_id, {sql_simhash_int(32)} AS simhash FROM docs
+      SELECT doc_id, {sql_simhash64_int()} AS simhash FROM docs
     ),
     banded AS (
       SELECT doc_id, simhash,
@@ -427,12 +463,17 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
       SELECT doc_id, simhash, band_idx,
-             (simhash // CAST(pow(2, 8 * band_idx) AS BIGINT)) % 256 AS band_val
+             (simhash >> (16 * band_idx)) & 65535 AS band_val
       FROM banded
+    ),
+    capped AS (
+      SELECT * FROM keyed
+      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val)
+              <= {_SIMHASH_BUCKET_CAP}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM keyed a JOIN keyed b
+    FROM capped a JOIN capped b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -447,7 +488,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = base.unionByName(near).repartition(
         spark.sparkContext.defaultParallelism
     )
-    # two persist boundaries: (1) hash each token once — the 32 bit-vote
+    # two persist boundaries: (1) hash each token once — the 64 bit-vote
     # aggregates all reference the md5 array and would otherwise each
     # recompute it; (2) stop projection collapse from inlining the votes
     # into the band keys and both join sides (cf. MinHash note).
@@ -456,14 +497,22 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     sig = hashed.select(
         "doc_id",
-        simhash_int_from_hashes(F.col("hashes"), 32).alias("simhash"),
+        simhash64_from_hashes(F.col("hashes")).alias("simhash"),
     ).persist()
     banded = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, 8 * band_idx) % 256"))
-    a, b = banded.alias("a"), banded.alias("b")
+    ).withColumn(
+        "band_val", F.expr("shiftright(simhash, 16 * band_idx) & 65535")
+    )
+    # skew guard: one shuffle on the band key counts each bucket; buckets
+    # above the cap never reach the self-join.
+    capped = banded.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
+    ).filter(F.col("bucket_n") <= _SIMHASH_BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
     # candidates stay duplicated across bands until AFTER the cheap
     # xor/popcount filter — distinct on the filtered survivors is ~15×
     # smaller than distinct on the raw candidate set.
