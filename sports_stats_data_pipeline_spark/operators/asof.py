@@ -26,6 +26,7 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     strict: bool = True,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Returns ``left`` with ``asof_<payload>`` columns attached.
 
@@ -34,11 +35,23 @@ def asof_join(
     Within equal timestamps the ordering tiebreak puts right rows first
     for non-strict (so they become visible) and left rows first for
     strict.
+
+    ``order_by`` names a column present on BOTH sides (e.g. a globally
+    unique event id) appended to the window ordering. Without it, equal-
+    timestamp right rows have no deterministic order among themselves and
+    ``last()`` picks an arbitrary payload. With it the cut becomes
+    lexicographic on ``(ts, order_by)``: among equal-ts right rows the
+    largest ``order_by`` wins, and for ``strict`` an equal-ts right row
+    IS visible to a left row with a larger ``order_by`` — the SQL
+    ``LAST_VALUE ... OVER (ORDER BY ts, id ROWS ... 1 PRECEDING)``
+    semantics.
     """
+    tie = [] if order_by is None else [F.col(order_by).alias("__tie")]
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
+        *tie,
         F.struct(*left.columns).alias("__left_row"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
           for c in right_payload],
@@ -47,17 +60,23 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
+        *tie,
         F.lit(None).cast(lt.schema["__left_row"].dataType).alias("__left_row"),
         *[F.col(c).alias(f"__p_{c}") for c in right_payload],
     )
-    # strict: left sorts before right at equal ts (right row not yet
-    # visible); non-strict: right first.
+    # strict: left sorts before right at equal (ts[, tie]) — the right row
+    # is not yet visible; non-strict: right first.
     side_order: Column = (
         F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
     )
+    ordering = (
+        [F.col("__ts"), side_order]
+        if order_by is None
+        else [F.col("__ts"), F.col("__tie"), side_order]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), side_order)
+        .orderBy(*ordering)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     unioned = lt.unionByName(rt)

@@ -58,9 +58,14 @@ def ann_topk_numpy(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                top = cand_idx[
-                    np.argsort(-row[cand_idx], kind="stable")[:k]
-                ]
+                # tie-break by neighbor id INSIDE the batch (lexsort keys
+                # are last-key-primary): an exact score tie at the k
+                # boundary must keep the smaller id, matching the final
+                # (score desc, neighbor_id asc) rank — plain argsort
+                # truncates ties by intra-batch position, which makes the
+                # output partition-dependent.
+                order = np.lexsort((ids[cand_idx], -row[cand_idx]))
+                top = cand_idx[order[:k]]
                 out_q.extend([q_ids[qi]] * len(top))
                 out_n.extend(ids[top])
                 out_s.extend(row[top])

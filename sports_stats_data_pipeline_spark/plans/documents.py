@@ -662,6 +662,17 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 # blocked by (lang, length bucket) — the non-hashed member of the dedup
 # family (useful when recall must be exact within a blocking key).
 # Threshold evaluated in integers: jaccard >= 1/3 <=> 3*|∩| >= |∪|.
+#
+# Cost envelope — read before reaching for this at scale: the join is
+# O(sum over blocks of |block|²) with a per-pair cost of an
+# array_intersect over the gram sets. The (lang × 100-char) blocking is
+# COARSE: at 100 TB a single block holds millions of docs and the block
+# self-join is intractable. This operator is the exact-verify member of
+# the family — run it only on candidate pairs produced by
+# neardup_minhash_pairs / simhash_neardup_pairs (LSH prunes the pair
+# space to near-linear), or tighten blocking to a near-unique key first.
+# As a standalone scan it is appropriate only for bounded corpora
+# (≲ 10⁵ docs per block).
 # --------------------------------------------------------------------------
 _SQL_CHAR_GRAMS = (
     "list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), "

@@ -318,6 +318,10 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_us",
         right_payload=["click_us", "click_value_c"],
         strict=True,
+        # lexicographic (ts, event_id) cut — matches the oracle's
+        # LAST_VALUE ... ORDER BY ts, event_id window exactly, including
+        # equal-timestamp visibility and the equal-ts payload choice.
+        order_by="__order",
     )
     return out.select(
         "event_id",

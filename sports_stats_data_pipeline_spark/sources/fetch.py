@@ -46,6 +46,36 @@ class FetchConfig:
     sleep: Callable[[float], None] = field(default=time.sleep)
 
 
+def requests_transport(cfg: FetchConfig | None = None) -> Transport:
+    """Real HTTP transport mirroring the reference's ``safe_request``
+    session setup (fighters_scraper.py:26-38: requests.get with a 15 s
+    timeout and a branded User-Agent; retry/backoff live in
+    :func:`safe_fetch`, not here).
+
+    Import-guarded: the test environment has no network and may lack
+    ``requests``; tests inject fixture transports instead. A production
+    deployment passes ``requests_transport(cfg)`` anywhere a
+    ``Transport`` is accepted.
+    """
+    cfg = cfg or FetchConfig()
+    try:
+        import requests
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "the 'requests' package is required for the live HTTP "
+            "transport; tests use injected fixture transports"
+        ) from e
+
+    session = requests.Session()
+    session.headers["User-Agent"] = cfg.user_agent
+
+    def transport(url: str) -> tuple[int, str]:
+        resp = session.get(url, timeout=15)
+        return resp.status_code, resp.text
+
+    return transport
+
+
 def safe_fetch(
     url: str, transport: Transport, cfg: FetchConfig, rng: random.Random
 ) -> str | None:

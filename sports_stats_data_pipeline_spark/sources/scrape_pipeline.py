@@ -25,7 +25,6 @@ contents to one full run — the reference's core guarantee (R14-15).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,11 +46,13 @@ def _load_sink(spark: SparkSession, sink_path: str, ddl: str) -> DataFrame:
 
 
 def _replace_sink(df: DataFrame, sink_path: str) -> None:
-    tmp = sink_path + ".staging"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(sink_path):
-        shutil.rmtree(sink_path)
-    os.rename(tmp, sink_path)
+    # stage → rename-aside → promote (never rmtree the live sink before
+    # the promote): a crash at any point leaves a recoverable complete
+    # sink — see streaming.pipeline._recover_sink for the recovery side.
+    from ..streaming.pipeline import _promote_staging
+
+    df.write.mode("overwrite").parquet(sink_path + ".staging")
+    _promote_staging(sink_path)
 
 
 def ingest(
@@ -69,6 +70,9 @@ def ingest(
     else:
         ddl, struct, key = fights_raw_ddl(), FIGHTS_RAW, "fight_url"
     field_names = [f.name for f in struct if f.name != key]
+    from ..streaming.pipeline import _recover_sink
+
+    _recover_sink(sink_path)
     existing = _load_sink(spark, sink_path, ddl)
 
     url_df = spark.createDataFrame(
@@ -120,13 +124,22 @@ def discover_fight_urls(
     explode over the level-1 fetch results."""
     from pyspark.sql import functions as F
 
-    from .html_source import extract_links
-
     event_df = spark.createDataFrame(
         [(u,) for u in event_urls], schema="url string"
     ).dropDuplicates(["url"])
     pages = fetch_urls(event_df, transport, cfg, concurrency=concurrency)
-    extract = F.udf(lambda html: extract_links(html, marker), "array<string>")
-    return pages.select(
-        F.explode(extract("html")).alias("url")
-    ).dropDuplicates(["url"])
+    # pure-expression link extraction (same regex as html_source._HREF_RE)
+    # — stays inside whole-stage codegen; a row-at-a-time Python UDF here
+    # was the only one in the package and cost a worker round-trip per
+    # page for what a regexp_extract_all + filter expresses directly.
+    hrefs = F.regexp_extract_all(
+        "html", F.lit(r'(?i)<a\s+[^>]*href="([^"]+)"'), 1
+    )
+    return (
+        pages.select(
+            F.explode(
+                F.filter(hrefs, lambda u: u.contains(marker))
+            ).alias("url")
+        )
+        .dropDuplicates(["url"])
+    )

@@ -90,11 +90,65 @@ def streaming_tumbling_hourly_table(
 def streaming_dedup(events_stream: DataFrame, keys: list[str]) -> DataFrame:
     """State-store keyed dedup — the exact streaming analog of the
     reference's processed-key set (SURVEY.md §2.10 row 2): first
-    occurrence of a key passes, replays and duplicates are dropped by
-    state. The watermark bounds how long a key is remembered, which is
-    what makes the state finite at 100 TB (the reference's in-memory
-    ``set`` grows without bound)."""
-    return events_stream.withWatermark("ts", "1 hour").dropDuplicates(keys)
+    occurrence of a key passes, replays and duplicates within the
+    watermark horizon are dropped by state.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark >= 3.5), NOT plain
+    ``dropDuplicates``: with a pure-key subset (no event-time column),
+    ``dropDuplicates`` never evicts state — the watermark instead drops
+    late NEW keys while state grows without bound. The WithinWatermark
+    variant evicts a key once the watermark passes its expiry, which is
+    what makes state finite at 100 TB (the reference's in-memory ``set``
+    grows without bound). The trade is explicit: a replay arriving later
+    than the watermark delay re-admits the key — size the delay to the
+    at-least-once redelivery window of the source."""
+    return events_stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def _recover_sink(sink_path: str) -> None:
+    """Crash recovery for the stage-then-promote protocol (see
+    :func:`_promote_staging`): restore the newest complete sink from
+    whatever combination of ``.staging``/``.old`` a crash left behind.
+
+    Invariant the protocol maintains: the live dir is only renamed to
+    ``.old`` AFTER the staging write completed — so if the live dir is
+    missing and ``.old`` exists, staging is complete and can be promoted;
+    a ``.staging`` left while the live dir exists is an unfinished write
+    and is discarded.
+    """
+    import shutil
+
+    tmp, old = sink_path + ".staging", sink_path + ".old"
+    if not os.path.exists(sink_path):
+        if os.path.exists(tmp) and os.path.exists(old):
+            # crashed between the two renames: staging was complete.
+            os.rename(tmp, sink_path)
+            shutil.rmtree(old)
+        elif os.path.exists(old):
+            os.rename(old, sink_path)
+    elif os.path.exists(old):
+        # crashed before cleanup; the live dir is the newer state.
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _promote_staging(sink_path: str) -> None:
+    """Promote a fully-written ``.staging`` dir to the live sink without
+    a window where no sink exists: rename live aside to ``.old`` (never
+    rmtree it first — a crash after an rmtree would lose every previously
+    merged row, and the replayed batch would then rebuild from itself
+    alone), promote staging, then drop ``.old``."""
+    import shutil
+
+    old = sink_path + ".old"
+    if os.path.exists(sink_path):
+        os.rename(sink_path, old)
+    os.rename(sink_path + ".staging", sink_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def run_streaming_upsert(
@@ -107,28 +161,27 @@ def run_streaming_upsert(
     micro-batch is insert-if-absent'ed into a parquet sink via
     foreachBatch (SURVEY.md §2.10 row 3 / §7.2 step 6).
 
-    Idempotent under replay: re-delivered rows lose the anti-join.
+    Idempotent under replay: re-delivered rows lose the anti-join, and
+    the stage→rename-aside→promote protocol (+ startup recovery) means a
+    crash at any point leaves a complete sink for the replayed batch to
+    merge against. Parquet has no transactional MERGE — at production
+    scale this is Delta's job; the protocol here is the no-Delta stand-in.
     """
+    _recover_sink(sink_path)
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        _recover_sink(sink_path)
         if os.path.exists(sink_path):
             existing = s.read.parquet(sink_path)
             merged = insert_if_absent(existing, batch, keys=list(keys))
         else:
             merged = batch.dropDuplicates(list(keys))
-        # Stage-then-replace: parquet has no transactional MERGE (that is
-        # Delta's job at production scale); write to a temp dir and move.
-        tmp = sink_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(sink_path):
-            shutil.rmtree(sink_path)
-        os.rename(tmp, sink_path)
+        merged.write.mode("overwrite").parquet(sink_path + ".staging")
+        _promote_staging(sink_path)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

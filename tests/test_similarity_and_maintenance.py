@@ -29,6 +29,26 @@ def test_numpy_ann_matches_expression_baseline(spark):
     assert f == s
 
 
+def test_numpy_ann_score_ties_keep_smaller_ids(spark):
+    # duplicate vectors -> exact score ties spanning the k boundary; the
+    # batch-local truncation must keep the smaller neighbor ids, matching
+    # the final (score desc, neighbor_id asc) rule regardless of
+    # partitioning (single-partition vs many changes batch composition).
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, base)] + [(i, base) for i in range(1, 7)] + [
+        (7, [0.0, 1.0, 0.0, 0.0])
+    ]
+    for parts in (1, 4):
+        emb = spark.createDataFrame(
+            rows, schema="vec_id long, embedding array<double>"
+        ).repartition(parts)
+        out = sorted(
+            (r["rank"], r["neighbor_id"])
+            for r in ann_topk_numpy(emb, F.col("vec_id") == 0, k=3).collect()
+        )
+        assert out == [(1, 1), (2, 2), (3, 3)], (parts, out)
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     path = str(tmp_path / "frag")
     orders = load_table(spark, SF, "orders")

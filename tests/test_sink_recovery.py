@@ -1,0 +1,78 @@
+"""Crash-recovery contract of the stage→rename-aside→promote sink
+protocol (streaming.pipeline): a crash at ANY point between the staging
+write and the final cleanup must leave a state from which _recover_sink
+restores a complete sink — previously merged rows are never lost.
+"""
+
+from __future__ import annotations
+
+import os
+
+from sports_stats_data_pipeline_spark.streaming.pipeline import (
+    _promote_staging,
+    _recover_sink,
+)
+
+
+def _write(spark, path: str, ids: list[int]) -> None:
+    spark.createDataFrame([(i,) for i in ids], "event_id long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _ids(spark, path: str) -> set[int]:
+    return {r["event_id"] for r in spark.read.parquet(path).collect()}
+
+
+def test_promote_happy_path(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    _write(spark, sink, [1, 2])
+    _write(spark, sink + ".staging", [1, 2, 3])
+    _promote_staging(sink)
+    assert _ids(spark, sink) == {1, 2, 3}
+    assert not os.path.exists(sink + ".old")
+    assert not os.path.exists(sink + ".staging")
+
+
+def test_recover_from_crash_between_renames(spark, tmp_path):
+    # live was renamed aside, staging (complete) not yet promoted.
+    sink = str(tmp_path / "sink")
+    _write(spark, sink + ".old", [1, 2])
+    _write(spark, sink + ".staging", [1, 2, 3])
+    _recover_sink(sink)
+    assert _ids(spark, sink) == {1, 2, 3}
+    assert not os.path.exists(sink + ".old")
+    assert not os.path.exists(sink + ".staging")
+
+
+def test_recover_from_crash_before_promote_cleanup(spark, tmp_path):
+    # staging promoted, .old not yet removed: live is the newer state.
+    sink = str(tmp_path / "sink")
+    _write(spark, sink, [1, 2, 3])
+    _write(spark, sink + ".old", [1, 2])
+    _recover_sink(sink)
+    assert _ids(spark, sink) == {1, 2, 3}
+    assert not os.path.exists(sink + ".old")
+
+
+def test_recover_from_incomplete_staging_write(spark, tmp_path):
+    # crash mid-staging-write (live untouched): staging is garbage.
+    sink = str(tmp_path / "sink")
+    _write(spark, sink, [1, 2])
+    os.makedirs(sink + ".staging")
+    with open(sink + ".staging/part-partial", "w") as f:
+        f.write("truncated")
+    _recover_sink(sink)
+    assert _ids(spark, sink) == {1, 2}
+    assert not os.path.exists(sink + ".staging")
+
+
+def test_recover_from_crash_mid_rename_aside(spark, tmp_path):
+    # only .old exists (staging promoted then crashed? impossible —
+    # protocol promotes before cleanup; this models a crash where the
+    # staging dir was already consumed): .old must be restored.
+    sink = str(tmp_path / "sink")
+    _write(spark, sink + ".old", [1, 2])
+    _recover_sink(sink)
+    assert _ids(spark, sink) == {1, 2}
+    assert not os.path.exists(sink + ".old")
