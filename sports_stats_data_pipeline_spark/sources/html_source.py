@@ -32,33 +32,58 @@ from pyspark.sql import DataFrame
 
 NA = "N/A"
 
+# Selector matching is by CSS class, tolerant of attribute order, extra
+# attributes, and additional classes (``_cls`` builds the tolerant form) —
+# the closest stdlib-regex approximation of bs4's class selector the
+# reference relies on. Document-structure changes bs4 would also need new
+# selectors for still require updating these.
+
+
+def _cls(tag: str, klass: str) -> str:
+    """Open-tag pattern for ``<tag ... class="... klass ..." ...>``."""
+    return (
+        rf'<{tag}\b[^>]*class="[^"]*{re.escape(klass)}[^"]*"[^>]*>'
+    )
+
+
 _HREF_RE = re.compile(r'<a\s+[^>]*href="([^"]+)"', re.I)
 _TITLE_RE = re.compile(
-    r'<span class="b-content__title-highlight">\s*(.*?)\s*</span>', re.S
+    _cls("span", "b-content__title-highlight") + r"\s*(.*?)\s*</span>", re.S
 )
-_NICK_RE = re.compile(r'<p class="b-content__Nickname">\s*(.*?)\s*</p>', re.S)
+_NICK_RE = re.compile(
+    _cls("p", "b-content__Nickname") + r"\s*(.*?)\s*</p>", re.S
+)
 _RECORD_RE = re.compile(
-    r'<span class="b-content__title-record">\s*Record:\s*(.*?)\s*</span>', re.S
+    _cls("span", "b-content__title-record") + r"\s*Record:\s*(.*?)\s*</span>",
+    re.S,
 )
 _LIST_ITEM_RE = re.compile(
-    r'<li class="b-list__box-list-item[^"]*">\s*<i[^>]*>\s*(.*?)\s*</i>'
-    r"\s*(.*?)\s*</li>",
+    _cls("li", "b-list__box-list-item")
+    + r"\s*<i[^>]*>\s*(.*?)\s*</i>\s*(.*?)\s*</li>",
     re.S,
 )
 _DATE_CELL_RE = re.compile(
-    r'<p class="b-fight-details__table-text">\s*([A-Z][a-z]{2}\. \d{1,2}, '
-    r"\d{4})\s*</p>"
+    _cls("p", "b-fight-details__table-text")
+    + r"\s*([A-Z][a-z]{2}\. \d{1,2}, \d{4})\s*</p>"
 )
-_EVENT_TITLE_RE = re.compile(r'<h2 class="b-content__title">\s*(.*?)\s*</h2>', re.S)
+_EVENT_TITLE_RE = re.compile(
+    _cls("h2", "b-content__title") + r"\s*(.*?)\s*</h2>", re.S
+)
 _PERSON_NAME_RE = re.compile(
-    r'class="b-fight-details__person-name"[^>]*>\s*<a[^>]*>\s*(.*?)\s*</a>', re.S
+    r'class="[^"]*b-fight-details__person-name[^"]*"[^>]*>'
+    r"\s*<a[^>]*>\s*(.*?)\s*</a>",
+    re.S,
 )
 _PERSON_STATUS_RE = re.compile(
-    r'class="b-fight-details__person-status[^"]*"[^>]*>\s*(.*?)\s*</i>', re.S
+    r'class="[^"]*b-fight-details__person-status[^"]*"[^>]*>\s*(.*?)\s*</i>',
+    re.S,
 )
 _META_ITEM_RE = re.compile(
-    r'<i class="b-fight-details__label">\s*(.*?)\s*</i>\s*(.*?)\s*(?=<i |</p)',
+    _cls("i", "b-fight-details__label") + r"\s*(.*?)\s*</i>\s*(.*?)\s*(?=<i |</p)",
     re.S,
+)
+_TABLE_TEXT_RE = re.compile(
+    _cls("p", "b-fight-details__table-text") + r"(.*?)</p>", re.S
 )
 
 
@@ -163,12 +188,7 @@ def _parse_paired_table(
     cells = re.findall(r"<td[^>]*>(.*?)</td>", first_row.group(1), re.S)
     # cell 0 is the fighter-name column (header "Fighter"), stats follow.
     for col_name, cell in zip(cols, cells[1:]):
-        pair = [
-            _strip_tags(p)
-            for p in re.findall(
-                r'<p class="b-fight-details__table-text">(.*?)</p>', cell, re.S
-            )
-        ]
+        pair = [_strip_tags(p) for p in _TABLE_TEXT_RE.findall(cell)]
         out[f"{col_name}_a"] = pair[0] if len(pair) > 0 and pair[0] else NA
         out[f"{col_name}_b"] = pair[1] if len(pair) > 1 and pair[1] else NA
     return out

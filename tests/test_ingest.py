@@ -238,3 +238,30 @@ def test_fight_links_udtf_lateral_join(spark):
         "http://example.com/fight-details/f1",
         "http://example.com/fight-details/f2",
     ]
+
+
+#: FIGHTER_PAGE with reordered attributes, extra attributes, and extra
+#: classes — what a real site's markup drift looks like; bs4 tolerates
+#: these and the regex selectors must too (class-based matching).
+REORDERED_FIGHTER_PAGE = """
+<html><body>
+<span data-x="1" class="hero b-content__title-highlight wide"> Jon Example </span>
+<p id="nick" class="b-content__Nickname"> Bones </p>
+<span class="b-content__title-record" data-y="2">Record: 28-1-0</span>
+<ul>
+<li style="color:red" class="b-list__box-list-item"><i>Height:</i> 5' 11"</li>
+<li class="b-list__box-list-item odd" data-z><i>Weight:</i> 155 lbs.</li>
+</ul>
+<p class="b-fight-details__table-text small">Mar. 5, 2025</p>
+</body></html>
+"""
+
+
+def test_parser_tolerates_attribute_and_class_drift():
+    row = parse_fighter_page(REORDERED_FIGHTER_PAGE)
+    assert row["Name"] == "Jon Example"
+    assert row["Nickname"] == "Bones"
+    assert row["Record"] == "28-1-0"
+    assert row["Height"] == "5' 11\""
+    assert row["Weight"] == "155 lbs."
+    assert row["fight_dates"] == "Mar. 5, 2025"

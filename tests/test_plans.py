@@ -92,3 +92,23 @@ def test_q1_whole_stage_codegen(spark):
     with contextlib.redirect_stdout(buf):
         q1_pricing_summary(spark, SF).explain(mode="codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_semi_anti_merged_query_plans_both_join_types(spark):
+    from sports_stats_data_pipeline_spark.plans.relational import (
+        semi_anti_joins,
+    )
+
+    plan = _plan(semi_anti_joins(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_topk_global_scope_is_take_ordered(spark):
+    from sports_stats_data_pipeline_spark.plans.relational import (
+        topk_orders_per_segment,
+    )
+
+    plan = _plan(topk_orders_per_segment(spark, SF))
+    # the '_global' branch must not be a full global sort: Spark plans
+    # orderBy+limit as TakeOrderedAndProject (per-partition top-N).
+    assert "TakeOrderedAndProject" in plan
