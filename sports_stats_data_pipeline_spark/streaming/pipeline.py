@@ -55,13 +55,82 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: sentinel event type used by the end-of-stream flush pattern.
+_FLUSH_TYPE = "__flush__"
+
+
+def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events file plus one far-future sentinel event.
+
+    The sentinel drives the terminal watermark past every real window so
+    append-mode output is complete (a live deployment posts the flush
+    message to the real source — Kafka topic, landing dir — instead of
+    staging files).
+    """
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="events_flush_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(staging, "events.parquet"),
+    )
+    # 2100-01-01 in int64 nanoseconds — beyond any corpus event time.
+    flush_ns = 4102444800 * 1_000_000_000
+    spark.createDataFrame(
+        [(-1, flush_ns, -1, _FLUSH_TYPE, 0.0, "{}")],
+        schema=EVENTS_RAW_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "flush.parquet")
+    )
+    return staging
+
+
+def _flushed_events_stream(
+    spark: SparkSession, sf_dir: str, delay: str
+) -> DataFrame:
+    """Watermarked file-stream over the staged events+flush directory."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("recursiveFileLookup", "true")
+        .load(_stage_with_flush(spark, sf_dir))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("ts", delay)
+
+
+def _run_append_to_memory(agg: DataFrame, prefix: str) -> str:
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
 def streaming_tumbling_hourly_table(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Run the 1-hour tumbling aggregation as a stream to completion and
     return the result — identical output contract to the batch
-    plans.events.events_tumbling_hourly (same DuckDB oracle applies)."""
-    stream = read_events_stream(spark, sf_dir)
+    plans.events.events_tumbling_hourly (same DuckDB oracle applies).
+
+    APPEND mode + watermark + end-of-stream flush: the scale-correct
+    shape. Complete mode would re-emit the entire window state on every
+    trigger — fine for a demo, unusable on an unbounded 100 TB stream;
+    append emits each window exactly once when the watermark finalizes
+    it, and the flush sentinel finalizes the tail (see
+    :func:`_stage_with_flush`)."""
+    stream = _flushed_events_stream(spark, sf_dir, "1 minute")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -75,16 +144,50 @@ def streaming_tumbling_hourly_table(
             "value_c",
         )
     )
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sink = _run_append_to_memory(agg, "stream_tumbling")
+    return spark.table(sink).filter(F.col("event_type") != _FLUSH_TYPE)
+
+
+def streaming_user_sessions_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "10 minutes",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Session windows in APPEND mode with EXACT batch parity via the
+    end-of-stream flush pattern.
+
+    Append-mode session windows only emit a session once the watermark
+    passes its end; with a finite backfill the terminal watermark is
+    ``max(ts) - delay``, so sessions ending inside the last ``delay`` are
+    withheld forever. The fix used by production pipelines: post one
+    sentinel "flush" event with an event time beyond every possible
+    session end — the watermark advances past all real sessions, and the
+    sentinel's own (still-open) session is the only thing withheld.
+
+    The flush event is staged next to a copy of the events file (see
+    :func:`_stage_with_flush`). Output is column-identical to
+    plans.events.events_user_sessions.
+    """
+    stream = _flushed_events_stream(spark, sf_dir, delay)
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "value_c",
+        )
     )
-    q.awaitTermination()
-    return spark.table(sink)
+    sink = _run_append_to_memory(agg, "sessions_exact")
+    # the sentinel's own session is the only one the watermark withholds;
+    # filter defensively in case a source replays it as finalized.
+    return spark.table(sink).filter(F.col("user_id") != -1)
 
 
 def streaming_dedup(events_stream: DataFrame, keys: list[str]) -> DataFrame:

@@ -68,3 +68,18 @@ def test_streaming_session_windows_match_batch(spark):
     finalized = {s for s in batch if s[2] < max_us - 120_000_000}
     assert finalized <= streamed
     assert len(streamed) > 0.9 * len(batch)
+
+
+def test_flush_event_gives_exact_batch_parity(spark):
+    from sports_stats_data_pipeline_spark.streaming.pipeline import (
+        streaming_user_sessions_exact,
+    )
+
+    streamed = set(
+        map(tuple, streaming_user_sessions_exact(spark, SF).collect())
+    )
+    batch = set(map(tuple, events_user_sessions(spark, SF).collect()))
+    # the end-of-stream flush advances the watermark past every real
+    # session: append-mode output is now EXACTLY the batch result, no
+    # withheld-tail margin needed.
+    assert streamed == batch
