@@ -65,7 +65,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # The same tumbling aggregation executed by Structured Streaming
-# (file-stream source, availableNow, complete mode → memory sink).
+# (file-stream source, availableNow, append mode + watermark +
+# end-of-stream flush → memory sink).
 # Output contract — and oracle — are identical to the batch form above;
 # the driver therefore verifies the streaming runtime end-to-end.
 # --------------------------------------------------------------------------

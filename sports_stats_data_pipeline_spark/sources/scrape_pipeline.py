@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import insert_if_absent
+from ..operators.sinks import promote_staging, recover_sink
 from ..schemas import (
     FIGHTERS_RAW,
     FIGHTS_RAW,
@@ -48,11 +49,9 @@ def _load_sink(spark: SparkSession, sink_path: str, ddl: str) -> DataFrame:
 def _replace_sink(df: DataFrame, sink_path: str) -> None:
     # stage → rename-aside → promote (never rmtree the live sink before
     # the promote): a crash at any point leaves a recoverable complete
-    # sink — see streaming.pipeline._recover_sink for the recovery side.
-    from ..streaming.pipeline import _promote_staging
-
+    # sink — operators.sinks documents the protocol.
     df.write.mode("overwrite").parquet(sink_path + ".staging")
-    _promote_staging(sink_path)
+    promote_staging(sink_path)
 
 
 def ingest(
@@ -70,9 +69,7 @@ def ingest(
     else:
         ddl, struct, key = fights_raw_ddl(), FIGHTS_RAW, "fight_url"
     field_names = [f.name for f in struct if f.name != key]
-    from ..streaming.pipeline import _recover_sink
-
-    _recover_sink(sink_path)
+    recover_sink(sink_path)
     existing = _load_sink(spark, sink_path, ddl)
 
     url_df = spark.createDataFrame(
@@ -128,12 +125,15 @@ def discover_fight_urls(
         [(u,) for u in event_urls], schema="url string"
     ).dropDuplicates(["url"])
     pages = fetch_urls(event_df, transport, cfg, concurrency=concurrency)
-    # pure-expression link extraction (same regex as html_source._HREF_RE)
-    # — stays inside whole-stage codegen; a row-at-a-time Python UDF here
+    from .html_source import _HREF_RE
+
+    # pure-expression link extraction reusing the parser's href pattern
+    # ((?i) replaces the re.I flag, which the string form can't carry) —
+    # stays inside whole-stage codegen; a row-at-a-time Python UDF here
     # was the only one in the package and cost a worker round-trip per
     # page for what a regexp_extract_all + filter expresses directly.
     hrefs = F.regexp_extract_all(
-        "html", F.lit(r'(?i)<a\s+[^>]*href="([^"]+)"'), 1
+        "html", F.lit("(?i)" + _HREF_RE.pattern), 1
     )
     return (
         pages.select(

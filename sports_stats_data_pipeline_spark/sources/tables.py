@@ -57,29 +57,39 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+#: per-process cache of the computed zip path — the package cannot change
+#: under a running process, so the tree walk runs once, not per query.
+_ZIP_PATH_CACHE: dict[str, str] = {}
+
+
 def _ship_package(spark: SparkSession) -> None:
     import hashlib
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_name = os.path.basename(pkg_dir)
-    # key the zip on a digest of every module's (path, mtime, size): the
-    # top-level directory's mtime does NOT change when a file inside a
-    # subpackage is edited, and a stale zip means workers silently import
-    # old code while the driver runs new code.
-    h = hashlib.md5()
-    for root, _, files in sorted(os.walk(pkg_dir)):
-        if "__pycache__" in root:
-            continue
-        for f in sorted(files):
-            if f.endswith(".py"):
-                full = os.path.join(root, f)
-                st = os.stat(full)
-                h.update(
-                    f"{os.path.relpath(full, pkg_dir)}:"
-                    f"{st.st_mtime_ns}:{st.st_size};".encode()
-                )
-    zip_path = os.path.join("/tmp", f"{pkg_name}-{h.hexdigest()[:16]}.zip")
+    zip_path = _ZIP_PATH_CACHE.get(pkg_dir)
+    if zip_path is None:
+        # key the zip on a digest of every module's (path, mtime, size):
+        # the top-level directory's mtime does NOT change when a file
+        # inside a subpackage is edited, and a stale zip means workers
+        # silently import old code while the driver runs new code.
+        h = hashlib.md5()
+        for root, _, files in sorted(os.walk(pkg_dir)):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    st = os.stat(full)
+                    h.update(
+                        f"{os.path.relpath(full, pkg_dir)}:"
+                        f"{st.st_mtime_ns}:{st.st_size};".encode()
+                    )
+        zip_path = os.path.join(
+            "/tmp", f"{pkg_name}-{h.hexdigest()[:16]}.zip"
+        )
+        _ZIP_PATH_CACHE[pkg_dir] = zip_path
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:

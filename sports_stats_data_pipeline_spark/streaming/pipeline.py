@@ -11,12 +11,13 @@ These pipelines read the *static* events parquet as a file-stream source
 with ``availableNow`` (process everything, then stop) — the same code
 runs unmodified against a live directory/Kafka source at cluster scale.
 
-Watermark notes: aggregations run in ``complete`` mode here so the final
-micro-batch emits every window (append mode would withhold windows above
-the terminal watermark — with a finite backfill the tail windows would
-never flush). At true streaming scale with unbounded keys you would use
-append + watermark and accept tail latency; for bounded backfill,
-complete-to-memory matches the batch oracle exactly.
+Watermark notes: aggregations run in APPEND mode with a watermark — the
+scale-correct shape (complete mode re-emits all window state every
+trigger). A finite backfill would leave the tail windows above the
+terminal watermark withheld forever, so the pipelines stage an
+end-of-stream flush event (_stage_with_flush) that advances the
+watermark past every real window; append output then matches the batch
+oracle exactly.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import insert_if_absent
+from ..operators.sinks import promote_staging, recover_sink
 from ..plans.relational import cents
 
 #: events schema as the parquet reader sees it under nanosAsLong
@@ -88,20 +90,24 @@ def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
 
 def _flushed_events_stream(
     spark: SparkSession, sf_dir: str, delay: str
-) -> DataFrame:
-    """Watermarked file-stream over the staged events+flush directory."""
+) -> tuple[DataFrame, str]:
+    """Watermarked file-stream over the staged events+flush directory;
+    returns (stream, staging_dir) — the caller removes the staging dir
+    once the stream has run (it holds a full copy of the events file)."""
     from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
+    staging = _stage_with_flush(spark, sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("recursiveFileLookup", "true")
-        .load(_stage_with_flush(spark, sf_dir))
+        .load(staging)
     )
-    return raw.withColumn(
+    stream = raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     ).withWatermark("ts", delay)
+    return stream, staging
 
 
 def _run_append_to_memory(agg: DataFrame, prefix: str) -> str:
@@ -130,7 +136,7 @@ def streaming_tumbling_hourly_table(
     append emits each window exactly once when the watermark finalizes
     it, and the flush sentinel finalizes the tail (see
     :func:`_stage_with_flush`)."""
-    stream = _flushed_events_stream(spark, sf_dir, "1 minute")
+    stream, staging = _flushed_events_stream(spark, sf_dir, "1 minute")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -144,7 +150,12 @@ def streaming_tumbling_hourly_table(
             "value_c",
         )
     )
-    sink = _run_append_to_memory(agg, "stream_tumbling")
+    try:
+        sink = _run_append_to_memory(agg, "stream_tumbling")
+    finally:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     return spark.table(sink).filter(F.col("event_type") != _FLUSH_TYPE)
 
 
@@ -169,7 +180,7 @@ def streaming_user_sessions_exact(
     :func:`_stage_with_flush`). Output is column-identical to
     plans.events.events_user_sessions.
     """
-    stream = _flushed_events_stream(spark, sf_dir, delay)
+    stream, staging = _flushed_events_stream(spark, sf_dir, delay)
     agg = (
         stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
@@ -184,7 +195,12 @@ def streaming_user_sessions_exact(
             "value_c",
         )
     )
-    sink = _run_append_to_memory(agg, "sessions_exact")
+    try:
+        sink = _run_append_to_memory(agg, "sessions_exact")
+    finally:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     # the sentinel's own session is the only one the watermark withholds;
     # filter defensively in case a source replays it as finalized.
     return spark.table(sink).filter(F.col("user_id") != -1)
@@ -210,50 +226,6 @@ def streaming_dedup(events_stream: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _recover_sink(sink_path: str) -> None:
-    """Crash recovery for the stage-then-promote protocol (see
-    :func:`_promote_staging`): restore the newest complete sink from
-    whatever combination of ``.staging``/``.old`` a crash left behind.
-
-    Invariant the protocol maintains: the live dir is only renamed to
-    ``.old`` AFTER the staging write completed — so if the live dir is
-    missing and ``.old`` exists, staging is complete and can be promoted;
-    a ``.staging`` left while the live dir exists is an unfinished write
-    and is discarded.
-    """
-    import shutil
-
-    tmp, old = sink_path + ".staging", sink_path + ".old"
-    if not os.path.exists(sink_path):
-        if os.path.exists(tmp) and os.path.exists(old):
-            # crashed between the two renames: staging was complete.
-            os.rename(tmp, sink_path)
-            shutil.rmtree(old)
-        elif os.path.exists(old):
-            os.rename(old, sink_path)
-    elif os.path.exists(old):
-        # crashed before cleanup; the live dir is the newer state.
-        shutil.rmtree(old)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-
-
-def _promote_staging(sink_path: str) -> None:
-    """Promote a fully-written ``.staging`` dir to the live sink without
-    a window where no sink exists: rename live aside to ``.old`` (never
-    rmtree it first — a crash after an rmtree would lose every previously
-    merged row, and the replayed batch would then rebuild from itself
-    alone), promote staging, then drop ``.old``."""
-    import shutil
-
-    old = sink_path + ".old"
-    if os.path.exists(sink_path):
-        os.rename(sink_path, old)
-    os.rename(sink_path + ".staging", sink_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-
-
 def run_streaming_upsert(
     spark: SparkSession,
     sf_dir: str,
@@ -267,24 +239,24 @@ def run_streaming_upsert(
     Idempotent under replay: re-delivered rows lose the anti-join, and
     the stage→rename-aside→promote protocol (+ startup recovery) means a
     crash at any point leaves a complete sink for the replayed batch to
-    merge against. Parquet has no transactional MERGE — at production
-    scale this is Delta's job; the protocol here is the no-Delta stand-in.
+    merge against (operators.sinks documents the protocol and its
+    guarantees).
     """
-    _recover_sink(sink_path)
+    recover_sink(sink_path)
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        _recover_sink(sink_path)
+        recover_sink(sink_path)
         if os.path.exists(sink_path):
             existing = s.read.parquet(sink_path)
             merged = insert_if_absent(existing, batch, keys=list(keys))
         else:
             merged = batch.dropDuplicates(list(keys))
         merged.write.mode("overwrite").parquet(sink_path + ".staging")
-        _promote_staging(sink_path)
+        promote_staging(sink_path)
 
     q = (
         stream.writeStream.foreachBatch(upsert)

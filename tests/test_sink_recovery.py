@@ -1,6 +1,6 @@
 """Crash-recovery contract of the stage→rename-aside→promote sink
-protocol (streaming.pipeline): a crash at ANY point between the staging
-write and the final cleanup must leave a state from which _recover_sink
+protocol (operators.sinks): a crash at ANY point between the staging
+write and the final cleanup must leave a state from which recover_sink
 restores a complete sink — previously merged rows are never lost.
 """
 
@@ -8,9 +8,9 @@ from __future__ import annotations
 
 import os
 
-from sports_stats_data_pipeline_spark.streaming.pipeline import (
-    _promote_staging,
-    _recover_sink,
+from sports_stats_data_pipeline_spark.operators.sinks import (
+    promote_staging,
+    recover_sink,
 )
 
 
@@ -28,7 +28,7 @@ def test_promote_happy_path(spark, tmp_path):
     sink = str(tmp_path / "sink")
     _write(spark, sink, [1, 2])
     _write(spark, sink + ".staging", [1, 2, 3])
-    _promote_staging(sink)
+    promote_staging(sink)
     assert _ids(spark, sink) == {1, 2, 3}
     assert not os.path.exists(sink + ".old")
     assert not os.path.exists(sink + ".staging")
@@ -39,7 +39,7 @@ def test_recover_from_crash_between_renames(spark, tmp_path):
     sink = str(tmp_path / "sink")
     _write(spark, sink + ".old", [1, 2])
     _write(spark, sink + ".staging", [1, 2, 3])
-    _recover_sink(sink)
+    recover_sink(sink)
     assert _ids(spark, sink) == {1, 2, 3}
     assert not os.path.exists(sink + ".old")
     assert not os.path.exists(sink + ".staging")
@@ -50,7 +50,7 @@ def test_recover_from_crash_before_promote_cleanup(spark, tmp_path):
     sink = str(tmp_path / "sink")
     _write(spark, sink, [1, 2, 3])
     _write(spark, sink + ".old", [1, 2])
-    _recover_sink(sink)
+    recover_sink(sink)
     assert _ids(spark, sink) == {1, 2, 3}
     assert not os.path.exists(sink + ".old")
 
@@ -62,7 +62,7 @@ def test_recover_from_incomplete_staging_write(spark, tmp_path):
     os.makedirs(sink + ".staging")
     with open(sink + ".staging/part-partial", "w") as f:
         f.write("truncated")
-    _recover_sink(sink)
+    recover_sink(sink)
     assert _ids(spark, sink) == {1, 2}
     assert not os.path.exists(sink + ".staging")
 
@@ -73,6 +73,6 @@ def test_recover_from_crash_mid_rename_aside(spark, tmp_path):
     # staging dir was already consumed): .old must be restored.
     sink = str(tmp_path / "sink")
     _write(spark, sink + ".old", [1, 2])
-    _recover_sink(sink)
+    recover_sink(sink)
     assert _ids(spark, sink) == {1, 2}
     assert not os.path.exists(sink + ".old")
