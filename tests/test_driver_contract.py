@@ -23,6 +23,7 @@ assert len(m.entry(spark).collect()) > 0
 SF = "/root/testdata/sf0.001"
 checks = {
     "ref_ingest_datasource_end_to_end": 15,   # DataSource + parse + silver
+    "ref_ingest_fights_end_to_end": 6,        # fight DataSource chain
     "events_tumbling_hourly": None,           # ns-parquet + TZ-sensitive
     "multimodal_decode_frames": None,         # mapInPandas
 }
@@ -32,15 +33,51 @@ for name, expect in checks.items():
 print("DRIVER_CONTRACT_OK")
 """
 
+#: every registered query must RUN under the hostile session (the driver
+#: executes all 50 in its own session — a TZ/conf/pickling problem in any
+#: one of them is a red CORRECTNESS row). Row values are covered by
+#: test_oracle_parity; here we only prove execution + non-degenerate
+#: output shape.
+SWEEP_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as m
+from pyspark.sql import SparkSession
 
-def test_vanilla_session_from_neutral_cwd():
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+failures = []
+for name, fn in m.queries().items():
+    try:
+        df = fn(spark, SF)
+        n = df.count()
+        assert len(df.columns) > 0
+    except Exception as e:
+        failures.append((name, repr(e)[:300]))
+assert not failures, failures
+print("DRIVER_SWEEP_OK")
+"""
+
+
+def _run_subprocess(script: str, marker: str, timeout: int) -> None:
     proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
+        [sys.executable, "-c", script],
         cwd="/tmp",
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=timeout,
     )
-    assert "DRIVER_CONTRACT_OK" in proc.stdout, (
+    assert marker in proc.stdout, (
         proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
     )
+
+
+def test_vanilla_session_from_neutral_cwd():
+    _run_subprocess(SCRIPT, "DRIVER_CONTRACT_OK", 420)
+
+
+def test_all_queries_run_in_hostile_session():
+    _run_subprocess(SWEEP_SCRIPT, "DRIVER_SWEEP_OK", 560)
