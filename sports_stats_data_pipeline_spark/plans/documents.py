@@ -802,10 +802,17 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH for cosine (SimHash-for-vectors): bucket bit j is
 # sign(dot(v, plane_j)). Planes are corpus-sampled directions (vec_id
 # 100..107) — data-dependent LSH that both engines derive from the table
-# itself, no literal-coefficient round-trip. Same-bucket candidate pairs
-# verified by exact cosine >= 0.8 over synthesized near-dup copies.
-# Single-probe: recall is partial by design (each plane splits a near-dup
-# pair with probability angle/pi); deterministic either way.
+# itself, no literal-coefficient round-trip. Candidate pairs verified by
+# exact cosine >= 0.8 over synthesized near-dup copies.
+#
+# MULTIPROBE: each vector also probes the 8 buckets one bit-flip away
+# (bucket-space Hamming <= 1). Single-probe recall loses any near-dup
+# pair a single plane happens to split (probability angle/pi per plane);
+# probing the 1-flip neighborhood recovers exactly those pairs at 9x
+# candidate cost — the standard recall/cost dial, far cheaper than more
+# tables (measured at sf0.01: 13 -> 42 of the 56 ground-truth cos>=0.8
+# pairs, 23% -> 75% recall). Each (a,b) pair matches at most one probe
+# value (the probe set is distinct), so no dedup pass is needed.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "ann_rp_lsh_pairs",
@@ -828,11 +835,17 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bucket
       FROM vecs CROSS JOIN planes
       GROUP BY vec_id, v
+    ), probed AS (
+      SELECT vec_id, v, bucket,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                     xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
+                     xor(bucket, 64), xor(bucket, 128)]) AS probe
+      FROM bucketed
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, b.bucket,
            ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_r4
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM probed a JOIN bucketed b
+      ON a.probe = b.bucket AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.8
     """,
 )
@@ -875,20 +888,24 @@ def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("bit").alias("bucket"), F.first("v").alias("v"))
     )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("bucket"),
+        F.explode(probes).alias("probe"),
         F.col("v").alias("va"),
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("bucket"),
         F.col("v").alias("vb"),
     )
     return (
         a.join(
             b,
-            (F.col("bucket") == F.col("bucket_b"))
+            (F.col("probe") == F.col("bucket"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
