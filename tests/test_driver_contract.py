@@ -35,8 +35,11 @@ print("DRIVER_CONTRACT_OK")
 
 #: every registered query must RUN under the hostile session (the driver
 #: executes all 50 in its own session — a TZ/conf/pickling problem in any
-#: one of them is a red CORRECTNESS row). Row values are covered by
-#: test_oracle_parity; here we only prove execution + non-degenerate
+#: one of them is a red CORRECTNESS row), and its output must survive the
+#: driver's rows canonicalization (sort columns by name, sort_values over
+#: all of them, hash cells) — an array/struct-typed cell crashes that
+#: comparator, which was round 1's only hard failure. Row values are
+#: covered by test_oracle_parity; here we prove execution + driver-safe
 #: output shape.
 SWEEP_SCRIPT = r"""
 import sys
@@ -52,9 +55,14 @@ SF = "/root/testdata/sf0.001"
 failures = []
 for name, fn in m.queries().items():
     try:
-        df = fn(spark, SF)
-        n = df.count()
-        assert len(df.columns) > 0
+        pdf = fn(spark, SF).toPandas()
+        assert len(pdf.columns) > 0
+        # simulate the driver's canonicalization: every cell must be
+        # scalar-hashable and the frame sortable over all columns.
+        cols = sorted(pdf.columns)
+        pdf[cols].sort_values(by=cols).apply(
+            lambda row: hash(tuple(row)), axis=1
+        )
     except Exception as e:
         failures.append((name, repr(e)[:300]))
 assert not failures, failures
