@@ -265,3 +265,44 @@ def test_parser_tolerates_attribute_and_class_drift():
     assert row["Height"] == "5' 11\""
     assert row["Weight"] == "155 lbs."
     assert row["fight_dates"] == "Mar. 5, 2025"
+
+
+def test_requests_transport_wiring(monkeypatch):
+    """The live-HTTP transport is import-guarded (no network in tests);
+    verify its wiring — session UA header, timeout, (status, text)
+    contract — against an injected fake requests module."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Resp:
+        status_code = 200
+        text = "<html>ok</html>"
+
+    class _Session:
+        def __init__(self):
+            self.headers = {}
+
+        def get(self, url, timeout=None):
+            calls["url"], calls["timeout"] = url, timeout
+            calls["ua"] = self.headers.get("User-Agent")
+            return _Resp()
+
+    fake = types.ModuleType("requests")
+    fake.Session = _Session
+    monkeypatch.setitem(sys.modules, "requests", fake)
+
+    from sports_stats_data_pipeline_spark.sources.fetch import (
+        FetchConfig,
+        requests_transport,
+    )
+
+    transport = requests_transport(FetchConfig(user_agent="ua-test/1"))
+    status, body = transport("http://example.com/x")
+    assert (status, body) == (200, "<html>ok</html>")
+    assert calls == {
+        "url": "http://example.com/x",
+        "timeout": 15,
+        "ua": "ua-test/1",
+    }
