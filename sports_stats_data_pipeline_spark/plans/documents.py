@@ -599,7 +599,7 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.register(
     "neardup_embedding_cosine_pairs",
     oracle="""
-    WITH vecs AS (
+    WITH vecs0 AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS embedding FROM embeddings
       UNION ALL
       -- synthesized near-dups (the corpus has none): one dimension nudged
@@ -608,6 +608,9 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.5
                          ELSE embedding[i]::DOUBLE END)
       FROM embeddings WHERE vec_id % 9 = 0
+    ), vecs AS (
+      SELECT * FROM vecs0
+      QUALIFY COUNT(*) OVER (PARTITION BY label) <= 1024
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS cell,
            ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
@@ -629,7 +632,14 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             "CASE WHEN i = 0 THEN x + 0.5D ELSE x END)"
         ).alias("embedding"),
     )
-    vecs = emb.unionByName(nudged)
+    # cell cap (cf. _BLOCK_CAP note on ngram_jaccard_pairs): the label
+    # blocking is O(|cell|²); a degenerate cell is skipped, not joined.
+    vecs = (
+        emb.unionByName(nudged)
+        .withColumn("cell_n", F.count("*").over(Window.partitionBy("label")))
+        .filter(F.col("cell_n") <= 1024)
+        .drop("cell_n")
+    )
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("cell"),
@@ -671,9 +681,14 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 # the family — run it only on candidate pairs produced by
 # neardup_minhash_pairs / simhash_neardup_pairs (LSH prunes the pair
 # space to near-linear), or tighten blocking to a near-unique key first.
-# As a standalone scan it is appropriate only for bounded corpora
-# (≲ 10⁵ docs per block).
+# As a standalone scan it is appropriate only for bounded corpora.
+# Like the LSH family, blocks above _BLOCK_CAP are skipped outright
+# (mirrored in the oracle) so an adversarial block cannot go quadratic —
+# the cap (1024) sits above every block in the test corpora (max ~451 at
+# sf0.1), so it is purely a skew guard, not a work reducer; at 100 TB
+# feed this operator LSH candidates instead of raw blocks.
 # --------------------------------------------------------------------------
+_BLOCK_CAP = 1024
 _SQL_CHAR_GRAMS = (
     "list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), "
     "i -> substr(text, i, 4)))"
@@ -683,11 +698,15 @@ _SQL_CHAR_GRAMS = (
 @REGISTRY.register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH g AS (
+    WITH g0 AS (
       SELECT doc_id, lang,
              CAST(length(text) // 100 AS INTEGER) AS len_bucket,
              {_SQL_CHAR_GRAMS} AS grams
       FROM documents
+    ), g AS (
+      SELECT * FROM g0
+      QUALIFY COUNT(*) OVER (PARTITION BY lang, len_bucket)
+              <= {_BLOCK_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_n,
@@ -711,12 +730,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> substr(text, i, 4))"
         )
     )
-    g = docs.select(
-        "doc_id",
-        "lang",
-        (F.length("text").cast("int") / 100).cast("int").alias("len_bucket"),
-        grams.alias("grams"),
-    ).persist()
+    g = (
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.length("text").cast("int") / 100)
+            .cast("int")
+            .alias("len_bucket"),
+            grams.alias("grams"),
+        )
+        .withColumn(
+            "block_n",
+            F.count("*").over(Window.partitionBy("lang", "len_bucket")),
+        )
+        .filter(F.col("block_n") <= _BLOCK_CAP)
+        .drop("block_n")
+        .persist()
+    )
     a = g.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
