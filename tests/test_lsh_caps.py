@@ -78,3 +78,29 @@ def test_heterogeneous_corpus_still_finds_neardups(spark, tmp_path, query):
     # exact-set equality is not the contract.
     assert pairs <= expected
     assert len(pairs) >= 5
+
+
+def test_ngram_block_cap_bounds_adversarial_block(spark, tmp_path):
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        ngram_jaccard_pairs,
+    )
+
+    # 1200 same-lang, same-length-bucket docs: one block over the 1024
+    # cap -> skipped outright, empty output instead of a 1.4M-pair join.
+    boiler = "b" * 150
+    _write_documents(
+        spark, str(tmp_path), [(i, boiler) for i in range(1, 1201)]
+    )
+    assert ngram_jaccard_pairs(spark, str(tmp_path)).count() == 0
+
+
+def test_embedding_cell_cap_bounds_adversarial_cell(spark, tmp_path):
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        neardup_embedding_cosine_pairs,
+    )
+
+    rows = [(i, 3, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 1201)]
+    spark.createDataFrame(
+        rows, schema="vec_id long, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    assert neardup_embedding_cosine_pairs(spark, str(tmp_path)).count() == 0
