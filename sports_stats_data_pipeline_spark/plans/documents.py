@@ -66,6 +66,25 @@ def _sql_minhash(j: int) -> str:
     )
 
 
+def _skip_hot(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose blocking/banding key holds more than ``cap``
+    members — the family-wide skew guard.
+
+    Implemented as a broadcast anti-join against the over-cap key list,
+    NOT a count window: the hot-key list is tiny by definition (an
+    aggregate's output, one row per super-bucket), so the probe side
+    needs no extra shuffle — a window would shuffle the full banded
+    relation once per consumer (both self-join sides).
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # Per-document text statistics + stopword-based language heuristic.
 # --------------------------------------------------------------------------
@@ -389,9 +408,7 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
     )
     # skew guard (see module comment): super-buckets never reach the join.
-    capped = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_key"))
-    ).filter(F.col("bucket_n") <= _MINHASH_BUCKET_CAP)
+    capped = _skip_hot(banded, ["band_key"], _MINHASH_BUCKET_CAP)
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -506,12 +523,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "band_val", F.expr("shiftright(simhash, 16 * band_idx) & 65535")
     )
-    # skew guard: one shuffle on the band key counts each bucket; buckets
-    # above the cap never reach the self-join.
-    capped = banded.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_val")),
-    ).filter(F.col("bucket_n") <= _SIMHASH_BUCKET_CAP)
+    # skew guard: an aggregate finds over-cap buckets, a broadcast
+    # anti-join drops their members before the self-join.
+    capped = _skip_hot(banded, ["band_idx", "band_val"], _SIMHASH_BUCKET_CAP)
     a, b = capped.alias("a"), capped.alias("b")
     # candidates stay duplicated across bands until AFTER the cheap
     # xor/popcount filter — distinct on the filtered survivors is ~15×
@@ -634,12 +648,7 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # cell cap (cf. _BLOCK_CAP note on ngram_jaccard_pairs): the label
     # blocking is O(|cell|²); a degenerate cell is skipped, not joined.
-    vecs = (
-        emb.unionByName(nudged)
-        .withColumn("cell_n", F.count("*").over(Window.partitionBy("label")))
-        .filter(F.col("cell_n") <= 1024)
-        .drop("cell_n")
-    )
+    vecs = _skip_hot(emb.unionByName(nudged), ["label"], 1024)
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("cell"),
@@ -730,7 +739,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> substr(text, i, 4))"
         )
     )
-    g = (
+    g = _skip_hot(
         docs.select(
             "doc_id",
             "lang",
@@ -738,15 +747,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("len_bucket"),
             grams.alias("grams"),
-        )
-        .withColumn(
-            "block_n",
-            F.count("*").over(Window.partitionBy("lang", "len_bucket")),
-        )
-        .filter(F.col("block_n") <= _BLOCK_CAP)
-        .drop("block_n")
-        .persist()
-    )
+        ),
+        ["lang", "len_bucket"],
+        _BLOCK_CAP,
+    ).persist()
     a = g.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
