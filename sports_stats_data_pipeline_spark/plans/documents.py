@@ -107,6 +107,7 @@ _MARKER_SQL = {
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang, text,
+        {_SQL_TOKS} AS toks,
         CAST(length(text) AS INTEGER) AS n_chars,
         CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
         CAST(len(list_filter({_SQL_TOKS},
@@ -120,6 +121,13 @@ _MARKER_SQL = {
         CAST(len(list_filter({_SQL_TOKS},
              x -> list_contains({_MARKER_SQL['es']}, x))) AS INTEGER) AS s_es
       FROM documents
+    ), finger AS (
+      SELECT *,
+        CASE WHEN len(toks) >= 8 THEN
+          list_transform(range(1, len(toks) - 6),
+            p -> md5(array_to_string(toks[p:p+7], ' ')))
+        ELSE [md5(array_to_string(toks, ' '))] END AS hashes
+      FROM scored
     )
     SELECT doc_id, lang, n_chars, n_tokens, n_stopwords,
            CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
@@ -140,13 +148,16 @@ _MARKER_SQL = {
              AS quality_score,
            CAST(len(regexp_extract_all(text,
                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_units,
-           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers
-    FROM scored
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+           array_to_string(list_sort(hashes)[1:3], ',') AS fingerprint,
+           CAST(len(hashes) AS INTEGER) AS n_windows
+    FROM finger
     """,
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one scan: raw stats + stopword-based
-    language heuristic + composite quality score + BPE-ish unit counts.
+    language heuristic + composite quality score + BPE-ish unit counts +
+    winnowing-style content fingerprint.
 
     The quality score (LLM-data curation gate) runs in integer basis-point
     arithmetic end-to-end so it is bit-identical across engines; floor
@@ -154,8 +165,25 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB but truncate in Spark. BPE-ish counting = regex
     pre-tokenization (letter runs / digit runs / single punctuation), the
     scan-side unit estimate LLM-pipeline budgeting uses when a real
-    tokenizer is too expensive."""
-    docs = load_table(spark, sf_dir, "documents")
+    tokenizer is too expensive. The fingerprint is a bottom-3 sketch over
+    rolling 8-token window hashes — constant size per document regardless
+    of length; documents sharing a fingerprint element share content."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = tokens("text")
+    n_t = F.size(t)
+    windows = F.transform(
+        F.sequence(F.lit(0), n_t - 8),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.get(t, i + off) for off in range(8)])
+        ),
+    )
+    hashes = F.when(n_t >= 8, windows).otherwise(
+        F.array(F.md5(F.concat_ws(" ", t)))
+    )
     n_tokens = token_count("text").cast("long")
     n_chars = F.length("text").cast("long")
     n_stop = stopword_count("text").cast("long")
@@ -187,6 +215,10 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
             "n_numbers"
         ),
+        F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 3)).alias(
+            "fingerprint"
+        ),
+        F.size(hashes).alias("n_windows"),
     )
 
 
@@ -337,11 +369,10 @@ _NEARDUP_DOCS_SQL = """
       FROM documents WHERE doc_id % 7 = 0
 """
 
-
-@REGISTRY.register(
-    "neardup_minhash_pairs",
-    oracle=f"""
-    WITH docs AS ({_NEARDUP_DOCS_SQL}),
+# Shared oracle fragment (CTE list, expects a preceding `docs` CTE): the
+# MinHash→band→cap→candidate→exact-Jaccard-verify chain, ending in a
+# `pairs` CTE. Used by both neardup_minhash_pairs and neardup_doc_clusters.
+_SQL_MINHASH_PAIRS = f"""
     sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM docs
     ),
@@ -365,33 +396,60 @@ _NEARDUP_DOCS_SQL = """
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+               AS inter_n,
+             CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+               AS union_n
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE 10 * CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+            >= 6 * CAST(len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
     )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter_n,
-           CAST(len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS union_n
-    FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
-    WHERE 10 * CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
-          >= 6 * CAST(len(sa.shingles) + len(sb.shingles)
-                 - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
-    """,
-)
-def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _NEARDUP_DOCS_SQL: corpus + synthesized near-dup
+    copies, repartitioned to full parallelism.
+
+    The parquet scan yields O(file-size / maxPartitionBytes) partitions —
+    far fewer than the cores for a small-but-CPU-heavy stage like the md5
+    signature forest. Repartition to full parallelism first (at cluster
+    scale: cores × executors; the shuffle is trivially small next to the
+    hash compute it unlocks).
+    """
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
     )
-    # The parquet scan yields O(file-size / maxPartitionBytes) partitions —
-    # far fewer than the cores for a small-but-CPU-heavy stage like the md5
-    # signature forest. Repartition to full parallelism first (at cluster
-    # scale: cores × executors; the shuffle is trivially small next to the
-    # hash compute it unlocks).
-    docs = base.unionByName(near).repartition(
+    return base.unionByName(near).repartition(
         spark.sparkContext.defaultParallelism
     )
+
+
+@REGISTRY.register(
+    "neardup_minhash_pairs",
+    oracle=f"""
+    WITH docs AS ({_NEARDUP_DOCS_SQL}),
+    {_SQL_MINHASH_PAIRS}
+    SELECT doc_a, doc_b, inter_n, union_n FROM pairs
+    """,
+)
+def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified_pairs(_neardup_docs(spark, sf_dir))
+
+
+def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash→LSH-band→cap→verify over (doc_id, text): the candidate-
+    generation + exact-Jaccard-verify chain shared by the pairs query and
+    the cluster-resolution query."""
     # Materialization boundary: without it Catalyst's projection collapse
     # inlines the tokenize→shingle→minhash expression tree into every
     # downstream reference (8 signature components + 4 band keys + both
@@ -408,7 +466,9 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
     )
     # skew guard (see module comment): super-buckets never reach the join.
-    capped = _skip_hot(banded, ["band_key"], _MINHASH_BUCKET_CAP)
+    # persist: the capped relation feeds BOTH sides of the self-join —
+    # without the boundary the hot-key aggregate + anti-join run twice.
+    capped = _skip_hot(banded, ["band_key"], _MINHASH_BUCKET_CAP).persist()
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
         a.join(
@@ -441,6 +501,72 @@ def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             union_n.alias("union_n"),
         )
         .filter(F.lit(10) * F.col("inter_n") >= F.lit(6) * F.col("union_n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: the dedup pipeline end-to-end. Pair queries emit
+# near-dup EDGES; the actual dedup decision needs per-document CLUSTERS
+# (near-duplication is transitive in intent: if A~B and B~C, keep one of
+# {A,B,C}). Verified MinHash pairs feed operators.components hash-min
+# label propagation; the component's min doc_id is the deterministic
+# canonical survivor (first-wins, cf. reference fighters_scraper.py:150).
+# Oracle: the same fixpoint as a recursive min-label walk in SQL.
+# --------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "neardup_doc_clusters",
+    oracle=f"""
+    WITH RECURSIVE docs AS ({_NEARDUP_DOCS_SQL}),
+    {_SQL_MINHASH_PAIRS},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM docs
+      UNION
+      SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.id
+      WHERE w.lbl < s.v
+    ),
+    lab AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER)
+             AS keep
+    FROM lab
+    """,
+)
+def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH candidate pairs → exact-Jaccard verify →
+    connected components → per-document cluster id + keep/drop decision.
+
+    ``keep`` is an int (0/1), not boolean — nullable-boolean columns
+    cross the two pandas bridges with mismatched NULL reprs (None vs
+    NaN); int columns do not (plans/__init__.py conventions).
+    """
+    from ..operators.components import connected_components
+
+    docs = _neardup_docs(spark, sf_dir)
+    # the pair set is scanned once per propagation round — materialize it
+    # (at cluster scale this is the persisted/written candidate-pair
+    # table every real dedup pipeline stages anyway).
+    pairs = (
+        _minhash_verified_pairs(docs).select("doc_a", "doc_b").persist()
+    )
+    labels = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("n_members"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
     )
 
 
@@ -524,8 +650,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val", F.expr("shiftright(simhash, 16 * band_idx) & 65535")
     )
     # skew guard: an aggregate finds over-cap buckets, a broadcast
-    # anti-join drops their members before the self-join.
-    capped = _skip_hot(banded, ["band_idx", "band_val"], _SIMHASH_BUCKET_CAP)
+    # anti-join drops their members before the self-join. persist: the
+    # capped relation feeds both self-join sides (cf. MinHash note).
+    capped = _skip_hot(
+        banded, ["band_idx", "band_val"], _SIMHASH_BUCKET_CAP
+    ).persist()
     a, b = capped.alias("a"), capped.alias("b")
     # candidates stay duplicated across bands until AFTER the cheap
     # xor/popcount filter — distinct on the filtered survivors is ~15×
@@ -779,56 +908,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             union_n.alias("union_n"),
         )
         .filter(F.lit(3) * F.col("inter_n") >= F.col("union_n"))
-    )
-
-
-# --------------------------------------------------------------------------
-# Document fingerprinting: bottom-k sketch over rolling 8-token windows
-# (winnowing-style). Two documents sharing a fingerprint share content;
-# the sketch is constant-size per document regardless of length.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "doc_fingerprints",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
-    ), wins AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 8 THEN
-               list_transform(range(1, len(t) - 6),
-                 p -> md5(array_to_string(t[p:p+7], ' ')))
-             ELSE [md5(array_to_string(t, ' '))] END AS hashes
-      FROM toks
-    )
-    SELECT doc_id,
-           array_to_string(list_sort(hashes)[1:3], ',') AS fingerprint,
-           CAST(len(hashes) AS INTEGER) AS n_windows
-    FROM wins
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    t = tokens("text")
-    n = F.size(t)
-    windows = F.transform(
-        F.sequence(F.lit(0), n - 8),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.get(t, i + off) for off in range(8)])
-        ),
-    )
-    hashes = F.when(n >= 8, windows).otherwise(
-        F.array(F.md5(F.concat_ws(" ", t)))
-    )
-    return docs.select(
-        "doc_id",
-        F.concat_ws(",", F.slice(F.array_sort(hashes), 1, 3)).alias(
-            "fingerprint"
-        ),
-        F.size(hashes).alias("n_windows"),
     )
 
 
