@@ -49,6 +49,40 @@ def test_numpy_ann_score_ties_keep_smaller_ids(spark):
         assert out == [(1, 1), (2, 2), (3, 3)], (parts, out)
 
 
+def _rank_map(df):
+    return {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+
+
+def test_ivf_probe_all_cells_equals_brute_force(spark):
+    # n_probe = n_cells degenerates to an exact scan: every cell is
+    # probed, so IVF must match the oracle-checked brute-force baseline
+    # bit-for-bit (same deterministic tie-break).
+    from sports_stats_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    ivf = ivf_topk(emb, F.col("vec_id") < 8, k=3, n_cells=8, n_probe=8)
+    slow = embedding_cosine_topk(spark, SF)
+    assert _rank_map(ivf) == _rank_map(slow)
+
+
+def test_ivf_partial_probe_recall(spark):
+    # the recall/cost dial: probing 3 of 8 k-means cells must still
+    # recover most true neighbors (embeddings cluster well by label);
+    # candidate work drops ~8/3x.
+    from sports_stats_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    ivf = _rank_map(ivf_topk(emb, F.col("vec_id") < 8, k=3, n_cells=8, n_probe=3))
+    exact = _rank_map(embedding_cosine_topk(spark, SF))
+    hits = sum(
+        1
+        for key, nid in exact.items()
+        if nid in {v for kk, v in ivf.items() if kk[0] == key[0]}
+    )
+    recall = hits / len(exact)
+    assert recall >= 0.5, f"recall@3 {recall:.2f} with 3/8 probes"
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     path = str(tmp_path / "frag")
     orders = load_table(spark, SF, "orders")
