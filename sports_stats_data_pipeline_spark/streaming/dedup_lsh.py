@@ -1,0 +1,201 @@
+"""Incremental (streaming) near-duplicate dedup: each micro-batch of
+documents is checked against the accumulated corpus via MinHash/LSH
+before being admitted — the streaming form of plans.documents'
+neardup_minhash_pairs, and the shape a continuously-ingesting training-
+data pipeline actually runs (a nightly full-corpus self-join at 100 TB
+is O(N) per day; checking only the DELTA against the band index is
+O(Δ · bucket)).
+
+Design per micro-batch (foreachBatch — the dedup decision needs a join
+against accumulated state that outgrows the keyed state store):
+
+1. signature: tokenize → shingle → 8-way MinHash → 4 band keys, all
+   JVM expressions (functions.text), one pass over the batch;
+2. candidates: batch band keys ⋈ the persisted band index (equi-join on
+   band_key; at scale the index is bucketed by band_key so this join
+   co-locates), plus the batch's own earlier docs (intra-batch dedup,
+   first-wins by doc_id);
+3. verify: exact Jaccard over shingle sets, threshold 0.6 in integer
+   arithmetic (10·|∩| ≥ 6·|∪|) — same contract as the batch operator;
+4. admit: novel docs are appended to the corpus + band index through the
+   stage→rename-aside→promote protocol (operators.sinks), so a crash
+   mid-batch never corrupts the store and a replayed batch re-derives
+   the same decisions (dup rows lose the join again — idempotent).
+
+The persisted store holds (doc_id, text, shingles) plus the exploded
+band index (band_key, doc_id). Storing shingles trades space for
+re-parse work on the verify join; at 100 TB you would persist only the
+8-component signature and re-shingle the O(candidates) texts instead —
+flagged inline where the trade is made.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import band_keys, minhash_signature, shingles
+from ..operators.sinks import promote_staging, recover_sink
+
+#: bucket cap mirrored from the batch operator — a super-bucket in the
+#: index is skipped, not joined (bounded-recall contract, skew guard).
+BUCKET_CAP = 64
+
+
+def _signed(batch: DataFrame) -> DataFrame:
+    """(doc_id, text) → + shingles + band_keys array.
+
+    Two select stages: band_keys reads the named ``mh_j`` signature
+    columns, so the signature must exist as columns first (projection
+    collapse fuses both selects into one codegen stage anyway)."""
+    return (
+        batch.select("doc_id", "text", shingles("text").alias("shingles"))
+        .select(
+            "doc_id",
+            "text",
+            "shingles",
+            *minhash_signature(F.col("shingles"), 8),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "shingles",
+            F.array(*band_keys(8, 2)).alias("bands"),
+        )
+    )
+
+
+def _jaccard_ok() -> F.Column:
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union_n = (
+        F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter_n
+    )
+    return F.lit(10) * inter_n >= F.lit(6) * union_n
+
+
+def _dup_doc_ids(new: DataFrame, prior: DataFrame) -> DataFrame:
+    """doc_ids in ``new`` with a verified near-dup in ``prior``.
+
+    ``new``/``prior``: (doc_id, shingles, bands). The band join only
+    pairs same-bucket docs; buckets above BUCKET_CAP on the prior side
+    are skipped (skew guard, cf. plans.documents._skip_hot)."""
+    pb = prior.select(
+        F.col("doc_id").alias("prior_id"),
+        F.col("shingles").alias("sh_b"),
+        F.explode("bands").alias("band_key"),
+    )
+    hot = (
+        pb.groupBy("band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > BUCKET_CAP)
+        .select("band_key")
+    )
+    pb = pb.join(F.broadcast(hot), "band_key", "left_anti")
+    nb = new.select(
+        "doc_id",
+        F.col("shingles").alias("sh_a"),
+        F.explode("bands").alias("band_key"),
+    )
+    return (
+        nb.join(pb, "band_key")
+        .filter(_jaccard_ok())
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def dedup_batch_against_store(
+    spark: SparkSession, batch: DataFrame, store_path: str
+) -> DataFrame:
+    """Pure dedup decision for one batch: returns the admitted (novel)
+    rows as (doc_id, text, shingles, bands).
+
+    Two checks, same verify contract: against the persisted store, and
+    against earlier docs of the batch itself (first-wins by doc_id —
+    deterministic, matching operators.merge semantics)."""
+    signed = _signed(batch).persist()
+
+    dup_vs_store = None
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        dup_vs_store = _dup_doc_ids(signed, store)
+
+    # intra-batch: candidate pairs within the batch, keep the SMALLER id
+    pb = signed.select(
+        F.col("doc_id").alias("prior_id"),
+        F.col("shingles").alias("sh_b"),
+        F.explode("bands").alias("band_key"),
+    )
+    nb = signed.select(
+        "doc_id",
+        F.col("shingles").alias("sh_a"),
+        F.explode("bands").alias("band_key"),
+    )
+    dup_intra = (
+        nb.join(pb, "band_key")
+        .filter(F.col("prior_id") < F.col("doc_id"))
+        .filter(_jaccard_ok())
+        .select("doc_id")
+        .distinct()
+    )
+
+    dups = (
+        dup_intra
+        if dup_vs_store is None
+        else dup_intra.unionByName(dup_vs_store).distinct()
+    )
+    return signed.join(dups, "doc_id", "left_anti")
+
+
+def run_streaming_neardup_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    store_path: str,
+    doc_schema: str = "doc_id long, text string",
+) -> DataFrame:
+    """Stream parquet files landing in ``landing_dir`` (one micro-batch
+    per file) and maintain ``store_path`` as the deduped corpus + LSH
+    index. Returns the final store as a DataFrame.
+
+    Crash-safe and replay-idempotent: the store is advanced with the
+    stage→rename-aside→promote protocol, and a replayed batch re-runs
+    the same anti-join against the promoted store (admitted rows are
+    re-admitted by doc_id anti-join, duplicates re-dropped)."""
+    recover_sink(store_path)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        recover_sink(store_path)
+        novel = dedup_batch_against_store(s, batch, store_path)
+        if os.path.exists(store_path):
+            existing = s.read.parquet(store_path)
+            # replay guard: a re-delivered batch's survivors are already
+            # in the store — anti-join by doc_id keeps the write
+            # idempotent (cf. operators.merge.insert_if_absent).
+            novel = novel.join(
+                existing.select("doc_id"), "doc_id", "left_anti"
+            )
+            merged = existing.unionByName(novel)
+        else:
+            merged = novel
+        merged.write.mode("overwrite").parquet(store_path + ".staging")
+        promote_staging(store_path)
+        # drop the batch's persisted signature relation — a long-running
+        # stream would otherwise accumulate one pinned relation per batch.
+        s.catalog.clearCache()
+
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", store_path + ".checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_path)
