@@ -824,7 +824,9 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 # (mirrored in the oracle) so an adversarial block cannot go quadratic —
 # the cap (1024) sits above every block in the test corpora (max ~451 at
 # sf0.1), so it is purely a skew guard, not a work reducer; at 100 TB
-# feed this operator LSH candidates instead of raw blocks.
+# feed this operator LSH candidates instead of raw blocks —
+# neardup_doc_clusters demonstrates exactly that composition (LSH
+# candidates → exact set-overlap verify → clusters) end-to-end.
 # --------------------------------------------------------------------------
 _BLOCK_CAP = 1024
 _SQL_CHAR_GRAMS = (

@@ -112,3 +112,32 @@ def test_topk_global_scope_is_take_ordered(spark):
     # the '_global' branch must not be a full global sort: Spark plans
     # orderBy+limit as TakeOrderedAndProject (per-partition top-N).
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_skew_guard_is_broadcast_anti_join(spark):
+    # the bucket cap must plan as a BROADCAST anti-join against the tiny
+    # hot-key list — a count-window formulation would shuffle the whole
+    # banded relation and show a Window node above the scan instead.
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        neardup_minhash_pairs,
+    )
+
+    plan = _plan(neardup_minhash_pairs(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "bucket cap not planned as broadcast anti-join"
+    )
+    spark.catalog.clearCache()
+
+
+def test_ivf_probe_list_is_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.operators.similarity import ivf_topk
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(ivf_topk(emb, F.col("vec_id") < 8, k=3, n_cells=4, n_probe=2))
+    # centroid table and probe list are broadcast; the corpus is never
+    # collected or cross-joined unpruned.
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
