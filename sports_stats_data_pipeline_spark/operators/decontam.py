@@ -1,0 +1,83 @@
+"""Benchmark decontamination: flag training documents whose token
+n-grams overlap an evaluation/benchmark set — the curation step that
+keeps test data out of a training corpus (the contamination check run
+before any serious pretraining job).
+
+Shape: the BENCHMARK side is small (eval suites are thousands of
+documents, not billions) — its exploded shingle inverted index is
+broadcast, so the corpus is never shuffled: one scan, explode to
+(doc_id, shingle), hash-join against the broadcast index, one aggregate
+back to per-document overlap stats. At 100 TB the corpus-side explode is
+the only big intermediate and it streams through the join; nothing is
+quadratic and nothing shuffles except the final per-doc aggregate
+(map-side combinable).
+
+Common-shingle noise: an eval question sharing "it is important to note"
+with half the corpus is not contamination. The index drops shingles
+whose BENCHMARK document frequency exceeds ``max_bench_df`` (the
+benchmark is small, so its own df is computable exactly and cheaply);
+corpus-side df capping would need a second corpus scan and is the
+documented upgrade if precision matters more than a scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold_pct: int = 50,
+    max_bench_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document overlap against the benchmark shingle index.
+
+    Returns one row per corpus document: ``(id_col, n_shingles,
+    n_overlap, overlap_pct, contaminated)`` where ``overlap_pct`` is the
+    integer percentage of the document's distinct shingles that appear
+    anywhere in the benchmark, and ``contaminated`` is 1 when
+    ``overlap_pct >= threshold_pct`` (integer arithmetic throughout —
+    no float threshold can flip across engines).
+    """
+    bench_index = (
+        benchmark.select(
+            F.explode(shingles(text_col)).alias("shingle"),
+            F.col(bench_id_col).alias("__bid"),
+        )
+        .groupBy("shingle")
+        .agg(F.count_distinct("__bid").alias("__df"))
+        .filter(F.col("__df") <= max_bench_df)
+        .select("shingle")
+    )
+    doc_shingles = docs.select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    )
+    hits = (
+        doc_shingles.join(F.broadcast(bench_index), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = docs.select(
+        id_col, F.size(shingles(text_col)).cast("long").alias("n_shingles")
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
+        .withColumn(
+            "overlap_pct",
+            F.floor(F.lit(100) * F.col("n_overlap") / F.col("n_shingles"))
+            .cast("long"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("overlap_pct") >= threshold_pct).cast("int"),
+        )
+    )
+    return out
