@@ -90,6 +90,7 @@ def connected_components(
                 return labels.select(
                     F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
                 )
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components: no fixpoint within {max_rounds} rounds "
             "(component diameter too deep — use small-star/large-star)"

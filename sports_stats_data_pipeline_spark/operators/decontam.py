@@ -54,22 +54,24 @@ def flag_contaminated(
         .groupBy("shingle")
         .agg(F.count_distinct("__bid").alias("__df"))
         .filter(F.col("__df") <= max_bench_df)
-        .select("shingle")
+        .select("shingle", F.lit(1).alias("__hit"))
     )
-    doc_shingles = docs.select(
-        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
-    )
-    hits = (
-        doc_shingles.join(F.broadcast(bench_index), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    totals = docs.select(
-        id_col, F.size(shingles(text_col)).cast("long").alias("n_shingles")
+    # ONE corpus pass: carry the shingle count through the explode, left-
+    # join the broadcast index per shingle, aggregate straight back to
+    # one row per doc — no second scan, no doc-level join, the only
+    # shuffle is the (map-side combinable) per-doc aggregate.
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(shingles(text_col)).cast("long").alias("n_shingles"),
+        F.explode(shingles(text_col)).alias("shingle"),
     )
     out = (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long"))
+        exploded.join(F.broadcast(bench_index), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
         .withColumn(
             "overlap_pct",
             F.floor(F.lit(100) * F.col("n_overlap") / F.col("n_shingles"))

@@ -46,10 +46,13 @@ def kmeans_fit_assign(
     centroids)`` — ``(id, cell, dist)`` per vector and ``(cell,
     centroid)`` per cluster.
     """
+    # persist: every iteration references the vector relation twice
+    # (assignment scan + update join) — the standard iterative-ML cache
+    # (at cluster scale this is the persisted feature table).
     vecs = emb.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).persist()
 
     # deterministic init: k corpus vectors with the smallest md5(id).
     centroids = (
@@ -60,12 +63,17 @@ def kmeans_fit_assign(
             F.row_number().over(Window.orderBy("__h")).alias("cell"),
             F.col("__v").alias("centroid"),
         )
+        .persist()
     )
 
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
         # update: element-wise mean per cell via posexplode — N×dim rows,
-        # two aggregates, no collect.
+        # two aggregates, no collect. persist each iteration's (tiny,
+        # k×dim) centroid table: it is referenced by the next assignment
+        # AND by every downstream consumer of the returned frames —
+        # without the boundary each reference re-executes the whole
+        # nested Lloyd lineage.
         centroids = (
             assigned.join(vecs, "__id")
             .select("cell", F.posexplode("__v").alias("pos", "val"))
@@ -78,6 +86,7 @@ def kmeans_fit_assign(
                     lambda s: s.getField("m"),
                 ).alias("centroid")
             )
+            .persist()
         )
 
     assigned = _assign(vecs, centroids)

@@ -57,6 +57,10 @@ def ivf_topk(
     assigned, centroids = kmeans_fit_assign(
         embeddings, k=n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
+    # persist the assignment: it is the index-build output, referenced by
+    # the corpus join below and recomputed from the full Lloyd lineage
+    # otherwise (at ingest time this table is WRITTEN, not cached).
+    assigned = assigned.persist()
     corpus = (
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),

@@ -70,11 +70,14 @@ def _skip_hot(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop rows whose blocking/banding key holds more than ``cap``
     members — the family-wide skew guard.
 
-    Implemented as a broadcast anti-join against the over-cap key list,
-    NOT a count window: the hot-key list is tiny by definition (an
-    aggregate's output, one row per super-bucket), so the probe side
-    needs no extra shuffle — a window would shuffle the full banded
-    relation once per consumer (both self-join sides).
+    Implemented as an anti-join against the over-cap key list, NOT a
+    count window: a window would shuffle the full banded relation once
+    per consumer (both self-join sides). The join strategy is left to
+    Catalyst/AQE deliberately — no broadcast hint: in the expected case
+    the hot list is tiny (one row per super-bucket) and AQE broadcasts
+    it; on an adversarial corpus the list can reach n/cap keys, where a
+    forced broadcast would OOM the driver but AQE degrades to a shuffled
+    anti-join and completes.
     """
     hot = (
         df.groupBy(*keys)
@@ -82,7 +85,7 @@ def _skip_hot(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
         .filter(F.col("__n") > cap)
         .select(*keys)
     )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+    return df.join(hot, keys, "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -777,7 +780,8 @@ def neardup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # cell cap (cf. _BLOCK_CAP note on ngram_jaccard_pairs): the label
     # blocking is O(|cell|²); a degenerate cell is skipped, not joined.
-    vecs = _skip_hot(emb.unionByName(nudged), ["label"], 1024)
+    # persist: feeds both self-join sides (cf. the MinHash capped note).
+    vecs = _skip_hot(emb.unionByName(nudged), ["label"], 1024).persist()
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("cell"),

@@ -75,24 +75,33 @@ def _jaccard_ok() -> F.Column:
     return F.lit(10) * inter_n >= F.lit(6) * union_n
 
 
+def _drop_hot_buckets(banded: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """Skew guard (cf. plans.documents._skip_hot): rows in band buckets
+    above ``cap`` never reach a join. No broadcast hint — AQE broadcasts
+    the (normally tiny) hot list and degrades to a shuffled anti-join on
+    an adversarial corpus instead of OOMing a forced broadcast."""
+    hot = (
+        banded.groupBy("band_key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select("band_key")
+    )
+    return banded.join(hot, "band_key", "left_anti")
+
+
 def _dup_doc_ids(new: DataFrame, prior: DataFrame) -> DataFrame:
     """doc_ids in ``new`` with a verified near-dup in ``prior``.
 
     ``new``/``prior``: (doc_id, shingles, bands). The band join only
     pairs same-bucket docs; buckets above BUCKET_CAP on the prior side
-    are skipped (skew guard, cf. plans.documents._skip_hot)."""
-    pb = prior.select(
-        F.col("doc_id").alias("prior_id"),
-        F.col("shingles").alias("sh_b"),
-        F.explode("bands").alias("band_key"),
+    are skipped (skew guard)."""
+    pb = _drop_hot_buckets(
+        prior.select(
+            F.col("doc_id").alias("prior_id"),
+            F.col("shingles").alias("sh_b"),
+            F.explode("bands").alias("band_key"),
+        )
     )
-    hot = (
-        pb.groupBy("band_key")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > BUCKET_CAP)
-        .select("band_key")
-    )
-    pb = pb.join(F.broadcast(hot), "band_key", "left_anti")
     nb = new.select(
         "doc_id",
         F.col("shingles").alias("sh_a"),
@@ -107,26 +116,41 @@ def _dup_doc_ids(new: DataFrame, prior: DataFrame) -> DataFrame:
 
 
 def dedup_batch_against_store(
-    spark: SparkSession, batch: DataFrame, store_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    holds: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Pure dedup decision for one batch: returns the admitted (novel)
     rows as (doc_id, text, shingles, bands).
 
     Two checks, same verify contract: against the persisted store, and
     against earlier docs of the batch itself (first-wins by doc_id —
-    deterministic, matching operators.merge semantics)."""
+    deterministic, matching operators.merge semantics).
+
+    The signed batch relation is persist()ed (it feeds three joins);
+    pass ``holds`` to receive the pinned relation and ``unpersist()`` it
+    once the returned frame has been consumed — callers that omit it
+    accept one pinned relation per call for the session's lifetime.
+    """
     signed = _signed(batch).persist()
+    if holds is not None:
+        holds.append(signed)
 
     dup_vs_store = None
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
         dup_vs_store = _dup_doc_ids(signed, store)
 
-    # intra-batch: candidate pairs within the batch, keep the SMALLER id
-    pb = signed.select(
-        F.col("doc_id").alias("prior_id"),
-        F.col("shingles").alias("sh_b"),
-        F.explode("bands").alias("band_key"),
+    # intra-batch: candidate pairs within the batch, keep the SMALLER id.
+    # Same bucket cap as the store side: one adversarial micro-batch full
+    # of same-bucket boilerplate must not go quadratic.
+    pb = _drop_hot_buckets(
+        signed.select(
+            F.col("doc_id").alias("prior_id"),
+            F.col("shingles").alias("sh_b"),
+            F.explode("bands").alias("band_key"),
+        )
     )
     nb = signed.select(
         "doc_id",
@@ -173,7 +197,8 @@ def run_streaming_neardup_dedup(
     def admit(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         recover_sink(store_path)
-        novel = dedup_batch_against_store(s, batch, store_path)
+        holds: list[DataFrame] = []
+        novel = dedup_batch_against_store(s, batch, store_path, holds=holds)
         if os.path.exists(store_path):
             existing = s.read.parquet(store_path)
             # replay guard: a re-delivered batch's survivors are already
@@ -187,9 +212,12 @@ def run_streaming_neardup_dedup(
             merged = novel
         merged.write.mode("overwrite").parquet(store_path + ".staging")
         promote_staging(store_path)
-        # drop the batch's persisted signature relation — a long-running
-        # stream would otherwise accumulate one pinned relation per batch.
-        s.catalog.clearCache()
+        # release the batch's persisted signature relation — a long-
+        # running stream must not accumulate one pinned relation per
+        # batch (targeted unpersist, NOT clearCache: the session is
+        # shared and other relations' caches are not ours to drop).
+        for h in holds:
+            h.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(admit)
@@ -198,4 +226,10 @@ def run_streaming_neardup_dedup(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(store_path):
+        # zero batches landed: an empty corpus, not a read error.
+        return spark.createDataFrame(
+            [],
+            f"{doc_schema}, shingles array<string>, bands array<string>",
+        )
     return spark.read.parquet(store_path)
