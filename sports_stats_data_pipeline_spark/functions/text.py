@@ -82,6 +82,54 @@ def shingles(text: str | Column = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(c)))
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction (LLM-training-data scrubbing pass).
+#
+# Patterns deliberately contain NO capture groups so group-0 semantics are
+# identical across engines (Spark regexp_extract_all needs an explicit
+# idx=0; DuckDB/RE2 returns the full match by default), and stick to the
+# regex subset Java and RE2 share (\b, \d, character classes, {m,n}).
+# --------------------------------------------------------------------------
+
+#: email-shaped spans (practical scrubbing pattern, not RFC 5322).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: dotted-quad IPv4-shaped spans (no octet range check — scrubbing recall
+#: beats precision for PII removal).
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_email_count(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+
+
+def pii_ipv4_count(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0))
+
+
+def redact_pii(text: str | Column = "text") -> Column:
+    """Mask email then IPv4 spans with fixed placeholder tokens.
+
+    Order matters and is part of the contract: emails are masked first so
+    a dotted hostname inside an already-masked email can't be re-matched
+    by the IPv4 pass. Pure ``regexp_replace`` — JVM-side, codegen-
+    friendly, linear per row; the 100 TB scrubbing pass is exactly this
+    expression over the scan (SQL twin: :func:`sql_redact_pii`, DuckDB
+    needs the ``'g'`` flag Spark implies)."""
+    c = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(masked, IPV4_RE, "[IP]")
+
+
+def sql_redact_pii(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`redact_pii` (global-replace flag required)."""
+    return (
+        f"regexp_replace(regexp_replace({text_expr}, "
+        f"'{EMAIL_RE}', '[EMAIL]', 'g'), '{IPV4_RE}', '[IP]', 'g')"
+    )
+
+
 def minhash(shingle_col: Column, j: int) -> Column:
     """Component ``j`` of the MinHash signature (see module docstring)."""
     return F.array_min(

@@ -1,0 +1,78 @@
+"""Token-window document chunking — the context-window prep step of an
+LLM training-data pipeline (fixed-size chunks with overlap/stride).
+
+Pure built-in expressions: tokenize once, generate the start offsets with
+``sequence``, slice each window with ``slice``, fan out with
+``posexplode``. No shuffle is introduced — chunking is a per-row map with
+an explode fan-out of ``ceil(n_tokens / stride)``, so at 100 TB it
+pipelines inside the scan stage; balance/repartitioning of the exploded
+output is the *downstream* writer's concern (e.g. the sharding
+operator's token-budget packing consumes exactly this shape).
+
+Determinism: chunk boundaries depend only on the token sequence and the
+(chunk_tokens, stride) parameters — stable across partitionings, retries,
+and engines (the DuckDB twin in tests/test_chunking.py replays the same
+slicing with ``range`` + list slices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Explode each document into overlapping token windows.
+
+    Output grain: one row per (document, chunk) with columns
+    ``(id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text)``.
+    ``chunk_idx`` is the 0-based window ordinal; ``start_token`` its
+    0-based token offset (= ``chunk_idx * stride``); consecutive chunks
+    overlap by ``chunk_tokens - stride`` tokens.
+
+    ``stride <= chunk_tokens`` is required (a larger stride would drop
+    tokens between windows); ``stride == chunk_tokens`` gives exact
+    non-overlapping partitioning of the token sequence.
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
+            "drop tokens between consecutive windows"
+        )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, ... < n (n >= 1 always: the
+    # whitespace tokenizer yields [''] for an empty string).
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    windows = F.transform(
+        starts,
+        # slice() is 1-based; length past the end truncates (no pad).
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)),
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(windows).alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+        F.least(
+            F.col("__n") - F.col("chunk_idx") * stride, F.lit(chunk_tokens)
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    )

@@ -32,12 +32,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    EMAIL_RE,
     ENGLISH_STOPWORDS,
+    IPV4_RE,
     band_keys,
     minhash_signature,
+    pii_email_count,
+    pii_ipv4_count,
     predicted_lang,
+    redact_pii,
     shingles,
     simhash64_from_hashes,
+    sql_redact_pii,
     sql_simhash64_int,
     stopword_count,
     token_count,
@@ -105,11 +111,31 @@ _MARKER_SQL = {
 }
 
 
+# The corpus carries no PII-shaped spans or line structure (checked), so —
+# exactly like the dedup queries synthesize duplicates — the profile query
+# synthesizes a deterministic PII-bearing augmentation of each document
+# *inside the query* (identical CTE both engines) and runs the scrubbing /
+# repetition signals on that. The original `text` columns are untouched.
+_SQL_AUG = f"""
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN chr(10) || 'contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || 'footer line' || chr(10) || 'footer line'
+              || chr(10) || 'footer line'
+         ELSE '' END
+"""
+_SQL_AUG_LINES = "string_split(aug, chr(10))"
+
+
 @REGISTRY.register(
     "doc_text_profile",
     oracle=f"""
     WITH scored AS (
-      SELECT doc_id, lang, text,
+      SELECT doc_id, lang, text, {_SQL_AUG} AS aug,
         {_SQL_TOKS} AS toks,
         CAST(length(text) AS INTEGER) AS n_chars,
         CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
@@ -153,7 +179,17 @@ _MARKER_SQL = {
                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_units,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
            array_to_string(list_sort(hashes)[1:3], ',') AS fingerprint,
-           CAST(len(hashes) AS INTEGER) AS n_windows
+           CAST(len(hashes) AS INTEGER) AS n_windows,
+           CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{IPV4_RE}')) AS INTEGER)
+             AS n_ipv4,
+           CAST(length({sql_redact_pii('aug')}) AS INTEGER)
+             AS redacted_n_chars,
+           CAST(len({_SQL_AUG_LINES}) AS INTEGER) AS n_lines,
+           10000 * CAST(len({_SQL_AUG_LINES})
+                        - len(list_distinct({_SQL_AUG_LINES})) AS BIGINT)
+             // len({_SQL_AUG_LINES}) AS dup_line_bp
     FROM finger
     """,
 )
@@ -170,7 +206,17 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-side unit estimate LLM-pipeline budgeting uses when a real
     tokenizer is too expensive. The fingerprint is a bottom-3 sketch over
     rolling 8-token window hashes — constant size per document regardless
-    of length; documents sharing a fingerprint element share content."""
+    of length; documents sharing a fingerprint element share content.
+
+    PII / repetition section (n_emails, n_ipv4, redacted_n_chars,
+    n_lines, dup_line_bp): the scrubbing + Gopher-style repetition
+    signals of an LLM curation pass, run over a deterministic in-query
+    augmentation ``aug`` (the corpus itself carries no PII-shaped spans
+    or newlines — cf. the synthesized duplicates in the dedup queries).
+    Everything is linear per row and stays inside codegen: regex
+    count/replace for detection+masking (functions.text.redact_pii),
+    array_distinct over split lines for the duplicate-line fraction in
+    integer basis points."""
     from ..functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -187,6 +233,25 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = F.when(n_t >= 8, windows).otherwise(
         F.array(F.md5(F.concat_ws(" ", t)))
     )
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\ncontact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nfooter line\nfooter line\nfooter line"),
+        ).otherwise(F.lit("")),
+    )
+    aug_lines = F.split(aug, "\n")
+    n_lines = F.size(aug_lines)
     n_tokens = token_count("text").cast("long")
     n_chars = F.length("text").cast("long")
     n_stop = stopword_count("text").cast("long")
@@ -222,6 +287,17 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
         F.size(hashes).alias("n_windows"),
+        pii_email_count(aug).alias("n_emails"),
+        pii_ipv4_count(aug).alias("n_ipv4"),
+        F.length(redact_pii(aug)).alias("redacted_n_chars"),
+        n_lines.alias("n_lines"),
+        F.floor(
+            F.lit(10000)
+            * (n_lines - F.size(F.array_distinct(aug_lines)))
+            / n_lines
+        )
+        .cast("long")
+        .alias("dup_line_bp"),
     )
 
 
