@@ -71,3 +71,48 @@ def deterministic_split(
             expr
         )
     return df.withColumn("split", expr)
+
+
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source re-weighting — the source-mixing step of
+    an LLM training-data pipeline (e.g. upsample wiki 2.5×, downsample
+    crawl 0.3×, drop a source with weight 0).
+
+    A weight ``w`` for a source keeps each of its rows ``floor(w)`` times
+    plus one more with probability ``frac(w)`` — decided by the same
+    md5 hash-bucket trick as :func:`deterministic_split` (salted per
+    integer copy so the fractional draw is independent of the split
+    draw). Output rows carry a ``copy`` ordinal (0-based) so downstream
+    shuffling/packing can keep replicas apart.
+
+    Scale shape: a projection + ``explode`` of a per-row built array —
+    no shuffle, no rand(); replication factor is bounded by
+    ``ceil(max(weights))``. Unlisted sources default to weight 0
+    (dropped) — pass an explicit weight for every source you keep.
+    Stable under retries/partitioning/corpus growth for the same reasons
+    as the split operator (pure hash of the row id).
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {s!r}: {w}")
+    denom = 1_000_000
+    bucket = hash_bucket(id_col, denom=denom, salt=salt)
+    # copies per row: floor(w) whole copies + 1 iff bucket < frac(w)*denom.
+    n_copies: Column = F.lit(0)
+    for s, w in weights.items():
+        whole, frac = int(w), w - int(w)
+        n_copies = F.when(
+            F.col(source_col) == s,
+            F.lit(whole)
+            + F.when(bucket < int(round(frac * denom)), 1).otherwise(0),
+        ).otherwise(n_copies)
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") > 0)
+    return out.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)).alias("copy")
+    ).drop("__n_copies")

@@ -10,6 +10,7 @@ import pytest
 from sports_stats_data_pipeline_spark.operators.sampling import (
     deterministic_split,
     hash_bucket,
+    mix_sources,
 )
 from sports_stats_data_pipeline_spark.sources.tables import load_table
 
@@ -82,3 +83,79 @@ def test_oversubscribed_fractions_raise(spark):
     docs = load_table(spark, SF, "documents").select("doc_id")
     with pytest.raises(ValueError):
         deterministic_split(docs, "doc_id", {"a": 0.7, "b": 0.5})
+
+
+# ---------------------------------------------------------------------------
+# mix_sources: deterministic per-source up/down-sampling
+# ---------------------------------------------------------------------------
+def _mixed(spark, weights, parts=None):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    if parts:
+        docs = docs.repartition(parts)
+    out = mix_sources(docs, "doc_id", "source", weights)
+    rows = out.collect()
+    return sorted((r["doc_id"], r["copy"]) for r in rows), {
+        r["source"] for r in rows
+    }
+
+
+def test_mix_weight_semantics(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    assert len(sources) >= 2, "corpus must have several sources"
+    keep, drop = sources[0], sources[1]
+    w = {keep: 2.0, drop: 0.0}
+    pairs, seen = _mixed(spark, w)
+    # dropped source gone; kept source exactly doubled with copy 0 and 1
+    assert drop not in seen and keep in seen
+    n_keep = docs.filter(f"source = '{keep}'").count()
+    assert len(pairs) == 2 * n_keep
+    assert {c for _, c in pairs} == {0, 1}
+
+
+def test_mix_fractional_rate_and_determinism(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    w = {s: 0.5 for s in sources}
+    a, _ = _mixed(spark, w)
+    b, _ = _mixed(spark, w, parts=7)
+    assert a == b  # identical sample set under repartitioning
+    n = docs.count()
+    assert abs(len(a) / n - 0.5) < 0.1
+    # upsample 2.5x: every row kept 2 or 3 times
+    pairs, _ = _mixed(spark, {s: 2.5 for s in sources})
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in pairs)
+    assert set(per_doc.values()) <= {2, 3}
+    assert abs(len(pairs) / n - 2.5) < 0.3
+
+
+def test_mix_fraction_matches_duckdb_twin(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    pairs, _ = _mixed(spark, {s: 0.5 for s in sources})
+    got = sorted({d for d, _ in pairs})
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+        SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+        WHERE list_aggregate(list_transform(range(1, 15), i ->
+            (strpos('0123456789abcdef',
+                    substr(md5('mix' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+            * CAST(pow(16, 14 - i) AS BIGINT)), 'sum') % 1000000 < 500000
+        ORDER BY doc_id
+        """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_mix_rejects_negative_weight(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    with pytest.raises(ValueError):
+        mix_sources(docs, "doc_id", "source", {"x": -1.0})
