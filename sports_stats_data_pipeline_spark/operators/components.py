@@ -20,15 +20,24 @@ most members link directly to the canonical copy), so the fixpoint
 arrives in 2-4 rounds in practice; for adversarial long-chain graphs the
 alternating small-star/large-star formulation (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SOCC'14) brings worst-case rounds to
-O(log n) — same join+agg primitives, documented here as the scale-out
-upgrade path. The convergence probe per round is a LIMIT 1 existence
-check on changed labels, not a full count.
+O(log² n) — implemented below as :func:`connected_components_star`, same
+join+agg primitives. The convergence probe per round is a LIMIT 1
+existence check on changed labels, not a full count.
 
 Determinism: min() is order-insensitive and the iteration runs to an
 exact fixpoint, so the output is independent of partitioning, scheduling
 and input order — both engines (and any two cluster runs) agree bit-for-
 bit, which is what lets the driver hash-compare this against a recursive
 -CTE oracle.
+
+Lineage: every round's state is cut with an eager ``localCheckpoint`` —
+``persist()`` alone truncates *computation* but not the *logical plan*,
+and an iterative plan that re-nests its predecessor 2-4× per round grows
+exponentially until Catalyst analysis itself OOMs the driver (hit live
+at ~10 rounds). ``localCheckpoint`` stores blocks on executors; on a
+real cluster with executor churn, point ``spark.sparkContext.
+setCheckpointDir`` at durable storage and swap in ``checkpoint()`` —
+same call shape, fault-tolerant.
 """
 
 from __future__ import annotations
@@ -75,7 +84,7 @@ def connected_components(
                 labels.unionByName(prop)
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -97,3 +106,103 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Star-contraction connected components (alternating large-star /
+    small-star, Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14) — the deep-graph path promised by
+    :func:`connected_components`.
+
+    Hash-min needs one round per unit of component *diameter*; star
+    contraction halves stars into each other and converges in
+    O(log² n) rounds worst-case regardless of diameter — the right
+    algorithm when the near-dup graph degenerates into long chains
+    (template pages each overlapping only the next revision).
+
+    Per round, both phases are the same primitives as hash-min (one
+    shuffle join + one hash aggregate each) over the CONTRACTED edge
+    set, which shrinks geometrically — later rounds are nearly free.
+    Output is identical to hash-min (min-id per component) and equally
+    deterministic: the stable state is the unique min-rooted star
+    forest, independent of partitioning and round count.
+
+    - large-star(u): for m = min(Γ(u) ∪ {u}), connect every strictly
+      larger neighbor v to m;
+    - small-star(u) on downward-oriented edges: connect u and its
+      smaller neighbors to their minimum.
+    """
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # ---- large-star: emit (v, m(u)) for every v ∈ Γ(u), v > u
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star on downward-oriented edges: (u and every
+        # smaller neighbor) all point at the group minimum
+        down = (
+            large.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"),
+            )
+            .distinct()
+        )
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            down.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint = edge set unchanged (both canonical downward
+        # sets; two existence probes, LIMIT 1 each, not full counts)
+        stable = (
+            new_e.join(E, ["u", "v"], "left_anti").limit(1).count() == 0
+            and E.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        # new_e is materialized — safe to drop the previous round's
+        # blocks. The FINAL E must stay cached: the returned DataFrame
+        # reads its checkpointed blocks (no lineage to recompute from).
+        E.unpersist()
+        E = new_e
+        if stable:
+            roots = E.groupBy("u").agg(F.min("v").alias("cluster_id"))
+            return (
+                nodes.select(F.col(id_col).alias("id"))
+                .join(roots.withColumnRenamed("u", "id"), "id", "left")
+                .select(
+                    F.col("id").alias(id_col),
+                    F.coalesce("cluster_id", F.col("id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+    E.unpersist()
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint within {max_rounds} "
+        "rounds (should be ~log² n — check for pathological input)"
+    )
