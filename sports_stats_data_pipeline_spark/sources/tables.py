@@ -114,12 +114,22 @@ def _ship_package(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read as int64 via nanosAsLong (see
-        # session.py); truncate ns -> us exactly like DuckDB's epoch_us.
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # parquet TIMESTAMP(NANOS) read as int64 via nanosAsLong (see
+            # session.py); truncate ns -> us exactly like DuckDB's epoch_us.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+            # NTZ; epoch functions (unix_micros & co) require TIMESTAMP.
+            # The session TZ is pinned UTC above, so this cast is
+            # epoch-preserving and matches DuckDB's naive-timestamp math.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

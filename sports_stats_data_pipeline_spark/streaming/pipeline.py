@@ -32,29 +32,33 @@ from ..operators.merge import insert_if_absent
 from ..operators.sinks import promote_staging, recover_sink
 from ..plans.relational import cents
 
-#: events schema as the parquet reader sees it under nanosAsLong
-#: (session.py): ts arrives as int64 nanoseconds.
+#: events schema for the file-stream source. Declaring ``ts timestamp``
+#: (LTZ) makes the parquet reader hand back epoch micros directly for
+#: both flavors the corpus has shipped (TIMESTAMP(MICROS) NTZ today,
+#: adjusted-to-UTC from our own re-staged files) — under the UTC session
+#: TZ that every path pins (sources.tables.ensure_session_confs) the
+#: wall-clock and the epoch agree, matching the batch loader and the
+#: DuckDB oracle.
 EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet (ns -> us like the
-    batch loader)."""
+    """File-stream source over the events parquet (same ts semantics as
+    the batch loader)."""
     from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
     # file-stream sources take a directory; select the one table's file
     # with a glob filter (a live deployment would point at a landing dir).
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 #: sentinel event type used by the end-of-stream flush pattern.
@@ -77,10 +81,13 @@ def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(staging, "events.parquet"),
     )
-    # 2100-01-01 in int64 nanoseconds — beyond any corpus event time.
-    flush_ns = 4102444800 * 1_000_000_000
+    # 2100-01-01 — beyond any corpus event time. Naive datetime into an
+    # LTZ column = wall clock in the session TZ (pinned UTC).
+    import datetime
+
+    flush_ts = datetime.datetime(2100, 1, 1)
     spark.createDataFrame(
-        [(-1, flush_ns, -1, _FLUSH_TYPE, 0.0, "{}")],
+        [(-1, flush_ts, -1, _FLUSH_TYPE, 0.0, "{}")],
         schema=EVENTS_RAW_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "flush.parquet")
@@ -98,15 +105,13 @@ def _flushed_events_stream(
 
     ensure_session_confs(spark)
     staging = _stage_with_flush(spark, sf_dir)
-    raw = (
+    stream = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("recursiveFileLookup", "true")
         .load(staging)
+        .withWatermark("ts", delay)
     )
-    stream = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withWatermark("ts", delay)
     return stream, staging
 
 

@@ -31,15 +31,12 @@ def test_stateful_profile_across_batches(spark, tmp_path):
         "append"
     ).parquet(src + "/part1")
 
-    raw = (
+    stream = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .load(src)
-    )
-    stream = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
     sink = f"profiles_{uuid.uuid4().hex[:8]}"

@@ -3,17 +3,18 @@ collapse via the state store (first occurrence wins, replays dropped)."""
 
 from __future__ import annotations
 
-import uuid
-
-from pyspark.sql import functions as F
+import datetime
 
 from sports_stats_data_pipeline_spark.streaming.pipeline import (
     EVENTS_RAW_SCHEMA,
     streaming_dedup,
 )
 
-NS = 1_000_000_000
-BASE = 1_700_000_000 * NS
+BASE = 1_700_000_000
+
+
+def _ts(epoch_s: float) -> datetime.datetime:
+    return datetime.datetime.utcfromtimestamp(epoch_s)
 
 
 def test_streaming_dedup_across_batches(spark, tmp_path):
@@ -27,14 +28,11 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         ).write.mode("overwrite").parquet(f"{src}/{part}")
 
     def run():
-        raw = (
+        stream = (
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .format("parquet")
             .option("recursiveFileLookup", "true")
             .load(src)
-        )
-        stream = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
         q = (
             streaming_dedup(stream, ["event_id"])
@@ -51,9 +49,9 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     # batch 0: three events, one internal duplicate key
     write(
         [
-            (1, BASE + 1 * NS, 1, "click", 1.0, "{}"),
-            (2, BASE + 2 * NS, 1, "click", 2.0, "{}"),
-            (2, BASE + 3 * NS, 1, "click", 99.0, "{}"),
+            (1, _ts(BASE + 1), 1, "click", 1.0, "{}"),
+            (2, _ts(BASE + 2), 1, "click", 2.0, "{}"),
+            (2, _ts(BASE + 3), 1, "click", 99.0, "{}"),
         ],
         "b0",
     )
@@ -61,9 +59,9 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     # batch 1: replay of keys 1 and 2 (at-least-once delivery) + new key 3
     write(
         [
-            (1, BASE + 4 * NS, 1, "click", 1.0, "{}"),
-            (2, BASE + 5 * NS, 1, "click", 2.0, "{}"),
-            (3, BASE + 6 * NS, 2, "view", 3.0, "{}"),
+            (1, _ts(BASE + 4), 1, "click", 1.0, "{}"),
+            (2, _ts(BASE + 5), 1, "click", 2.0, "{}"),
+            (3, _ts(BASE + 6), 2, "view", 3.0, "{}"),
         ],
         "b1",
     )

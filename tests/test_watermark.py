@@ -8,7 +8,7 @@ over a shared checkpoint — deterministic, unlike file-mtime ordering.
 
 from __future__ import annotations
 
-import uuid
+import datetime
 
 from pyspark.sql import functions as F
 
@@ -16,10 +16,16 @@ from sports_stats_data_pipeline_spark.streaming.pipeline import (
     EVENTS_RAW_SCHEMA,
 )
 
-NS = 1_000_000_000
-BASE = 1_700_000_000 * NS
-HOUR = 3600 * NS
-W0 = 1_700_000_000 - (1_700_000_000 % 3600)
+
+def _ts(epoch_s: float) -> datetime.datetime:
+    # naive datetime into the LTZ ts column = wall clock in the session
+    # TZ (conftest pins UTC), so epoch_s round-trips exactly.
+    return datetime.datetime.utcfromtimestamp(epoch_s)
+
+
+BASE = 1_700_000_000
+HOUR = 3600
+W0 = BASE - (BASE % 3600)
 
 
 def _append_batch(spark, rows, path, part):
@@ -36,8 +42,7 @@ def _run_stream(spark, src, checkpoint, sink):
         .load(src)
     )
     agg = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
+        raw.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
         .select(F.unix_timestamp("w.start").alias("bucket_s"), "n")
@@ -63,9 +68,9 @@ def test_late_event_dropped_by_watermark(spark, tmp_path):
     _append_batch(
         spark,
         [
-            (1, BASE + 10 * NS, 1, "click", 1.0, "{}"),
-            (2, BASE + 20 * NS, 1, "click", 1.0, "{}"),
-            (3, BASE + 5 * HOUR, 1, "click", 1.0, "{}"),
+            (1, _ts(BASE + 10), 1, "click", 1.0, "{}"),
+            (2, _ts(BASE + 20), 1, "click", 1.0, "{}"),
+            (3, _ts(BASE + 5 * HOUR), 1, "click", 1.0, "{}"),
         ],
         src,
         "b0",
@@ -74,7 +79,7 @@ def test_late_event_dropped_by_watermark(spark, tmp_path):
 
     # run 2 (same checkpoint → watermark restored): a LATE event for W0.
     _append_batch(
-        spark, [(4, BASE + 30 * NS, 1, "click", 1.0, "{}")], src, "b1"
+        spark, [(4, _ts(BASE + 30), 1, "click", 1.0, "{}")], src, "b1"
     )
     _run_stream(spark, src, checkpoint, sink)
 
