@@ -52,6 +52,7 @@ def all_registries() -> QueryRegistry:
     """Collect every plans module's registry into one."""
     from . import (
         advanced,
+        corpus,
         documents,
         events,
         multimodal,
@@ -60,6 +61,14 @@ def all_registries() -> QueryRegistry:
     )
 
     combined = QueryRegistry()
-    for mod in (relational, advanced, events, documents, multimodal, reference_queries):
+    for mod in (
+        relational,
+        advanced,
+        events,
+        documents,
+        corpus,
+        multimodal,
+        reference_queries,
+    ):
         combined.merge(mod.REGISTRY)
     return combined

@@ -1,0 +1,323 @@
+"""Corpus-curation pipeline queries — the training-data preparation
+steps downstream of dedup: quality filtering (perplexity + repetition +
+benchmark decontamination) and dataset layout (splits + source mixing +
+token-budget shard packing).
+
+These drive the operators from ``operators.lm``, ``operators.repetition``,
+``operators.decontam``, ``operators.sampling`` and ``operators.sharding``
+end-to-end over the ``documents`` table with full DuckDB oracles (each
+operator's twin is additionally pinned in its own pytest module:
+tests/test_lm.py, test_repetition.py, test_decontam.py, test_sampling.py,
+test_sharding.py).
+
+Determinism: every filter decision is integer arithmetic; the only
+floating output is the LM negative log-likelihood, emitted rounded to 3
+decimals (per-doc double means are order-sensitive at ~1e-12 — a 5e-4
+rounding boundary makes a cross-engine flip astronomically unlikely,
+and both engines round the same 6-decimal intermediate).
+
+Scale notes:
+- LM training shuffles n-gram *vocabulary* counts (bounded by alphabet³),
+  never corpus bytes; scoring is two broadcast joins over one exploded
+  scan (operators/lm.py docstring).
+- Repetition stats are two map-side-combinable aggregates bounded by
+  distinct (doc, gram) pairs (operators/repetition.py).
+- Decontamination broadcasts the (small) benchmark shingle index — the
+  corpus is scanned once and never shuffled except the per-doc aggregate
+  (operators/decontam.py).
+- Split/mix are pure per-row hash projections (no shuffle, no rand());
+  shard packing is the two-level distributed prefix sum — no global
+  ordered window (operators/sampling.py, operators/sharding.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.decontam import flag_contaminated
+from ..operators.lm import score_perplexity, train_char_lm
+from ..operators.repetition import top_ngram_stats
+from ..operators.sampling import deterministic_split, mix_sources
+from ..operators.sharding import assign_token_shards
+from ..sources.tables import load_table
+from . import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+#: benchmark membership rule for the decontamination demo: every 97th
+#: document plays the role of an eval-suite member (spread through the
+#: corpus; the real pipeline joins an external benchmark table instead).
+_BENCH_MOD = 97
+#: flag a document when >= this % of its distinct shingles hit the index.
+_CONTAM_PCT = 50
+#: drop shingles appearing in more than this many benchmark docs (stock
+#: phrases are not contamination).
+_MAX_BENCH_DF = 10
+#: Gopher-style repetition cutoff: top bigram covering > 20% of chars.
+_REP_BP = 2000
+
+# DuckDB twin of operators.sampling.hash_bucket (md5 nibble-sum — DuckDB
+# has no hex->BIGINT cast; pinned equal in tests/test_sampling.py).
+def _sql_bucket(salt: str) -> str:
+    return f"""
+      list_aggregate(list_transform(range(1, 15), i ->
+        (strpos('0123456789abcdef',
+                substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        * CAST(pow(16, 14 - i) AS BIGINT)), 'sum') % 1000000
+    """
+
+
+@REGISTRY.register(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    gc AS (
+      SELECT gram, COUNT(*) AS cnt FROM g WHERE lang = 'en' GROUP BY gram
+    ),
+    cc AS (
+      SELECT substr(gram, 1, 2) AS ctx, SUM(cnt) AS ctx_cnt
+      FROM gc GROUP BY ctx
+    ),
+    v AS (SELECT COUNT(DISTINCT substr(gram, 3, 1)) AS vs FROM gc),
+    lm AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             round(round(-avg(
+               CASE WHEN cc.ctx_cnt IS NULL
+                    THEN -ln(CAST(v.vs AS DOUBLE))
+                    ELSE ln((CAST(COALESCE(gc.cnt, 0) AS DOUBLE) + 1.0)
+                            / (CAST(cc.ctx_cnt AS DOUBLE) + 1.0 * v.vs))
+               END), 6), 3) AS nll_3
+      FROM g
+      LEFT JOIN gc USING (gram)
+      LEFT JOIN cc ON substr(g.gram, 1, 2) = cc.ctx
+      CROSS JOIN v
+      GROUP BY g.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(text, '\\s+') AS toks
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, n_chars,
+             unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                      p -> toks[p] || ' ' || toks[p+1])
+               ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM toks
+    ),
+    bc AS (
+      SELECT doc_id, n_chars, gram, count(*) AS cnt
+      FROM bigrams GROUP BY ALL
+    ),
+    rep AS (
+      SELECT doc_id,
+             cnt AS top_gram_count,
+             10000 * cnt * CAST(length(gram) AS BIGINT) // n_chars
+               AS top_gram_char_bp
+      FROM bc
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                      p -> toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2])
+               ELSE [text] END) AS shingles
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+            FROM documents)
+    ),
+    idx AS (
+      SELECT shingle FROM (
+        SELECT unnest(shingles) AS shingle, doc_id
+        FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+      )
+      GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) <= {_MAX_BENCH_DF}
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+      JOIN idx USING (shingle)
+      GROUP BY s.doc_id
+    ),
+    dec AS (
+      SELECT sh.doc_id,
+             CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(100 * COALESCE(hits.n_overlap, 0)
+                  // len(sh.shingles) AS BIGINT) AS overlap_pct
+      FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(lm.n_grams, 0) AS BIGINT) AS n_grams,
+           lm.nll_3,
+           CAST(rep.top_gram_count AS BIGINT) AS top_gram_count,
+           rep.top_gram_char_bp,
+           dec.n_overlap,
+           dec.overlap_pct,
+           CAST(CASE WHEN dec.overlap_pct >= {_CONTAM_PCT}
+                THEN 1 ELSE 0 END AS INTEGER) AS contaminated,
+           CAST(CASE WHEN dec.overlap_pct < {_CONTAM_PCT}
+                      AND rep.top_gram_char_bp <= {_REP_BP}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN lm USING (doc_id)
+    LEFT JOIN rep USING (doc_id)
+    LEFT JOIN dec USING (doc_id)
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + keep/drop verdict.
+
+    Three independent signal pipelines over one corpus, joined on
+    doc_id (each tiny relative to the scan it aggregates):
+
+    - char-3-gram LM trained on the ``lang = 'en'`` slice (the trusted
+      corpus), scoring everything — CCNet-style perplexity filtering;
+      non-English and garbled docs surface with high nll;
+    - Gopher top-bigram repetition share (drop if the most common
+      bigram covers > 20% of characters);
+    - benchmark decontamination against the synthetic eval membership
+      rule (doc_id % 97 == 0).
+
+    The keep verdict uses integer signals only; nll_3 ships as the
+    tunable score (real pipelines bucket by perplexity band per CCNet
+    rather than hard-thresholding).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    lm = train_char_lm(
+        docs.filter(F.col("lang") == "en"), "text", n=3, add_k=1.0
+    )
+    scored = score_perplexity(docs, "doc_id", "text", lm).select(
+        "doc_id", "n_grams", F.round("nll", 3).alias("nll_3")
+    )
+    rep = top_ngram_stats(docs, n=2).select(
+        "doc_id", "top_gram_count", "top_gram_char_bp"
+    )
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    dec = flag_contaminated(
+        docs,
+        bench,
+        threshold_pct=_CONTAM_PCT,
+        max_bench_df=_MAX_BENCH_DF,
+    ).select("doc_id", "n_overlap", "overlap_pct", "contaminated")
+    return (
+        scored.join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "nll_3",
+            "top_gram_count",
+            "top_gram_char_bp",
+            "n_overlap",
+            "overlap_pct",
+            "contaminated",
+            (
+                (F.col("contaminated") == 0)
+                & (F.col("top_gram_char_bp") <= _REP_BP)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+#: per-source mixing weights: upsample src0/src1 2.5x, downsample src18
+#: to a half, drop src19, keep the rest 1x.
+_MIX_WEIGHTS = {
+    f"src{i}": (2.5 if i <= 1 else 0.5 if i == 18 else 0.0 if i == 19 else 1.0)
+    for i in range(20)
+}
+_SHARD_BUDGET = 2_000
+
+
+@REGISTRY.register(
+    "corpus_mix_split_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             {_sql_bucket("v1")} AS sbucket,
+             {_sql_bucket("mix")} AS mbucket
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             CASE WHEN sbucket < 800000 THEN 'train'
+                  WHEN sbucket < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN source IN ('src0', 'src1')
+                    THEN 2 + (CASE WHEN mbucket < 500000 THEN 1 ELSE 0 END)
+                  WHEN source = 'src18'
+                    THEN CASE WHEN mbucket < 500000 THEN 1 ELSE 0 END
+                  WHEN source = 'src19' THEN 0
+                  ELSE 1 END AS n_copies
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, source, split, n_tokens, CAST(c AS BIGINT) AS copy,
+             doc_id * 4 + CAST(c AS BIGINT) AS uid
+      FROM s, UNNEST(range(n_copies)) AS u(c)
+      WHERE n_copies > 0
+    ),
+    w AS (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM m
+    )
+    SELECT doc_id, copy, source, split, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {_SHARD_BUDGET} AS BIGINT) AS shard
+    FROM w
+    """,
+)
+def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset layout: deterministic split -> source mixing -> token-
+    budget shard packing, all hash/prefix-sum based (no rand(), no
+    global sort — see module docstring for the scale shapes).
+
+    Replicated rows (copy > 0) keep their split assignment — the split
+    is drawn per document, so an upsampled document never straddles
+    train/test. The shard layout orders by (doc_id, copy) via the
+    synthetic unique id ``doc_id * 4 + copy`` (max 3 copies < 4).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    split = deterministic_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+    mixed = mix_sources(split, "doc_id", "source", _MIX_WEIGHTS, salt="mix")
+    with_uid = mixed.withColumn(
+        "uid", F.col("doc_id") * 4 + F.col("copy")
+    )
+    sharded = assign_token_shards(
+        with_uid, budget=_SHARD_BUDGET, id_col="uid", token_col="n_tokens"
+    )
+    return sharded.select(
+        "doc_id",
+        F.col("copy").cast("long").alias("copy"),
+        "source",
+        "split",
+        "n_tokens",
+        "start_offset",
+        "shard",
+    )

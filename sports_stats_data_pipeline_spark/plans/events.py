@@ -271,14 +271,19 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # The generic as-of join operator (operators.asof) under the driver gate:
 # purchases as-of joined to the latest strictly-earlier click per user,
-# carrying the click's payload columns.
+# carrying the click's payload columns — PLUS the window formulation of
+# the same lookup (last_value ... IGNORE NULLS over the preceding frame,
+# one shuffle on user_id, no self-join) as the last_click_us column. The
+# oracle computes the semantics once; the two Spark implementations are
+# thereby driver-verified to agree with it AND each other.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "asof_join_purchase_click",
     oracle="""
     SELECT event_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
-           asof_click_us, asof_click_value_c
+           asof_click_us, asof_click_value_c,
+           asof_click_us AS last_click_us
     FROM (
       SELECT event_id, user_id, ts, event_type,
              LAST_VALUE(CASE WHEN event_type = 'click'
@@ -324,12 +329,29 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         # equal-timestamp visibility and the equal-ts payload choice.
         order_by="__order",
     )
-    return out.select(
+    # window formulation of the same as-of lookup; joined back on the
+    # unique purchase event_id so both implementations land in one row.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts"))),
+        ignorenulls=True,
+    ).over(w)
+    windowed = (
+        e.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click_us")
+    )
+    return out.join(windowed, "event_id").select(
         "event_id",
         "user_id",
         "purchase_us",
         F.col("asof_click_us"),
         F.col("asof_click_value_c"),
+        "last_click_us",
     )
 
 
@@ -380,48 +402,3 @@ def user_purchase_rank_grouped_pandas(
     )
 
 
-# --------------------------------------------------------------------------
-# As-of lookup (purchase → most recent prior click, per user): the window
-# formulation of an as-of join — last_value(... IGNORE NULLS) over the
-# preceding frame. One shuffle on user_id; no self-join explosion.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "purchase_asof_last_click",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
-           last_click_us
-    FROM (
-      SELECT event_id, user_id, ts, event_type,
-             LAST_VALUE(CASE WHEN event_type = 'click'
-                             THEN CAST(epoch_us(ts) AS BIGINT) END
-                        IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ) AS last_click_us
-      FROM events
-    )
-    WHERE event_type = 'purchase'
-    """,
-)
-def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    last_click = F.last(
-        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts"))),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        e.withColumn("last_click_us", last_click)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_micros(F.col("ts")).alias("purchase_us"),
-            "last_click_us",
-        )
-    )

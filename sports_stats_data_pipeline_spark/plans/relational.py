@@ -350,14 +350,18 @@ def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Set operations (SURVEY.md §2.7) in one relation: repeat customers via
-# INTERSECT, churned via EXCEPT, tagged by `op`. Spark plans both as
-# aggregates/joins — no custom code.
+# Set operations + semi/anti joins (SURVEY.md §2.7, §2.3) in one tagged
+# relation over a unified (op, key, name) schema: repeat customers via
+# INTERSECT, churned via EXCEPT (name NULL — set ops carry keys only),
+# the reference's J1 anti-join shape, and its semi dual. Spark plans all
+# four as aggregates/joins — no custom code.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "customer_set_ops",
+    "set_ops_semi_anti",
     oracle="""
-    SELECT 'intersect' AS op, o_custkey FROM (
+    SELECT 'intersect' AS op, CAST(o_custkey AS BIGINT) AS key,
+           CAST(NULL AS VARCHAR) AS name
+    FROM (
       SELECT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
       INTERSECT
@@ -365,41 +369,16 @@ def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
     )
     UNION ALL
-    SELECT 'except' AS op, o_custkey FROM (
+    SELECT 'except' AS op, CAST(o_custkey AS BIGINT) AS key,
+           CAST(NULL AS VARCHAR) AS name
+    FROM (
       SELECT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
       EXCEPT
       SELECT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
     )
-    """,
-)
-def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey")
-
-    repeat = year(1995).intersect(year(1996)).select(
-        F.lit("intersect").alias("op"), "o_custkey"
-    )
-    churned = year(1995).subtract(year(1996)).select(
-        F.lit("except").alias("op"), "o_custkey"
-    )
-    return repeat.unionByName(churned)
-
-
-# --------------------------------------------------------------------------
-# Semi / anti joins (SURVEY.md §2.3) in one relation: the reference's J1
-# anti-join shape plus its semi dual, tagged by `op` over a unified
-# (key, name) schema.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "semi_anti_joins",
-    oracle="""
+    UNION ALL
     SELECT 'semi' AS op, CAST(p_partkey AS BIGINT) AS key, p_name AS name
     FROM part
     WHERE p_size <= 5
@@ -410,24 +389,42 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    def tagged(df: DataFrame, op: str, key: str, name=None) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col(key).cast("long").alias("key"),
+            (F.col(name) if name else F.lit(None).cast("string")).alias(
+                "name"
+            ),
+        )
+
+    repeat = tagged(year(1995).intersect(year(1996)), "intersect", "o_custkey")
+    churned = tagged(year(1995).subtract(year(1996)), "except", "o_custkey")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     li = load_table(spark, sf_dir, "lineitem")
-    semi = part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
-        F.lit("semi").alias("op"),
-        F.col("p_partkey").cast("long").alias("key"),
-        F.col("p_name").alias("name"),
+    semi = tagged(
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi"),
+        "semi",
+        "p_partkey",
+        "p_name",
     )
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    anti = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select(
-        F.lit("anti").alias("op"),
-        F.col("c_custkey").cast("long").alias("key"),
-        F.col("c_name").alias("name"),
+    anti = tagged(
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti"),
+        "anti",
+        "c_custkey",
+        "c_name",
     )
-    return semi.unionByName(anti)
+    return repeat.unionByName(churned).unionByName(semi).unionByName(anti)
 
 
 # --------------------------------------------------------------------------

@@ -96,10 +96,10 @@ def test_q1_whole_stage_codegen(spark):
 
 def test_semi_anti_merged_query_plans_both_join_types(spark):
     from sports_stats_data_pipeline_spark.plans.relational import (
-        semi_anti_joins,
+        set_ops_semi_anti,
     )
 
-    plan = _plan(semi_anti_joins(spark, SF))
+    plan = _plan(set_ops_semi_anti(spark, SF))
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
