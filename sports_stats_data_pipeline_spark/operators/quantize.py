@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
 
-__all__ = ["quantize_embeddings", "dequantize", "quantized_cosine_topk"]
+__all__ = [
+    "quantize_embeddings",
+    "dequantize",
+    "quantized_cosine_topk",
+    "quantized_ivf_topk",
+]
 
 _QMAX = 127  # symmetric int8 code range [-127, 127]
 
@@ -113,6 +118,99 @@ def quantized_cosine_topk(
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def quantized_ivf_topk(
+    embeddings: DataFrame,
+    query_filter,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full 100 TB ANN layout: k-means IVF cells (operators.kmeans)
+    over int8 codes — the index stores 4× smaller vectors AND the query
+    touches only the probed cells' members.
+
+    Index build (ingest-time at scale — both tables written, partitioned
+    by cell): float vectors → cell assignment; float vectors → int8
+    codes. Query: rank centroids with the float query vector (exact,
+    the standard faiss layout — queries are few), probe ``n_probe``
+    cells, score members with the exact-integer quantized cosine.
+
+    ``n_probe >= n_cells`` degenerates to quantized brute force —
+    tests pin equality with :func:`quantized_cosine_topk` there, so the
+    IVF path inherits the quantization-only error bound.
+    """
+    from ..functions.vectors import as_double
+    from .kmeans import kmeans_fit_assign
+    from pyspark.sql import Window
+
+    assigned, centroids = kmeans_fit_assign(
+        embeddings, k=n_cells, iters=kmeans_iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = assigned.persist()
+    codes = quantize_embeddings(embeddings, vec_col)
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("cq"),
+    ).join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        "neighbor_id",
+    )
+
+    q = embeddings.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    qcodes = codes.join(
+        embeddings.filter(query_filter).select(id_col), id_col
+    ).select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qq"))
+    cw = Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "cell")
+        .join(qcodes, "query_id")
+    )
+    dot_int = _int_dot(F.col("qq"), F.col("cq"))
+    na = _int_dot(F.col("qq"), F.col("qq"))
+    nb = _int_dot(F.col("cq"), F.col("cq"))
+    score = (
+        dot_int.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.lit(1e6) * score).cast("long").alias("qcos_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

@@ -133,3 +133,55 @@ def test_quantized_topk_recall_vs_exact(spark):
     recall = sum(len(es[q_] & qs[q_]) for q_ in es) / (k * len(es))
     # int8 on 64-dim vectors loses little — require high recall
     assert recall >= 0.85, recall
+
+
+def test_quantized_ivf_probe_all_equals_quantized_bruteforce(spark):
+    from sports_stats_data_pipeline_spark.operators.quantize import (
+        quantized_ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    qall = _quantized(spark)
+    brute = quantized_cosine_topk(
+        qall, qall.filter(F.col("vec_id") < 8), k=5
+    ).collect()
+    ivf_all = quantized_ivf_topk(
+        emb, F.col("vec_id") < 8, k=5, n_cells=4, n_probe=4
+    ).collect()
+
+    def as_set(rows):
+        return {
+            (r["query_id"], r["neighbor_id"], r["qcos_micro"]) for r in rows
+        }
+
+    assert as_set(brute) == as_set(ivf_all)
+
+
+def test_quantized_ivf_partial_probe_recall(spark):
+    from sports_stats_data_pipeline_spark.operators.quantize import (
+        quantized_ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    qall = _quantized(spark)
+    k = 5
+    brute = quantized_cosine_topk(
+        qall, qall.filter(F.col("vec_id") < 8), k=k
+    ).collect()
+    ivf = quantized_ivf_topk(
+        emb, F.col("vec_id") < 8, k=k, n_cells=8, n_probe=4
+    ).collect()
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    bs, vs = sets(brute), sets(ivf)
+    recall = sum(len(bs[q_] & vs.get(q_, set())) for q_ in bs) / (
+        k * len(bs)
+    )
+    # half the cells probed -> most true neighbors still found (label-
+    # clustered corpus; the dial trades the rest for 2x less work)
+    assert recall >= 0.5, recall
