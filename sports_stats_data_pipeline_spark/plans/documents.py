@@ -307,12 +307,37 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness is bounded-error by construction and pytest checks the
 # bounds against exact answers).
 # --------------------------------------------------------------------------
-@REGISTRY.register("ann_topk_fast")  # no oracle: float sums in BLAS order
+@REGISTRY.register(
+    "ann_topk_fast",
+    # Same semantics as embedding_cosine_topk; the BLAS kernel's
+    # normalize-then-dot differs from the SQL dot/(|a||b|) only at
+    # ~1e-14, which round-4 absorbs — verified exact at sf0.001/0.01/0.1
+    # on the round-2 corpus. If a future testdata regeneration lands a
+    # score on a 5e-5 rounding boundary, demote this back to rows-only.
+    oracle="""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id
+             ) AS INTEGER) AS rank,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 4)
+               AS score_r4
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    )
+    WHERE rank <= 3
+    """,
+)
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-kernel brute-force ANN (operators.similarity): identical
-    neighbor sets to embedding_cosine_topk (asserted in pytest); scores
-    differ in float summation order so no value oracle — driver records
-    rows-only."""
+    neighbor sets AND round-4 scores to embedding_cosine_topk — the
+    fast path runs under the full value oracle."""
     from ..operators.similarity import ann_topk_numpy
 
     emb = load_table(spark, sf_dir, "embeddings")
