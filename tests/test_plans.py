@@ -141,3 +141,37 @@ def test_ivf_probe_list_is_broadcast(spark):
     # collected or cross-joined unpruned.
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_quality_filter_broadcasts_model_and_index(spark):
+    from sports_stats_data_pipeline_spark.plans.corpus import (
+        corpus_quality_filter,
+    )
+
+    plan = _plan(corpus_quality_filter(spark, SF))
+    # LM gram/context tables and the decontam shingle index must reach
+    # the probe joins as broadcasts — shuffling the exploded corpus by
+    # gram against them is the 100 TB failure mode.
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_shard_packing_has_no_global_sort_window(spark):
+    from sports_stats_data_pipeline_spark.plans.corpus import (
+        corpus_mix_split_shards,
+    )
+
+    plan = _plan(corpus_mix_split_shards(spark, SF))
+    # the bucket-offset side broadcasts back; the only single-partition
+    # window runs over bucket aggregates, not documents
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" in plan  # the tiny bucket-level window
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_idf(spark):
+    from sports_stats_data_pipeline_spark.operators.search import bm25_topk
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _plan(bm25_topk(docs, ["query", "stream"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
