@@ -73,6 +73,61 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Group-stratified split: hash the GROUP key instead of the row id,
+    so every member of a group (domain, source site, dedup cluster)
+    lands in the same split. This is the leakage-safe assignment for
+    corpora with correlated members — a per-row split puts one near-dup
+    twin in train and the other in test, which a random split cannot
+    detect and which inflates eval numbers.
+
+    Same contiguous-bucket semantics as :func:`deterministic_split`
+    (growth-stable, shuffle-free projection); fractions now hold over
+    groups, not rows — heavy groups skew row-level fractions, which is
+    inherent to stratification and is what :func:`split_leakage_report`
+    quantifies for the cluster-level use."""
+    return deterministic_split(df, group_col, fractions, salt=salt)
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-split near-duplicate audit: join verified near-dup PAIRS
+    (e.g. plans.documents MinHash verify output) against a split
+    assignment and count pairs per (split_a, split_b) combination.
+
+    Rows off the diagonal are leakage — a near-dup twin pair straddling
+    train/test. The fix is :func:`grouped_split` keyed by the dedup
+    cluster id (operators.components), after which this report's
+    off-diagonal counts must be zero (pinned in tests).
+
+    Shape: two hash joins of the (small) pair relation against the
+    split projection, one aggregate — nothing corpus-quadratic.
+    """
+    s = splits.select(F.col(id_col), "split")
+    a = s.select(F.col(id_col).alias(a_col), F.col("split").alias("split_a"))
+    b = s.select(F.col(id_col).alias(b_col), F.col("split").alias("split_b"))
+    return (
+        pairs.select(a_col, b_col)
+        .join(a, a_col)
+        .join(b, b_col)
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "leaking", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
 def mix_sources(
     df: DataFrame,
     id_col: str,

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from sports_stats_data_pipeline_spark.operators.sampling import (
     deterministic_split,
@@ -159,3 +160,56 @@ def test_mix_rejects_negative_weight(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "source")
     with pytest.raises(ValueError):
         mix_sources(docs, "doc_id", "source", {"x": -1.0})
+
+
+def test_grouped_split_keeps_groups_intact(spark):
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        grouped_split,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    out = grouped_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="g1"
+    )
+    straddlers = (
+        out.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert straddlers.count() == 0
+
+
+def test_split_leakage_report_and_cluster_keyed_fix(spark):
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        deterministic_split,
+        grouped_split,
+        split_leakage_report,
+    )
+
+    # near-dup pairs chain 1~2~3 and 10~11; per-row split separates some
+    # twins (leakage rows appear), cluster-keyed split cannot.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    per_row = deterministic_split(docs, "doc_id", fr, salt="s")
+    report = split_leakage_report(pairs, per_row).collect()
+    assert sum(r["n_pairs"] for r in report) == 3  # every pair accounted
+
+    # cluster id = min doc id of the connected component
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 21)],
+        "doc_id long, cluster_id long",
+    )
+    fixed = grouped_split(
+        docs.join(clusters, "doc_id"), "cluster_id", fr, salt="s"
+    )
+    fixed_report = split_leakage_report(pairs, fixed).collect()
+    assert all(r["leaking"] == 0 for r in fixed_report), fixed_report
+    assert sum(r["n_pairs"] for r in fixed_report) == 3
