@@ -15,9 +15,13 @@ quadratic and nothing shuffles except the final per-doc aggregate
 Common-shingle noise: an eval question sharing "it is important to note"
 with half the corpus is not contamination. The index drops shingles
 whose BENCHMARK document frequency exceeds ``max_bench_df`` (the
-benchmark is small, so its own df is computable exactly and cheaply);
-corpus-side df capping would need a second corpus scan and is the
-documented upgrade if precision matters more than a scan.
+benchmark is small, so its own df is computable exactly and cheaply).
+Optionally ``max_corpus_df`` additionally drops shingles frequent in
+the CORPUS — the precision upgrade for boilerplate the benchmark
+happens to quote once. It costs one extra corpus scan + one aggregate
+bounded by the shingle vocabulary (map-side combinable, then
+semi-joined against the already-small benchmark index — the corpus df
+table is only materialized for shingles the index contains).
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ def flag_contaminated(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_id_col: str = "doc_id",
+    max_corpus_df: int | None = None,
 ) -> DataFrame:
     """Per-document overlap against the benchmark shingle index.
 
@@ -45,6 +50,10 @@ def flag_contaminated(
     anywhere in the benchmark, and ``contaminated`` is 1 when
     ``overlap_pct >= threshold_pct`` (integer arithmetic throughout —
     no float threshold can flip across engines).
+
+    ``max_corpus_df``, when set, also drops index shingles appearing in
+    more than that many CORPUS documents (boilerplate guard — see the
+    module docstring for the cost trade).
     """
     bench_index = (
         benchmark.select(
@@ -56,6 +65,23 @@ def flag_contaminated(
         .filter(F.col("__df") <= max_bench_df)
         .select("shingle", F.lit(1).alias("__hit"))
     )
+    if max_corpus_df is not None:
+        # second scan, restricted immediately to index shingles so the
+        # df aggregate's input is index-hit-sized, not corpus-vocabulary
+        # sized; the over-cap list anti-joins the (small) index.
+        bench_index = bench_index.persist()
+        hot = (
+            docs.select(
+                F.col(id_col).alias("__cid"),
+                F.explode(shingles(text_col)).alias("shingle"),
+            )
+            .join(F.broadcast(bench_index.select("shingle")), "shingle")
+            .groupBy("shingle")
+            .agg(F.count_distinct("__cid").alias("__cdf"))
+            .filter(F.col("__cdf") > max_corpus_df)
+            .select("shingle")
+        )
+        bench_index = bench_index.join(hot, "shingle", "left_anti")
     # ONE corpus pass: carry the shingle count through the explode, left-
     # join the broadcast index per shingle, aggregate straight back to
     # one row per doc — no second scan, no doc-level join, the only

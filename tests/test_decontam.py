@@ -104,3 +104,33 @@ def test_disjoint_docs_are_clean(spark):
         for r in flag_contaminated(docs, bench).collect()
     }
     assert out == {1: 0, 2: 0}
+
+
+def test_corpus_df_cap_drops_boilerplate_shingles(spark):
+    # "the quick brown fox" boilerplate appears in the benchmark doc AND
+    # in many corpus docs; with the cap, only the benchmark's unique
+    # question text still counts as contamination evidence.
+    boiler = "the quick brown fox jumps over the lazy dog"
+    unique = "what is the airspeed velocity of an unladen swallow"
+    rows = [(0, boiler + " " + unique)]  # the benchmark member
+    rows += [(i, boiler + f" filler{i} words here") for i in range(1, 9)]
+    rows += [(100, unique)]  # a true contamination: quotes the question
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+
+    uncapped = {
+        r["doc_id"]: r["n_overlap"]
+        for r in flag_contaminated(docs, bench, threshold_pct=50).collect()
+    }
+    capped = {
+        r["doc_id"]: r["n_overlap"]
+        for r in flag_contaminated(
+            docs, bench, threshold_pct=50, max_corpus_df=5
+        ).collect()
+    }
+    # boilerplate-only docs lose their overlap entirely under the cap
+    assert uncapped[1] > 0 and capped[1] == 0
+    # the doc quoting the unique question keeps its evidence
+    assert capped[100] > 0
+    # benchmark member still flags itself through its unique shingles
+    assert capped[0] > 0
