@@ -1,0 +1,141 @@
+"""Span-level exact-substring dedup — find token spans repeated across
+documents and mark them for redaction, instead of dropping whole
+documents (Lee et al. 2022 "Deduplicating Training Data Makes Language
+Models Better" runs exactly this as ExactSubstr; their suffix-array
+implementation is single-machine, here the distributed approximation is
+fixed-length shingle matching, which finds every repeat of length >= k
+tokens as a union of overlapping k-shingles).
+
+Pipeline (all built-ins, shuffles bounded by distinct-shingle and
+per-doc span counts):
+
+1. posexplode each doc's k-token shingles with their token offset;
+2. count docs per shingle hash (map-side combinable); keep shingles
+   seen in >= 2 documents — these mark duplicated k-windows;
+3. per doc, merge overlapping/adjacent flagged windows into maximal
+   spans with the classic gap-and-islands: lag + cumulative-sum over a
+   per-doc window (partitioned by doc — parallel across docs, never
+   global);
+4. emit (doc_id, span_start, span_end) token ranges + per-doc stats;
+   callers drop the spans, keep the docs.
+
+Recall/precision contract: a repeat shorter than ``k`` tokens is not
+flagged (by design — short n-gram matches are ubiquitous); hash
+collisions could over-flag (xxhash64 at 64 bits makes that ~2⁻⁶⁴ per
+pair, and the tests verify on exact text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["duplicate_spans", "span_stats"]
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated token spans per document.
+
+    Output: ``(id_col, span_start, span_end, n_windows)`` — token
+    offsets (0-based, end exclusive) of each maximal span covered by
+    k-shingles appearing in >= 2 documents; ``n_windows`` counts the
+    flagged k-windows merged into the span.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingled = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.slice(toks, i + 1, F.lit(k)),
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ).alias("pos", "h"),
+    )
+    # shingles repeated across >= 2 DISTINCT docs; the aggregate's
+    # network is bounded by distinct (h) — count_distinct(doc) partials
+    # combine map-side. Self-repeats inside one doc are deliberately
+    # not flagged (cross-document duplication is the training signal).
+    dup_hashes = (
+        shingled.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("h")
+    )
+    flagged = shingled.join(dup_hashes, "h").select(id_col, "pos")
+    # gap-and-islands per doc: a new span starts when this window's
+    # start exceeds the previous window's end (pos > prev_pos + k - 1
+    # would leave a gap; overlapping/adjacent windows chain).
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        flagged.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new_span",
+            (
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + k)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__span_id",
+            F.sum("__new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "__span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__span_id")
+    )
+
+
+def span_stats(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document redaction summary: one row per doc —
+    ``(id_col, n_tokens, n_spans, dup_tokens, dup_bp)`` where dup_bp is
+    the basis-point share of tokens inside repeated spans (0 for docs
+    with none — every input doc yields a row)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.floor(
+            F.lit(10000) * F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("dup_bp"),
+    )
