@@ -83,8 +83,45 @@ def _run_subprocess(script: str, marker: str, timeout: int) -> None:
     )
 
 
+#: the timezone-trap guard: these queries' VALUES (not just execution)
+#: must match the DuckDB oracle under a non-UTC vanilla session — the
+#: class of bug the round-2 testdata regeneration exposed (NTZ-vs-LTZ
+#: epoch math silently shifting every event time).
+VALUE_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+from _compare import assert_frames_match
+import __spark_entry__ as m
+from pyspark.sql import SparkSession
+import duckdb
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+q, o = m.queries(), m.oracle_sql()
+for name in ["q1_pricing_summary", "events_tumbling_hourly",
+             "events_user_sessions", "asof_join_purchase_click",
+             "corpus_mix_split_shards"]:
+    assert_frames_match(
+        q[name](spark, SF).toPandas(), con.execute(o[name]).df(), name)
+print("HOSTILE_VALUES_OK")
+"""
+
+
 def test_vanilla_session_from_neutral_cwd():
     _run_subprocess(SCRIPT, "DRIVER_CONTRACT_OK", 420)
+
+
+def test_timezone_sensitive_values_in_hostile_session():
+    _run_subprocess(VALUE_SCRIPT, "HOSTILE_VALUES_OK", 420)
 
 
 def test_all_queries_run_in_hostile_session():
