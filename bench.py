@@ -26,7 +26,7 @@ HEADLINE = (
     "q5_local_supplier_volume",
     "topk_orders_per_segment",
     "customer_order_history_window",
-    "events_tumbling_hourly",
+    "events_fixed_windows",
     "events_user_sessions",
     "dedup_exact_docs",
     "neardup_minhash_pairs",

@@ -35,32 +35,67 @@ REGISTRY = QueryRegistry()
 # Tumbling window (fixed 1-hour buckets) per event type.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "events_tumbling_hourly",
+    "events_fixed_windows",
     oracle="""
-    SELECT
+    SELECT 'tumbling_1h' AS win,
       CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
       event_type,
       COUNT(*) AS n_events,
       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding_1h_30m' AS win,
+           CAST(epoch(b) AS BIGINT) AS bucket_s,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+             ]) AS b,
+             value
+      FROM events
+    )
+    GROUP BY 2
     """,
 )
-def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling and sliding fixed windows in one tagged relation
+    (sliding rows carry event_type NULL — they aggregate across types).
+    The tumbling semantics also stay independently driver-verified via
+    streaming_tumbling_hourly's identical-contract streaming run."""
     e = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(cents("value")).alias("value_c"),
         )
         .select(
+            F.lit("tumbling_1h").alias("win"),
             F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
             "event_type",
             "n_events",
             "value_c",
         )
     )
+    sliding = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+        .select(
+            F.lit("sliding_1h_30m").alias("win"),
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            "value_c",
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
 # --------------------------------------------------------------------------
@@ -94,36 +129,59 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two covering bucket starts.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "events_sliding_1h_30m",
+    "events_resample_ffill",
     oracle="""
-    SELECT CAST(epoch(b) AS BIGINT) AS bucket_s,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
-    FROM (
-      SELECT unnest([
-               time_bucket(INTERVAL '30 minutes', ts),
-               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
-             ]) AS b,
-             value
-      FROM events
+    WITH ev AS (
+      -- epoch_us // 1e6 truncates like Spark's unix_timestamp
+      SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s, value
+      FROM events WHERE user_id < 25
+    ),
+    bounds AS (
+      SELECT MIN(s) - (MIN(s) % 21600) AS lo, MAX(s) AS hi FROM ev
+    ),
+    obs AS (
+      -- struct max mirrors Spark's max(struct(s, v)) in-bucket latest
+      SELECT user_id, s - (s % 21600) AS bucket_s,
+             (max(struct_pack(s := s, v := value))).v AS value,
+             1 AS observed
+      FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT user_id, g.bucket_s
+      FROM ev, bounds,
+           LATERAL (SELECT unnest(range(bounds.lo, bounds.hi + 1, 21600))
+                    AS bucket_s) g
+    ),
+    merged AS (
+      SELECT g.user_id, g.bucket_s, o.value,
+             COALESCE(o.observed, 0) AS observed
+      FROM grid g LEFT JOIN obs o
+        ON o.user_id = g.user_id AND o.bucket_s = g.bucket_s
+    ),
+    filled AS (
+      SELECT user_id, bucket_s,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS value,
+             observed
+      FROM merged
     )
-    GROUP BY 1
+    SELECT user_id, bucket_s, value, CAST(observed AS INTEGER) AS observed
+    FROM filled
     """,
 )
-def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(cents("value")).alias("value_c"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
-            "n_events",
-            "value_c",
-        )
-    )
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill under the driver gate: 6-hour grid per user
+    (users < 25 bound the grid), last observation carried forward —
+    operators.gapfill over the events table. Values pass through with
+    no arithmetic, so cross-engine equality is exact; grid bounds
+    derive from the filtered stream's min/max (mirrored in the
+    oracle's bounds CTE)."""
+    from ..operators.gapfill import resample_ffill
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return resample_ffill(e, "user_id", "ts", "value", step_s=21600)
 
 
 # --------------------------------------------------------------------------

@@ -132,8 +132,8 @@ def streaming_tumbling_hourly_table(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Run the 1-hour tumbling aggregation as a stream to completion and
-    return the result — identical output contract to the batch
-    plans.events.events_tumbling_hourly (same DuckDB oracle applies).
+    return the result — identical output contract to the tumbling branch
+    of plans.events.events_fixed_windows (same DuckDB oracle applies).
 
     APPEND mode + watermark + end-of-stream flush: the scale-correct
     shape. Complete mode would re-emit the entire window state on every

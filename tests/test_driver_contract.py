@@ -24,7 +24,7 @@ SF = "/root/testdata/sf0.001"
 checks = {
     "ref_ingest_datasource_end_to_end": 15,   # DataSource + parse + silver
     "ref_ingest_fights_end_to_end": 6,        # fight DataSource chain
-    "events_tumbling_hourly": None,           # ns-parquet + TZ-sensitive
+    "events_fixed_windows": None,             # TZ-sensitive windows
     "multimodal_decode_frames": None,         # mapInPandas
 }
 for name, expect in checks.items():
@@ -107,9 +107,9 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 q, o = m.queries(), m.oracle_sql()
-for name in ["q1_pricing_summary", "events_tumbling_hourly",
+for name in ["q1_pricing_summary", "events_fixed_windows",
              "events_user_sessions", "asof_join_purchase_click",
-             "corpus_mix_split_shards"]:
+             "events_resample_ffill", "corpus_mix_split_shards"]:
     assert_frames_match(
         q[name](spark, SF).toPandas(), con.execute(o[name]).df(), name)
 print("HOSTILE_VALUES_OK")

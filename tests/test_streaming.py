@@ -3,8 +3,10 @@ foreachBatch insert-if-absent upsert is idempotent under replay."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sports_stats_data_pipeline_spark.plans.events import (
-    events_tumbling_hourly,
+    events_fixed_windows,
 )
 from sports_stats_data_pipeline_spark.streaming.pipeline import (
     run_streaming_upsert,
@@ -20,7 +22,11 @@ def _sorted_rows(df):
 
 def test_streaming_tumbling_equals_batch(spark):
     stream_out = streaming_tumbling_hourly_table(spark, SF)
-    batch_out = events_tumbling_hourly(spark, SF)
+    batch_out = (
+        events_fixed_windows(spark, SF)
+        .filter(F.col("win") == "tumbling_1h")
+        .select("bucket_s", "event_type", "n_events", "value_c")
+    )
     assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
 
 
