@@ -59,20 +59,21 @@ def top_ngram_stats(
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    exploded = docs.select(
-        F.col(id_col),
-        F.length(text_col).cast("long").alias("__chars"),
-        F.explode(grams).alias("gram"),
-    )
-    counts = exploded.groupBy(id_col, "__chars", "gram").agg(
+    # doc length joins back AFTER the aggregates (doc-count-sized join):
+    # as a projection sibling of the explode it would be re-evaluated
+    # per gram row — O(n_chars · n_grams) per document (the Generate-
+    # sibling trap documented in operators/decontam.py).
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = exploded.groupBy(id_col, "gram").agg(
         F.count("*").alias("__cnt")
     )
     top = counts.groupBy(id_col).agg(
-        F.max(F.struct(F.col("__cnt"), F.col("gram"), F.col("__chars"))).alias(
-            "__top"
-        )
+        F.max(F.struct(F.col("__cnt"), F.col("gram"))).alias("__top")
     )
-    return top.select(
+    lens = docs.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("__chars")
+    )
+    return top.join(lens, id_col).select(
         id_col,
         F.col("__top.gram").alias("top_gram"),
         F.col("__top.__cnt").cast("long").alias("top_gram_count"),
@@ -80,7 +81,7 @@ def top_ngram_stats(
             F.lit(10000)
             * F.col("__top.__cnt")
             * F.length("__top.gram")
-            / F.col("__top.__chars")
+            / F.col("__chars")
         )
         .cast("long")
         .alias("top_gram_char_bp"),

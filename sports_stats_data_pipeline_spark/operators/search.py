@@ -94,22 +94,20 @@ def bm25_topk(
         / (F.col("df") + F.lit(0.5))
     )
     qidf = qdf.select("term", idf.alias("idf"))
-    # single corpus pass: explode with the doc length carried alongside
-    # (avoids a second corpus-wide join for dl), keep query terms only —
-    # the filter sits below the aggregate, so non-matching tokens never
-    # reach a shuffle and the aggregate's input is query-hit-sized.
+    # single corpus pass for term frequencies: explode, keep query terms
+    # only (the filter sits below the aggregate, so non-matching tokens
+    # never reach a shuffle), then join doc lengths onto the (query-hit-
+    # sized) tf relation. The dl column must NOT ride the explode as a
+    # size()-of-tokens projection sibling: a non-attribute sibling of a
+    # Generate is re-evaluated per exploded row, re-tokenizing the
+    # document once per token — O(len²) per doc (the trap found in
+    # operators/decontam.py at corpus scale).
     tf = (
-        docs.select(
-            F.col(id_col),
-            F.size(tokens(text_col)).cast("long").alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term").isin(qt))
         .groupBy(id_col, "term")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("tf"),
-            F.first("dl").alias("dl"),
-        )
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .join(doc_lens, id_col)
     )
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
