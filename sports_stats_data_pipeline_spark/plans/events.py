@@ -137,7 +137,9 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 25
     ),
     bounds AS (
-      SELECT MIN(s) - (MIN(s) % 21600) AS lo, MAX(s) AS hi FROM ev
+      -- per-key span: each user's grid covers only its own [min, max]
+      SELECT user_id, MIN(s) - (MIN(s) % 21600) AS lo, MAX(s) AS hi
+      FROM ev GROUP BY 1
     ),
     obs AS (
       -- struct max mirrors Spark's max(struct(s, v)) in-bucket latest
@@ -147,9 +149,9 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev GROUP BY 1, 2
     ),
     grid AS (
-      SELECT DISTINCT user_id, g.bucket_s
-      FROM ev, bounds,
-           LATERAL (SELECT unnest(range(bounds.lo, bounds.hi + 1, 21600))
+      SELECT b.user_id, g.bucket_s
+      FROM bounds b,
+           LATERAL (SELECT unnest(range(b.lo, b.hi + 1, 21600))
                     AS bucket_s) g
     ),
     merged AS (
@@ -173,11 +175,12 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill under the driver gate: 6-hour grid per user
-    (users < 25 bound the grid), last observation carried forward —
-    operators.gapfill over the events table. Values pass through with
-    no arithmetic, so cross-engine equality is exact; grid bounds
-    derive from the filtered stream's min/max (mirrored in the
-    oracle's bounds CTE)."""
+    (users < 25), last observation carried forward — operators.gapfill
+    over the events table with the default PER-KEY bounds (each user's
+    grid spans only its own [min, max], mirrored in the oracle's
+    grouped bounds CTE — one outlier user cannot inflate the others'
+    grids). Values pass through with no arithmetic, so cross-engine
+    equality is exact."""
     from ..operators.gapfill import resample_ffill
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)

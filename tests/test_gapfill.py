@@ -136,3 +136,76 @@ def test_matches_duckdb_twin_on_events(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_per_key_default_bounds(spark):
+    # key 1 spans 100..190, key 2 has one ancient obs at 130 PLUS one
+    # far-future at 10_000; under per-key bounds key 1's grid must NOT
+    # stretch to 10_000
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(100), 10.0),
+            (1, _ts(190), 19.0),
+            (2, _ts(130), 99.0),
+            (2, _ts(10_000), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = resample_ffill(ev, "user_id", "ts", "value", step_s=30).collect()
+    k1 = sorted(r["bucket_s"] for r in rows if r["user_id"] == 1)
+    assert k1 == [90, 120, 150, 180]  # key 1's own span only
+    k2 = [r["bucket_s"] for r in rows if r["user_id"] == 2]
+    assert min(k2) == 120 and max(k2) == 9990
+    # first bucket of each key is observed (grid starts at first obs)
+    filled = {
+        (r["user_id"], r["bucket_s"]): (r["value"], r["observed"])
+        for r in rows
+    }
+    assert filled[(1, 90)][1] == 1 and filled[(2, 120)][1] == 1
+    # carry-forward still fills interior gaps
+    assert filled[(1, 150)] == (10.0, 0)
+    assert filled[(2, 5010)] == (99.0, 0)
+
+
+def test_max_buckets_guard(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(100_000), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        resample_ffill(
+            ev, "user_id", "ts", "value", step_s=1, max_buckets=1000
+        )
+    with pytest.raises(ValueError, match="max_buckets"):
+        resample_ffill(
+            ev, "user_id", "ts", "value", step_s=1,
+            start_s=0, end_s=100_000, max_buckets=1000,
+        )
+    # under the cap: fine
+    assert (
+        resample_ffill(
+            ev, "user_id", "ts", "value", step_s=100_000, max_buckets=1000
+        ).count()
+        == 2
+    )
+
+
+def test_empty_input_schema_derives_from_events(spark):
+    # string key + decimal-ish value: the empty global path must carry
+    # the INPUT's types, not a hardcoded long/double
+    ev = spark.createDataFrame(
+        [], "name string, ts timestamp, value float"
+    )
+    out = resample_ffill(
+        ev, "name", "ts", "value", step_s=60, bounds="global"
+    )
+    assert out.count() == 0
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "float", "int"
+    ]
+    # per-key empty path produces the same shape distributedly
+    out2 = resample_ffill(ev, "name", "ts", "value", step_s=60)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == [
+        f.name for f in out.schema.fields
+    ]
