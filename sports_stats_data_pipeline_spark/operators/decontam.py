@@ -69,7 +69,11 @@ def flag_contaminated(
         # second scan, restricted immediately to index shingles so the
         # df aggregate's input is index-hit-sized, not corpus-vocabulary
         # sized; the over-cap list anti-joins the (small) index.
-        bench_index = bench_index.persist()
+        # localCheckpoint, not persist: the index is tiny, both branches
+        # reuse the materialized blocks, and the blocks are GC-scoped —
+        # repeated calls don't accumulate CacheManager entries (an index
+        # this small re-builds in seconds if an executor drops it).
+        bench_index = bench_index.localCheckpoint(eager=True)
         hot = (
             docs.select(
                 F.col(id_col).alias("__cid"),

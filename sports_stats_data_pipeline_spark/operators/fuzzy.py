@@ -63,12 +63,26 @@ def fuzzy_join(
     A true match in a different block is missed (recall contract
     above); raise ``len_bucket`` or union several block functions for
     higher recall at higher candidate cost.
+
+    When ``right_key`` collides with a left column name (the common
+    both-sides-named-"name" entity-resolution case), the right side's
+    key is emitted as ``{right_key}_right`` — unqualified references
+    after the join would otherwise be AMBIGUOUS_REFERENCE.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    rk = right_key
+    if right_key in left.columns:
+        rk = f"{right_key}_right"
+        if rk in left.columns or rk in right.columns:
+            raise ValueError(
+                f"fuzzy_join: cannot disambiguate right key — "
+                f"{rk!r} already exists"
+            )
+        right = right.withColumnRenamed(right_key, rk)
     lb = left.withColumn("__blk_l", block_key(left_key, len_bucket))
-    rb = right.withColumn("__blk_r", block_key(right_key, len_bucket))
-    dist = F.levenshtein(F.col(left_key), F.col(right_key))
+    rb = right.withColumn("__blk_r", block_key(rk, len_bucket))
+    dist = F.levenshtein(F.col(left_key), F.col(rk))
     # tolerance inside the join condition: the physical plan is still an
     # equi-join on the block key (Catalyst extracts the equality) with
     # the distance filter evaluated on candidate pairs; for how='left',

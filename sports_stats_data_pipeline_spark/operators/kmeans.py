@@ -45,6 +45,12 @@ def kmeans_fit_assign(
     """Run ``iters`` Lloyd iterations; returns ``(assignments,
     centroids)`` — ``(id, cell, dist)`` per vector and ``(cell,
     centroid)`` per cluster.
+
+    Both returned relations come back persisted and materialized (the
+    Lloyd lineage is expensive to replay); every internal cache —
+    the vector table and each superseded iteration's centroids — is
+    released before returning. Callers keeping a session alive should
+    ``unpersist()`` the returned frames once consumed.
     """
     # persist: every iteration references the vector relation twice
     # (assignment scan + update join) — the standard iterative-ML cache
@@ -67,6 +73,7 @@ def kmeans_fit_assign(
     )
 
     for _ in range(iters):
+        prev_centroids = centroids
         assigned = _assign(vecs, centroids)
         # update: element-wise mean per cell via posexplode — N×dim rows,
         # two aggregates, no collect. persist each iteration's (tiny,
@@ -88,14 +95,24 @@ def kmeans_fit_assign(
             )
             .persist()
         )
+        # the new table supersedes the old one everywhere downstream;
+        # materialize it (tiny — k×dim) and release the old cache so a
+        # long-lived session doesn't accumulate one relation per
+        # iteration per call
+        centroids.count()
+        prev_centroids.unpersist()
 
-    assigned = _assign(vecs, centroids)
-    return (
-        assigned.select(
-            F.col("__id").alias(id_col), "cell", F.col("__dist").alias("dist")
-        ),
-        centroids,
-    )
+    # materialize the final assignment (far smaller than the vectors:
+    # one (id, cell, dist) row each), then release the internal vector
+    # cache — nothing downstream re-reads it through this lineage. The
+    # two RETURNED relations stay persisted; callers owning a long
+    # session unpersist them when done (quantized_ivf_topk does).
+    assigned = _assign(vecs, centroids).select(
+        F.col("__id").alias(id_col), "cell", F.col("__dist").alias("dist")
+    ).persist()
+    assigned.count()
+    vecs.unpersist()
+    return assigned, centroids
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:

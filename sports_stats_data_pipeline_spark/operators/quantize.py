@@ -154,8 +154,7 @@ def quantized_ivf_topk(
     assigned, centroids = kmeans_fit_assign(
         embeddings, k=n_cells, iters=kmeans_iters, id_col=id_col,
         vec_col=vec_col,
-    )
-    assigned = assigned.persist()
+    )  # both come back persisted + materialized; released below
     codes = quantize_embeddings(embeddings, vec_col)
     corpus = codes.select(
         F.col(id_col).alias("neighbor_id"),
@@ -201,7 +200,7 @@ def quantized_ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos_micro").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -214,3 +213,11 @@ def quantized_ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+    # the result is k rows per query — tiny next to the index. Cut it
+    # loose eagerly (localCheckpoint blocks are GC-scoped, unlike
+    # CacheManager entries) and release the kmeans caches so repeated
+    # calls in a long-lived session don't accumulate cached relations.
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    centroids.unpersist()
+    return out

@@ -74,6 +74,15 @@ def run_streaming_quality(
     score_perplexity's per-doc aggregate is unsupported inside an
     append-mode streaming plan without a watermark, and scoring is
     stateless anyway — each batch is a closed computation.
+
+    foreachBatch is AT-LEAST-ONCE: a batch whose write landed but whose
+    checkpoint commit did not is re-run on recovery. The sink is
+    therefore keyed by batch id — each micro-batch OVERWRITES its own
+    deterministic ``batch=<id>`` directory, so a replay rewrites the
+    same rows instead of appending duplicates (the parquet-sink
+    idempotence pattern; the keyed alternative is
+    operators.merge.insert_if_absent as used by
+    pipeline.run_streaming_upsert).
     """
     lm = load_char_lm(spark, model_path)
     # persist the (tiny) model tables: every micro-batch broadcasts
@@ -103,7 +112,9 @@ def run_streaming_quality(
             .otherwise(0)
             .alias("keep"),
         )
-        out.write.mode("append").parquet(sink_path)
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(score)
@@ -112,4 +123,6 @@ def run_streaming_quality(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink_path)
+    # partition discovery surfaces batch= as a column; it's sink
+    # bookkeeping, not part of the scoring contract
+    return spark.read.parquet(sink_path).drop("batch")

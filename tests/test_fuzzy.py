@@ -119,3 +119,23 @@ def test_plans_as_equi_join_not_cartesian(spark):
         fuzzy_join(fights, fighters, "fighter", "name", 2).explain()
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_same_key_name_both_sides(spark):
+    # both sides keyed "name" — the common entity-resolution shape; the
+    # right key must come back disambiguated, not AMBIGUOUS_REFERENCE
+    from sports_stats_data_pipeline_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("jon smith", 1)], "name string, lid int"
+    )
+    right = spark.createDataFrame(
+        [("john smith", 10), ("zzz", 11)], "name string, rid int"
+    )
+    out = fuzzy_join(left, right, "name", "name", max_dist=2)
+    rows = out.collect()
+    assert "name_right" in out.columns
+    assert len(rows) == 1
+    assert rows[0]["name"] == "jon smith"
+    assert rows[0]["name_right"] == "john smith"
+    assert rows[0]["key_dist"] == 1

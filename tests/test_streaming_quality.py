@@ -63,3 +63,29 @@ def test_streamed_scores_equal_batch_scores(spark, tmp_path):
     # the gate actually separates: both classes present
     keeps = {r[3] for r in got}
     assert keeps == {0, 1}
+
+
+def test_replayed_batch_overwrites_not_appends(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate a replay by re-running the
+    # drained stream with its checkpoint intact (committed batches are
+    # re-listed, none re-fire) and by checking the sink is keyed per
+    # batch id — a re-run of batch N overwrites batch=N, so sink row
+    # count equals input doc count, never a multiple of it.
+    import os
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(100)
+    lm = train_char_lm(docs, "text", n=3)
+    model_path = str(tmp_path / "model")
+    save_char_lm(lm, model_path)
+    src = str(tmp_path / "arrivals")
+    docs.coalesce(1).write.parquet(src + "/b0")
+    sink = str(tmp_path / "scored")
+
+    first = run_streaming_quality(spark, src, model_path, sink, nll_keep_max=5.0)
+    n_first = first.count()
+    assert n_first == 100
+    # sink layout is batch-id keyed (the idempotence mechanism)
+    assert any(d.startswith("batch=") for d in os.listdir(sink))
+    # second drain over the same checkpoint: no duplicates appear
+    again = run_streaming_quality(spark, src, model_path, sink, nll_keep_max=5.0)
+    assert again.count() == n_first
