@@ -17,9 +17,12 @@ Scale shape (the reason this is NOT a per-query UDF loop):
   per-(doc, term) tf aggregate + per-doc score sum are both map-side
   combinable. Top-k is a ``TakeOrderedAndProject`` — no global sort.
 
-Determinism: BM25 is float; scores are emitted in integer micro-units
-(``floor(score * 1e6)``) and ties break by doc_id, so ordering and
-values are stable across partitionings and engines (the DuckDB twin in
+Determinism: BM25 is float; each (doc, term) contribution is floored
+to integer micro-units (``floor(contrib * 1e6)``) BEFORE the per-doc
+sum, so the aggregate adds integers — order-independent under any
+partitioning, where a float sum's last bit can flip with partial-
+aggregation order — and ties break by doc_id. Ordering and values are
+therefore stable across partitionings and engines (the DuckDB twin in
 tests/test_search.py matches exactly).
 """
 
@@ -75,7 +78,8 @@ def bm25_topk(
     """Top-``k`` documents for a bag-of-terms query under BM25.
 
     Output ``(id_col, score_micro, n_query_terms_hit)`` ordered by
-    (score desc, id asc); ``score_micro = floor(score * 1e6)``.
+    (score desc, id asc); ``score_micro`` sums the per-term
+    ``floor(contrib * 1e6)`` integers (module docstring: determinism).
 
     Uses the standard Robertson/Sparck-Jones idf with +1 flooring
     (``ln(1 + (N - df + 0.5) / (df + 0.5))`` — always positive, the
@@ -135,7 +139,7 @@ def bm25_topk(
         tf.join(F.broadcast(qidf), "term")
         .groupBy(id_col)
         .agg(
-            F.floor(F.lit(1e6) * F.sum(contrib)).cast("long").alias(
+            F.sum(F.floor(F.lit(1e6) * contrib).cast("long")).alias(
                 "score_micro"
             ),
             F.count(F.lit(1)).cast("int").alias("n_query_terms_hit"),
@@ -242,7 +246,7 @@ def bm25_topk_indexed(
         tf.join(F.broadcast(qidf), "term")
         .groupBy(id_col)
         .agg(
-            F.floor(F.lit(1e6) * F.sum(contrib)).cast("long").alias(
+            F.sum(F.floor(F.lit(1e6) * contrib).cast("long")).alias(
                 "score_micro"
             ),
             F.count(F.lit(1)).cast("int").alias("n_query_terms_hit"),

@@ -105,30 +105,6 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Cube with grouping() flags (SURVEY.md §2.4 note): all 4 combinations of
-# (orderstatus, orderpriority) totals in one pass.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "cube_orders_status_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("int").alias("g_status"),
-        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        F.count("*").alias("n_orders"),
-    )
-
-
-# --------------------------------------------------------------------------
 # Scalar subquery: customers whose account balance exceeds their nation's
 # average. Catalyst decorrelates this into a join against the aggregated
 # subquery — no per-row re-execution.
@@ -174,8 +150,13 @@ _EXPR_VALUES = ", ".join(
 )
 
 
+# Driver-slot composite (the registry is capped at 50 — NOTES.md): the
+# conditional-expression showcase and the one-row orders column profile
+# share a slot. The 1-row profile cross-joins onto the 5-row literal
+# relation — each conditional row carries the (identical) profile
+# columns, so both operator families are value-gated by one oracle.
 @REGISTRY.register(
-    "expression_conditionals",
+    "expression_profile_orders",
     oracle=f"""
     SELECT id,
       (a IS NOT DISTINCT FROM b) AS null_safe_eq,
@@ -188,14 +169,31 @@ _EXPR_VALUES = ", ".join(
       COALESCE(a, b, -1) AS first_present,
       CASE WHEN a IS NULL AND b IS NULL THEN 'both-null'
            WHEN a IS NULL OR b IS NULL THEN 'one-null'
-           WHEN a = b THEN 'equal' ELSE 'differ' END AS shape
+           WHEN a = b THEN 'equal' ELSE 'differ' END AS shape,
+      p.*
     FROM (VALUES {_EXPR_VALUES}) AS t(id, a, b)
+    CROSS JOIN (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_custkey) AS null_custkey,
+             COUNT(*) - COUNT(o_orderstatus) AS null_status,
+             CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS min_price_c,
+             CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c,
+             CAST(MIN(epoch(o_orderdate)) AS BIGINT) AS min_date_s,
+             CAST(MAX(epoch(o_orderdate)) AS BIGINT) AS max_date_s,
+             COUNT(DISTINCT o_orderstatus) AS n_statuses,
+             COUNT(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders
+    ) p
     """,
 )
-def expression_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def expression_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two demos, one slot: §2.8 conditionals over literals + the
+    one-pass column profile (data-quality operator every large pipeline
+    runs before training — null counts, min/max, distincts in a single
+    aggregate, no per-column passes)."""
     df = spark.createDataFrame(_EXPR_ROWS, schema="id int, a int, b int")
     a, b = F.col("a"), F.col("b")
-    return df.select(
+    cond = df.select(
         "id",
         a.eqNullSafe(b).alias("null_safe_eq"),
         F.coalesce(a.isin(7, 10).cast("int"), F.lit(-1)).alias("in_list_i"),
@@ -211,31 +209,8 @@ def expression_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("differ")
         .alias("shape"),
     )
-
-
-# --------------------------------------------------------------------------
-# One-pass column profiling (data-quality operator every large pipeline
-# runs before training): null counts, min/max, distinct estimate — a
-# single aggregate over the scan, no per-column passes.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "profile_orders_columns",
-    oracle="""
-    SELECT COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_custkey) AS null_custkey,
-           COUNT(*) - COUNT(o_orderstatus) AS null_status,
-           CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS min_price_c,
-           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c,
-           CAST(MIN(epoch(o_orderdate)) AS BIGINT) AS min_date_s,
-           CAST(MAX(epoch(o_orderdate)) AS BIGINT) AS max_date_s,
-           COUNT(DISTINCT o_orderstatus) AS n_statuses,
-           COUNT(DISTINCT o_orderpriority) AS n_priorities
-    FROM orders
-    """,
-)
-def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
+    profile = orders.agg(
         F.count("*").alias("n_rows"),
         (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
         (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
@@ -246,6 +221,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+    return cond.crossJoin(F.broadcast(profile))
 
 
 # --------------------------------------------------------------------------
@@ -256,18 +232,26 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew handling this is rarely hand-written, but the operator must exist
 # for deliberate use (e.g. stable partial outputs for incremental jobs).
 # --------------------------------------------------------------------------
+# Driver-slot composite: the salted two-stage aggregate provides the
+# decomposable measures, the distinct aggregate (non-decomposable — it
+# cannot ride the salt, exactly the incremental.py contract) computes
+# its own expand + two-phase plan, and the two relations join on the
+# group key. One oracle (a plain GROUP BY) value-gates both.
 @REGISTRY.register(
-    "salted_aggregation",
+    "salted_distinct_aggregates",
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS volume_c
+             AS volume_c,
+           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_active_months
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
-def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def salted_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     partial = (
         orders.withColumn("salt", (F.col("o_orderkey") % 8).cast("int"))
@@ -277,79 +261,100 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("o_totalprice")).alias("pv"),
         )
     )
-    return partial.groupBy("o_orderpriority").agg(
+    salted = partial.groupBy("o_orderpriority").agg(
         F.sum("pn").alias("n_orders"),
         F.sum("pv").alias("volume_c"),
     )
-
-
-# --------------------------------------------------------------------------
-# Distinct aggregation (SURVEY.md §2.4 A4 at scale): Catalyst plans
-# count-distinct as an expand + two-phase aggregate — no driver-side set.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "distinct_aggregates",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_distinct_customers,
-           COUNT(*) AS n_orders,
-           CAST(COUNT(DISTINCT CAST(ts_month AS VARCHAR)) AS BIGINT)
-             AS n_active_months
-    FROM (
-      SELECT o_orderpriority, o_custkey,
-             strftime(o_orderdate, '%Y-%m') AS ts_month
-      FROM orders
+    distinct = (
+        orders.select(
+            "o_orderpriority",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ts_month"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_customers"),
+            F.countDistinct("ts_month").alias("n_active_months"),
+        )
     )
-    GROUP BY o_orderpriority
-    """,
-)
-def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        "o_custkey",
-        F.date_format("o_orderdate", "yyyy-MM").alias("ts_month"),
-    )
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_distinct_customers"),
-        F.count("*").alias("n_orders"),
-        F.countDistinct("ts_month").alias("n_active_months"),
-    )
+    return salted.join(distinct, "o_orderpriority")
 
 
 # --------------------------------------------------------------------------
 # Full outer join with coalesced keys: customer activity across two years
 # including customers active in only one of them.
 # --------------------------------------------------------------------------
+# Driver-slot composite: the LEFT-join (nation order volume, preserved
+# null-extended nations) and FULL-OUTER-join (customer year-over-year
+# with coalesced keys) demos share a slot via a tagged union on an
+# aligned (side, key_s, m1, m2) schema — §2.3's outer surface in one
+# oracle-gated relation.
 @REGISTRY.register(
-    "customer_yoy_fullouter",
+    "outer_join_family",
     oracle="""
-    WITH y95 AS (
-      SELECT o_custkey, COUNT(*) AS n95 FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-        AND o_orderdate < TIMESTAMP '1996-01-01'
-        AND o_custkey % 7 = 0
-      GROUP BY o_custkey
-    ), y96 AS (
-      SELECT o_custkey, COUNT(*) AS n96 FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        AND o_orderdate < TIMESTAMP '1997-01-01'
-        AND o_custkey % 7 = 0
-      GROUP BY o_custkey
+    SELECT 'nation_left' AS side, n.n_name AS key_s,
+           COUNT(o.o_orderkey) AS m1,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS m2
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-06-01'
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'custkey_full' AS side, CAST(custkey AS VARCHAR) AS key_s,
+           n95 AS m1, n96 AS m2
+    FROM (
+      WITH y95 AS (
+        SELECT o_custkey, COUNT(*) AS n95 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_custkey % 7 = 0
+        GROUP BY o_custkey
+      ), y96 AS (
+        SELECT o_custkey, COUNT(*) AS n96 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_custkey % 7 = 0
+        GROUP BY o_custkey
+      )
+      SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
+             COALESCE(n95, 0) AS n95,
+             COALESCE(n96, 0) AS n96
+      FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
     )
-    SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
-           COALESCE(n95, 0) AS n95,
-           COALESCE(n96, 0) AS n96
-    FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
     """,
 )
-def customer_yoy_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_custkey") % 7 == 0
+def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp")
     )
+    nation_left = (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(o, o.o_custkey == cust.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("m1"),
+            F.coalesce(
+                F.sum(cents("o_totalprice")), F.lit(0).cast("long")
+            ).alias("m2"),
+        )
+        .select(
+            F.lit("nation_left").alias("side"),
+            F.col("n_name").alias("key_s"),
+            "m1",
+            "m2",
+        )
+    )
+
+    yoy_base = orders.filter(F.col("o_custkey") % 7 == 0)
 
     def year(y: int, out: str) -> DataFrame:
         return (
-            orders.filter(
+            yoy_base.filter(
                 (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
                 & (
                     F.col("o_orderdate")
@@ -361,11 +366,13 @@ def customer_yoy_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = year(1995, "n95"), year(1996, "n96")
-    return a.join(b, a.ck1995 == b.ck1996, "full_outer").select(
-        F.coalesce("ck1995", "ck1996").alias("custkey"),
-        F.coalesce("n95", F.lit(0).cast("long")).alias("n95"),
-        F.coalesce("n96", F.lit(0).cast("long")).alias("n96"),
+    yoy = a.join(b, a.ck1995 == b.ck1996, "full_outer").select(
+        F.lit("custkey_full").alias("side"),
+        F.coalesce("ck1995", "ck1996").cast("string").alias("key_s"),
+        F.coalesce("n95", F.lit(0).cast("long")).alias("m1"),
+        F.coalesce("n96", F.lit(0).cast("long")).alias("m2"),
     )
+    return nation_left.unionByName(yoy)
 
 
 # --------------------------------------------------------------------------
@@ -405,4 +412,75 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), "a").alias("first_a"),
         F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental mart lifecycle under the driver gate — three pytest-only
+# operator modules value-gated by ONE full-recompute oracle:
+# 1. operators.incremental — the mart is built as history-state +
+#    delta-combine (O(Δ) maintenance), never a full rescan; the oracle
+#    IS the full recompute, so the combine must equal it exactly.
+# 2. operators.maintenance — the mart parquet is written as many small
+#    files then compacted (stage → atomic-promote rewrite); compaction
+#    must be row-preserving or the hash flips.
+# 3. operators.bucketing — mart and customer dimension are written as
+#    same-bucketed tables and joined bucket-to-bucket (the plan-level
+#    no-Exchange contract is pinned in tests/test_bucketing.py; here
+#    the join's VALUES are gated).
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "incremental_mart_maintenance",
+    oracle="""
+    SELECT o.o_custkey,
+           c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS volume_c,
+           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.bucketing import bucketed_join, write_bucketed
+    from ..operators.incremental import aggregate_delta, merge_aggregate_state
+    from ..operators.maintenance import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", cents("o_totalprice")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "volume_c": ("sum", "price_c"),
+        "max_price_c": ("max", "price_c"),
+    }
+    state = aggregate_delta(
+        orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
+    )
+    merged = merge_aggregate_state(
+        state,
+        orders.filter(F.col("o_orderdate") >= cut),
+        ["o_custkey"],
+        measures,
+    )
+    # maintenance: land the mart as many small files (the streaming-
+    # append pathology), compact via stage -> atomic promote, read back
+    mart_path = tempfile.mkdtemp(prefix="graft_mart_") + "/mart"
+    merged.repartition(16).write.parquet(mart_path)
+    compacted = compact_parquet(spark, mart_path, target_partitions=2)
+    # bucketing: mart ⋈ customer dimension bucket-to-bucket on custkey
+    write_bucketed(compacted, "graft_mart_b", ["o_custkey"], n_buckets=4)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(cust, "graft_cust_b", ["o_custkey"], n_buckets=4)
+    return bucketed_join(
+        spark, "graft_mart_b", "graft_cust_b", on=["o_custkey"]
+    ).select(
+        "o_custkey", "c_mktsegment", "n_orders", "volume_c", "max_price_c"
     )

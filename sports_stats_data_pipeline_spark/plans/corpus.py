@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
+from ..operators.chunking import chunk_documents
 from ..operators.decontam import flag_contaminated
 from ..operators.lm import score_perplexity, train_char_lm
 from ..operators.repetition import top_ngram_stats
@@ -282,7 +283,12 @@ _SHARD_BUDGET = 2_000
     )
     SELECT doc_id, copy, source, split, n_tokens,
            CAST(start_offset AS BIGINT) AS start_offset,
-           CAST(start_offset // {_SHARD_BUDGET} AS BIGINT) AS shard
+           CAST(start_offset // {_SHARD_BUDGET} AS BIGINT) AS shard,
+           -- token-window chunk layout (operators.chunking): window
+           -- count and first-window width are pure window math over the
+           -- token count — (n-1)//stride + 1 windows of <= chunk_tokens
+           CAST((n_tokens - 1) // 48 + 1 AS BIGINT) AS n_chunks,
+           CAST(least(n_tokens, 64) AS BIGINT) AS first_chunk_tokens
     FROM w
     """,
 )
@@ -295,7 +301,23 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     is drawn per document, so an upsampled document never straddles
     train/test. The shard layout orders by (doc_id, copy) via the
     synthetic unique id ``doc_id * 4 + copy`` (max 3 copies < 4).
+
+    Driver-slot composite: also gates operators.chunking.chunk_documents
+    — each output row carries its document's overlapping-window layout
+    (64-token windows, stride 48) aggregated from the real chunk
+    relation, which the oracle reproduces in closed-form window math.
     """
+    ch = chunk_documents(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=64,
+        stride=48,
+    )
+    chstats = ch.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.max(
+            F.when(F.col("chunk_idx") == 0, F.col("n_chunk_tokens"))
+        ).alias("first_chunk_tokens"),
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
     )
@@ -312,7 +334,7 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = assign_token_shards(
         with_uid, budget=_SHARD_BUDGET, id_col="uid", token_col="n_tokens"
     )
-    return sharded.select(
+    return sharded.join(chstats, "doc_id").select(
         "doc_id",
         F.col("copy").cast("long").alias("copy"),
         "source",
@@ -320,4 +342,99 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "start_offset",
         "shard",
+        "n_chunks",
+        "first_chunk_tokens",
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical search under the driver gate: BM25 top-k (operators.search)
+# over the documents corpus. Scores are sums of per-(doc, term) integer
+# micro-contributions — order-independent under any partitioning (the
+# operator's determinism contract), which is what lets a float-scoring
+# ranker hash-match across engines.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("query", "stream", "spark")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@REGISTRY.register(
+    "lexical_search_bm25",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+      FROM documents
+    ),
+    st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM t),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+      FROM e WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    dfv AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM e WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(CAST(FLOOR(1e6 * (
+             ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * tf.dl / st.avgdl))
+           )) AS BIGINT)) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS INTEGER) AS n_query_terms_hit
+    FROM tf JOIN dfv USING (term) CROSS JOIN st
+    GROUP BY tf.doc_id
+    ORDER BY score_micro DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def lexical_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(
+        docs, list(_BM25_TERMS), k=20, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE training under the driver gate. Iterative pair-merge
+# argmax rounds are the canonical non-SQL-expressible op (the task
+# contract's "iterative algorithms" exemption) — this entry is rows-only
+# at the driver; the hand-computed classic-corpus anchor and the
+# greedy/prefix/roundtrip properties in tests/test_bpe.py pin values.
+# Training is deterministic: ties break on pair lexicographic order, so
+# the merge table is identical across runs and partitionings.
+# --------------------------------------------------------------------------
+@REGISTRY.register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_words, train_bpe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    merges = train_bpe(docs, n_merges=10)
+    rules = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string",
+    )
+    # apply the learned merges back over the training corpus's token
+    # stream: the total symbol count is one deterministic scalar — the
+    # compression the rule set achieves (encode_words round-trip and
+    # greedy-application order are pinned in tests/test_bpe.py)
+    from ..functions.text import tokens as _tokens
+
+    words = docs.select(F.explode(_tokens("text")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    encoded = encode_words(words, merges, word_col="word")
+    total_syms = encoded.agg(
+        F.sum(F.size("bpe_tokens")).cast("long").alias("v")
+    ).first()["v"]
+    return rules.withColumn(
+        "corpus_symbols_after", F.lit(int(total_syms)).cast("long")
     )

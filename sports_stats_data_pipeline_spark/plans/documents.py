@@ -1194,3 +1194,149 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos"), 4).alias("cosine_r4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level ExactSubstr dedup under the driver gate (operators.spans):
+# per-document redaction stats over maximal repeated-5-shingle spans.
+# Like every dedup query, the cross-document duplication is synthesized
+# in-query (identical CTE both engines): docs with doc_id % 10 == 0 get
+# a shared boilerplate tail, which becomes a flagged span in each. The
+# oracle rebuilds the full pipeline — windows, >= 2-distinct-doc filter,
+# gap-and-islands merge — on the shingle STRINGS (the operator hashes
+# them with xxhash64; equal grouping modulo 64-bit collisions).
+# --------------------------------------------------------------------------
+_SPAN_BOILER = (
+    " standard disclaimer the contents of this document are provided"
+    " as is without warranty of any kind"
+)
+
+
+@REGISTRY.register(
+    "span_redaction_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0 THEN '{_SPAN_BOILER}'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(
+               toks[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ') AS sh
+      FROM t, UNNEST(range(0, greatest(len(toks) - 4, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT sh FROM w GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    fl AS (SELECT doc_id, pos FROM w JOIN dup USING (sh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos > lag(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos) + 5
+                  THEN 1 ELSE 0 END AS ns
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+      FROM sp GROUP BY doc_id, sid
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(10000 * COALESCE(dup_tokens, 0) // len(toks) AS BIGINT)
+             AS dup_bp
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def span_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import duplicate_spans, span_stats
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(_SPAN_BOILER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    spans = duplicate_spans(aug, k=5)
+    return span_stats(aug, spans)
+
+
+# --------------------------------------------------------------------------
+# The full quantized ANN layout under the driver gate: k-means IVF cells
+# (operators.kmeans, deterministic Lloyd) over int8 codes
+# (operators.quantize), probed top-k with exact-integer scoring. Probing
+# ALL cells makes the IVF result equal quantized brute force — giving
+# this engine-heavy path a complete value oracle (the partial-probe
+# recall contract is pinned separately in tests/test_quantize.py). All
+# arithmetic after quantization is exact: int8 products summed as
+# integers (< 2^53, exact in DuckDB's double dot), one final
+# floor(1e6 · cos) — bit-identical across engines.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "ann_quantized_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                  THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS qscale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(floor(x / qscale + 0.5) AS DOUBLE))
+               AS qv
+      FROM s
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv) AS dot,
+             list_dot_product(a.qv, a.qv) AS na,
+             list_dot_product(b.qv, b.qv) AS nb
+      FROM q a, q b
+      WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(FLOOR(1e6 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT)
+             AS qcos_micro
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY qcos_micro DESC, neighbor_id) <= 5
+    """,
+)
+def ann_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import quantized_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_ivf_topk(
+        emb,
+        query_filter=F.col("vec_id") < 8,
+        k=5,
+        n_cells=4,
+        n_probe=4,
+        kmeans_iters=2,
+    )

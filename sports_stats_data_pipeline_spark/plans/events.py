@@ -246,13 +246,16 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   explode entries, aggregate per key.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
-    "events_props_analysis",
+    "events_props_pivot",
     oracle="""
     SELECT 'bucket' AS kind,
            CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
                 AS VARCHAR) AS prop_key,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS metric
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS metric,
+           CAST(NULL AS BIGINT) AS click, CAST(NULL AS BIGINT) AS error,
+           CAST(NULL AS BIGINT) AS purchase, CAST(NULL AS BIGINT) AS signup,
+           CAST(NULL AS BIGINT) AS view
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY 2
@@ -260,12 +263,29 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'key' AS kind, k AS prop_key,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
-             AS BIGINT) AS metric
+             AS BIGINT) AS metric,
+           NULL, NULL, NULL, NULL, NULL
     FROM events, UNNEST(json_keys(props)) AS t(k)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'day' AS kind, strftime(ts, '%Y-%m-%d') AS prop_key,
+           COUNT(*) AS n_events,
+           CAST(NULL AS BIGINT) AS metric,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
     GROUP BY 2
     """,
 )
-def events_props_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_props_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot composite: the JSON/map props analysis ('bucket' and
+    'key' rows) and the daily event-type pivot ('day' rows, conditional
+    aggregation — the fixed-schema pivot that avoids a domain-discovery
+    pass over 100 TB) share one tagged relation; columns not meaningful
+    for a side are NULL."""
     e = load_table(spark, sf_dir, "events")
     buckets = (
         e.filter(F.col("event_type") == "purchase")
@@ -295,38 +315,32 @@ def events_props_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("key").alias("kind"), "prop_key", "n_events", "metric")
     )
-    return buckets.unionByName(keys)
-
-
-# --------------------------------------------------------------------------
-# Daily pivot of event types (SURVEY.md §2.9 restructuring): conditional
-# aggregation — identical semantics to pivot() but null-free and with a
-# fixed output schema, which is what you want at scale anyway (pivot with
-# inferred values needs an extra pass over 100 TB to discover the domain).
-# --------------------------------------------------------------------------
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-@REGISTRY.register(
-    "events_daily_type_pivot",
-    oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
-           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
-    FROM events
-    GROUP BY 1
-    """,
-)
-def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    aggs = [
+    props = buckets.unionByName(keys).select(
+        "kind",
+        "prop_key",
+        "n_events",
+        "metric",
+        *[F.lit(None).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+    day_aggs = [
         F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
         for t in _EVENT_TYPES
     ]
-    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(*aggs)
+    days = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("prop_key"))
+        .agg(F.count("*").alias("n_events"), *day_aggs)
+        .select(
+            F.lit("day").alias("kind"),
+            "prop_key",
+            "n_events",
+            F.lit(None).cast("long").alias("metric"),
+            *_EVENT_TYPES,
+        )
+    )
+    return props.unionByName(days)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 # --------------------------------------------------------------------------

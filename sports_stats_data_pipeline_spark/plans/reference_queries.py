@@ -434,6 +434,9 @@ _GOLD_FIGHTS = [
     (1, "Alex Example", "Bo Sample", "KO/TKO"),
     (2, "Cy Test", "Alex Example", "Decision - Unanimous"),
     (3, "Bo Sample", "Unknown Person", "Submission"),
+    # fighter_a misspelled: exact join misses, fuzzy resolution (same
+    # soundex class + length bucket, edit distance 1) recovers it
+    (4, "Alix Example", "Cy Test", "KO/TKO"),
 ]
 _GOLD_FIGHTERS_VALUES = ", ".join(
     f"('{n}', {w}, {l})" for n, w, l in _GOLD_FIGHTERS
@@ -451,16 +454,37 @@ _GOLD_FIGHTS_VALUES = ", ".join(
     ), fights AS (
       SELECT * FROM (VALUES {fights}) AS t(fight_id, fighter_a, fighter_b,
                                            method)
+    ), fz AS (
+      -- fuzzy candidates: the fixture guarantees every <=2-edit pair
+      -- shares the blocked join's (soundex, length-bucket) key, so the
+      -- plain edit-distance predicate is exactly the blocked result
+      SELECT f.fight_id, fa2.wins, fa2.name,
+             CAST(levenshtein(f.fighter_a, fa2.name) AS INTEGER) AS d
+      FROM fights f JOIN fighters fa2
+        ON levenshtein(f.fighter_a, fa2.name) <= 2
+    ), fzbest AS (
+      SELECT fight_id, wins, d,
+             ROW_NUMBER() OVER (PARTITION BY fight_id ORDER BY d, name) AS rn
+      FROM fz
     )
     SELECT f.fight_id, f.method,
            f.fighter_a, fa.wins AS a_wins,
-           f.fighter_b, fb.wins AS b_wins
+           f.fighter_b, fb.wins AS b_wins,
+           fzb.wins AS a_wins_fuzzy, fzb.d AS a_fuzzy_dist
     FROM fights f
     LEFT JOIN fighters fa ON f.fighter_a = fa.name
     LEFT JOIN fighters fb ON f.fighter_b = fb.name
+    LEFT JOIN fzbest fzb ON fzb.fight_id = f.fight_id AND fzb.rn = 1
     """.format(fighters=_GOLD_FIGHTERS_VALUES, fights=_GOLD_FIGHTS_VALUES),
 )
 def ref_gold_name_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact LEFT name resolution (the reference's gold join) PLUS the
+    tolerant variant via operators.fuzzy.fuzzy_join: a_wins_fuzzy /
+    a_fuzzy_dist resolve fighter_a through the blocked edit-distance
+    join (min (dist, name) candidate wins), recovering the misspelled
+    fixture row the exact join drops."""
+    from ..operators.fuzzy import fuzzy_join
+
     fighters = spark.createDataFrame(
         _GOLD_FIGHTERS, schema="name string, wins int, losses int"
     )
@@ -474,13 +498,31 @@ def ref_gold_name_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame
     fb = fighters.select(
         F.col("name").alias("fb_name"), F.col("wins").alias("b_wins")
     )
-    return (
+    exact = (
         fights.join(F.broadcast(fa), fights.fighter_a == fa.fa_name, "left")
         .join(F.broadcast(fb), fights.fighter_b == fb.fb_name, "left")
         .select(
             "fight_id", "method", "fighter_a", "a_wins", "fighter_b", "b_wins"
         )
     )
+    cand = fuzzy_join(
+        fights.select("fight_id", F.col("fighter_a").alias("fa_q")),
+        fighters.select(
+            F.col("name").alias("fz_name"), F.col("wins").alias("fz_wins")
+        ),
+        "fa_q",
+        "fz_name",
+        max_dist=2,
+        how="inner",
+    )
+    best = cand.groupBy("fight_id").agg(
+        F.min(F.struct("key_dist", "fz_name", "fz_wins")).alias("__b")
+    ).select(
+        "fight_id",
+        F.col("__b.fz_wins").alias("a_wins_fuzzy"),
+        F.col("__b.key_dist").alias("a_fuzzy_dist"),
+    )
+    return exact.join(F.broadcast(best), "fight_id", "left")
 
 
 # --------------------------------------------------------------------------

@@ -322,31 +322,78 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # Rollup (SURVEY.md §2.4 note): hierarchical totals region → nation.
 # --------------------------------------------------------------------------
+# Driver-slot composite: ROLLUP (customers by geography) and CUBE
+# (orders by status × priority) share a slot via a tagged union on an
+# aligned (scope, g1, g2, f1, f2, n, measure_c) schema. grouping()
+# flags (f1/f2) distinguish subtotal NULLs from data NULLs on both
+# sides; the cube side carries a NULL money measure.
 @REGISTRY.register(
-    "rollup_customers_by_geo",
+    "rollup_cube_grouping",
     oracle="""
-    SELECT r_name, n_name,
-           COUNT(c_custkey) AS n_customers,
-           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
+    SELECT 'customer_geo_rollup' AS scope, r_name AS g1, n_name AS g2,
+           CAST(GROUPING(r_name) AS INTEGER) AS f1,
+           CAST(GROUPING(n_name) AS INTEGER) AS f2,
+           COUNT(c_custkey) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS measure_c
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'order_status_cube' AS scope, o_orderstatus AS g1,
+           o_orderpriority AS g2,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS f1,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS f2,
+           COUNT(*) AS n,
+           CAST(NULL AS BIGINT) AS measure_c
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
+    geo = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.count("c_custkey").alias("n_customers"),
-            F.sum(cents("c_acctbal")).alias("acctbal_c"),
+            F.grouping("r_name").cast("int").alias("f1"),
+            F.grouping("n_name").cast("int").alias("f2"),
+            F.count("c_custkey").alias("n"),
+            F.sum(cents("c_acctbal")).alias("measure_c"),
+        )
+        .select(
+            F.lit("customer_geo_rollup").alias("scope"),
+            F.col("r_name").alias("g1"),
+            F.col("n_name").alias("g2"),
+            "f1",
+            "f2",
+            "n",
+            "measure_c",
         )
     )
+    orders = load_table(spark, sf_dir, "orders")
+    status = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("f1"),
+            F.grouping("o_orderpriority").cast("int").alias("f2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.lit("order_status_cube").alias("scope"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "f1",
+            "f2",
+            "n",
+            F.lit(None).cast("long").alias("measure_c"),
+        )
+    )
+    return geo.unionByName(status)
 
 
 # --------------------------------------------------------------------------
@@ -428,41 +475,6 @@ def set_ops_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Outer join with null-handling (SURVEY.md §2.3 full surface).
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "nation_order_volume_outer",
-    oracle="""
-    SELECT n.n_name,
-           COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
-                AS BIGINT) AS volume_c
-    FROM nation n
-    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
-    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
-                        AND o.o_orderdate < TIMESTAMP '1995-06-01'
-    GROUP BY n.n_name
-    """,
-)
-def nation_order_volume_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation")
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    o = orders.filter(F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp"))
-    return (
-        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
-        .join(o, o.o_custkey == cust.c_custkey, "left")
-        .groupBy("n_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(cents("o_totalprice")), F.lit(0).cast("long")).alias(
-                "volume_c"
-            ),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # Incremental merge (the reference's core semantics, SURVEY.md §2.3 J1 /
 # §2.4 A5 / §2.7 U1-U2) demonstrated on the corpus: an "existing" sink and
 # an overlapping "incoming" batch; existing rows must win.
@@ -485,6 +497,18 @@ def nation_order_volume_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def merge_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated through the BLOOM-pruned two-phase path
+    (operators.bloom.insert_if_absent_bloom, sharded bitmap): rows the
+    filter rules out bypass the anti-join, the "maybe" sliver takes the
+    exact path — and the result is row-for-row identical to the plain
+    operator (no false negatives), which is precisely what the
+    unchanged plain-SQL oracle verifies."""
+    from ..operators.bloom import (
+        build_bloom,
+        insert_if_absent_bloom,
+        optimal_params,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", F.lit("sink").alias("src")
@@ -495,4 +519,9 @@ def merge_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("overwrite-attempt").alias("o_orderstatus"),
         F.lit("batch").alias("src"),
     )
-    return insert_if_absent(existing, incoming, keys=["o_orderkey"])
+    m, k = optimal_params(existing.count())
+    m = ((m + 64 * 4 - 1) // (64 * 4)) * (64 * 4)  # divisible by 4 shards
+    bloom = build_bloom(existing, "o_orderkey", m, k, shards=4)
+    return insert_if_absent_bloom(
+        existing, incoming, keys=["o_orderkey"], bloom=bloom
+    )

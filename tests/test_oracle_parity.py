@@ -36,7 +36,13 @@ def oracle():
 
 #: ops whose internals are engine-specific (sketches, BLAS float order) —
 #: rows-only driver check; pytest covers them against exact ground truth.
-NO_ORACLE_ALLOWED = {"sketch_approx_stats", "ann_topk_fast"}
+NO_ORACLE_ALLOWED = {
+    "sketch_approx_stats",
+    "ann_topk_fast",
+    # iterative pair-merge argmax training — the task contract's
+    # "iterative algorithms" exemption; values pinned in tests/test_bpe.py
+    "bpe_train_merges",
+}
 
 
 def test_every_query_has_an_oracle_or_is_flagged():

@@ -42,11 +42,11 @@ def _duck_topk(k: int):
           FROM e WHERE term IN ({terms}) GROUP BY term
         )
         SELECT tf.doc_id,
-               CAST(FLOOR(1e6 * SUM(
+               CAST(SUM(CAST(FLOOR(1e6 * (
                  ln(1 + (st.n - dfv.df + 0.5) / (dfv.df + 0.5))
                  * tf.tf * ({K1} + 1)
                  / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / st.avgdl))
-               )) AS BIGINT) AS score_micro,
+               )) AS BIGINT)) AS BIGINT) AS score_micro,
                CAST(COUNT(*) AS INTEGER) AS n_query_terms_hit
         FROM tf JOIN dfv USING (term) CROSS JOIN st
         GROUP BY tf.doc_id
