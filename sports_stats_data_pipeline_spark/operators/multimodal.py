@@ -152,9 +152,66 @@ def resize_nearest(
     ).mapInPandas(resize, schema=PIXELS_SCHEMA)
 
 
+def pil_available() -> bool:
+    """True when pillow is importable (optional dependency)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def real_decode_pixels(
+    docs_with_payload: DataFrame, max_side: int = 64
+) -> DataFrame:
+    """Real-codec image decode via pillow when installed: payload bytes →
+    grayscale pixel grid in :data:`PIXELS_SCHEMA` (same contract as
+    :func:`fake_decode_pixels`, so downstream resize/feature stages are
+    codec-agnostic). Images larger than ``max_side`` are thumbnailed
+    (aspect-preserving) before pixel export so one oversized asset can't
+    blow an Arrow batch. Undecodable payloads are dropped — the
+    malformed-row filter (P6) semantics, matching the reference's
+    skip-on-parse-failure rows.
+
+    Pillow is OPTIONAL: when absent this raises NotImplementedError on
+    the driver (eagerly, before any job is launched) — the documented
+    no-codecs-in-container stub behavior.
+    """
+    if not pil_available():
+        return real_decode_stub(docs_with_payload)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                except Exception:
+                    continue
+                if max(img.size) > max_side:
+                    img.thumbnail((max_side, max_side))
+                w, h = img.size
+                px = np.asarray(img, dtype=np.int32)
+                rows.append((doc_id, w, h, px.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixels"]
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        decode, schema=PIXELS_SCHEMA
+    )
+
+
 def real_decode_stub(docs_with_payload: DataFrame) -> DataFrame:
-    """The real-codec path. STUB: the container ships no image/audio
-    libraries; wire PIL/ffmpeg/torchaudio here when available."""
+    """The no-codec fallback. STUB: raised when pillow/ffmpeg/torchaudio
+    are not installed; use :func:`fake_decode_features` for the pipeline
+    shape, or install pillow to activate :func:`real_decode_pixels`."""
     raise NotImplementedError(
         "media codecs are not installed in this environment; use "
         "fake_decode_features for the pipeline shape"

@@ -33,20 +33,43 @@ from pyspark.sql import DataFrame
 NA = "N/A"
 
 # Selector matching is by CSS class, tolerant of attribute order, extra
-# attributes, and additional classes (``_cls`` builds the tolerant form) —
-# the closest stdlib-regex approximation of bs4's class selector the
-# reference relies on. Document-structure changes bs4 would also need new
-# selectors for still require updating these.
+# attributes, additional classes, either quote style (or none), whitespace
+# around ``=``, and attribute-name case (``_cls`` builds the tolerant
+# form, with bs4-grade class-TOKEN boundaries: ``b-content__title`` must
+# not match inside ``b-content__title-highlight``) — the closest
+# stdlib-regex approximation of bs4's class selector the reference relies
+# on. Document-structure changes bs4 would also need new selectors for
+# still require updating these.
+
+
+def _class_attr(klass: str) -> str:
+    """Pattern for a ``class`` attribute whose token list contains
+    ``klass``: double/single/unquoted values, spaces around ``=``,
+    any attribute-name case, token-boundary match (class tokens are
+    ``[-\\w]`` words, so a prefix of a longer token never matches)."""
+    k = re.escape(klass)
+    tok = rf"(?<![\w-]){k}(?![\w-])"
+    return (
+        rf'(?i:class)\s*=\s*(?:"[^"]*{tok}[^"]*"'
+        rf"|'[^']*{tok}[^']*'"
+        rf"|{k}(?=[\s/>]))"
+    )
 
 
 def _cls(tag: str, klass: str) -> str:
     """Open-tag pattern for ``<tag ... class="... klass ..." ...>``."""
-    return (
-        rf'<{tag}\b[^>]*class="[^"]*{re.escape(klass)}[^"]*"[^>]*>'
-    )
+    return rf"<{tag}\b[^>]*?{_class_attr(klass)}[^>]*>"
 
 
-_HREF_RE = re.compile(r'<a\s+[^>]*href="([^"]+)"', re.I)
+def _cls_any(klass: str) -> str:
+    """Rest-of-open-tag pattern for any tag carrying the class (used
+    where the reference selects by class alone, tag-agnostic)."""
+    return rf"{_class_attr(klass)}[^>]*>"
+
+
+_HREF_RE = re.compile(
+    r"<a\b[^>]*?(?i:href)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I
+)
 _TITLE_RE = re.compile(
     _cls("span", "b-content__title-highlight") + r"\s*(.*?)\s*</span>", re.S
 )
@@ -70,12 +93,11 @@ _EVENT_TITLE_RE = re.compile(
     _cls("h2", "b-content__title") + r"\s*(.*?)\s*</h2>", re.S
 )
 _PERSON_NAME_RE = re.compile(
-    r'class="[^"]*b-fight-details__person-name[^"]*"[^>]*>'
-    r"\s*<a[^>]*>\s*(.*?)\s*</a>",
+    _cls_any("b-fight-details__person-name") + r"\s*<a[^>]*>\s*(.*?)\s*</a>",
     re.S,
 )
 _PERSON_STATUS_RE = re.compile(
-    r'class="[^"]*b-fight-details__person-status[^"]*"[^>]*>\s*(.*?)\s*</i>',
+    _cls_any("b-fight-details__person-status") + r"\s*(.*?)\s*</i>",
     re.S,
 )
 _META_ITEM_RE = re.compile(
@@ -95,7 +117,8 @@ def extract_links(html: str, must_contain: str) -> list[str]:
     """P1–P3: hrefs containing a marker substring, order-preserving dedup
     (fights_scraper.py:52-55)."""
     seen, out = set(), []
-    for href in _HREF_RE.findall(html or ""):
+    for m in _HREF_RE.finditer(html or ""):
+        href = next(g for g in m.groups() if g is not None)
         if must_contain in href and href not in seen:
             seen.add(href)
             out.append(href)

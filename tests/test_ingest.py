@@ -267,6 +267,50 @@ def test_parser_tolerates_attribute_and_class_drift():
     assert row["fight_dates"] == "Mar. 5, 2025"
 
 
+#: Further drift bs4 shrugs off: single-quoted / unquoted attribute
+#: values, whitespace around ``=``, uppercase attribute names — plus a
+#: class token that merely PREFIXES the selector's class (bs4 matches
+#: whole tokens; "...title-highlighted" must not satisfy
+#: "...title-highlight", which a substring regex would).
+QUOTE_DRIFT_FIGHTER_PAGE = """
+<html><body>
+<span class='prefix-trap b-content__title-highlighted'> Wrong Guy </span>
+<span CLASS = 'b-content__title-highlight'> Ana Example </span>
+<p class=b-content__Nickname> Spider </p>
+<span Class="b-content__title-record">Record: 20-3-0</span>
+<ul>
+<li class = "b-list__box-list-item"><i>Height:</i> 5' 8"</li>
+<li class='b-list__box-list-item'><i>Reach:</i> 70"</li>
+</ul>
+<p class='b-fight-details__table-text'>Jan. 2, 2024</p>
+</body></html>
+"""
+
+
+def test_parser_tolerates_quote_and_case_drift():
+    row = parse_fighter_page(QUOTE_DRIFT_FIGHTER_PAGE)
+    assert row["Name"] == "Ana Example"
+    assert row["Nickname"] == "Spider"
+    assert row["Record"] == "20-3-0"
+    assert row["Height"] == "5' 8\""
+    assert row["Reach"] == '70"'
+    assert row["fight_dates"] == "Jan. 2, 2024"
+
+
+def test_extract_links_tolerates_quote_drift():
+    html = (
+        "<a href='http://x/fight-details/a'>1</a>"
+        '<a data-q="z" HREF = "http://x/fight-details/b">2</a>'
+        "<a href=http://x/fight-details/c>3</a>"
+        '<a href="http://x/other/d">4</a>'
+    )
+    assert extract_links(html, "fight-details") == [
+        "http://x/fight-details/a",
+        "http://x/fight-details/b",
+        "http://x/fight-details/c",
+    ]
+
+
 def test_requests_transport_wiring(monkeypatch):
     """The live-HTTP transport is import-guarded (no network in tests);
     verify its wiring — session UA header, timeout, (status, text)

@@ -79,3 +79,48 @@ def test_partition_invariance(spark):
         for r in resize_nearest(px.repartition(7), 5, 5).collect()
     }
     assert a == b
+
+
+def test_real_decode_stub_raises_without_pillow(spark):
+    """Without pillow the real-codec path must fail eagerly on the
+    driver (documented stub), not mid-job on an executor."""
+    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    payload = attach_binary_payload(docs)
+    if mm.pil_available():
+        pytest.skip("pillow installed; covered by the real-decode test")
+    with pytest.raises(NotImplementedError):
+        mm.real_decode_pixels(payload)
+
+
+def test_real_decode_pixels_with_pillow(spark):
+    """When pillow IS installed: PNG payloads round-trip through the
+    real decode into the same PIXELS_SCHEMA contract as the fake path
+    (skips cleanly otherwise)."""
+    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, seed):
+        img = PIL.new("L", (w, h))
+        img.putdata([(seed + i * 7) % 256 for i in range(w * h)])
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, bytearray(png_bytes(4, 3, 10))),
+        (2, bytearray(png_bytes(200, 100, 42))),  # > max_side: thumbnailed
+        (3, bytearray(b"not an image")),  # undecodable: dropped
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    out = mm.real_decode_pixels(df, max_side=64).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    r1 = out[0]
+    assert (r1["width"], r1["height"]) == (4, 3)
+    assert r1["pixels"] == [(10 + i * 7) % 256 for i in range(12)]
+    r2 = out[1]
+    assert max(r2["width"], r2["height"]) <= 64
+    assert len(r2["pixels"]) == r2["width"] * r2["height"]
