@@ -7,11 +7,17 @@ codegen over the parquet scan with zero Python crossings.
 
 MinHash design: the usual implementation draws random hash permutations;
 to make signatures exactly reproducible across engines (the DuckDB oracle
-must agree bit-for-bit) each permutation ``j`` is ``md5(j || ':' ||
-shingle)`` and the signature component is the lexicographic minimum of the
-hex digest — a valid min-wise hash family, deterministic everywhere md5
-exists. Banding pairs (bands of rows) follow Broder/LSH convention: docs
-sharing any band key become candidate pairs, verified with exact Jaccard.
+must agree bit-for-bit) each shingle is hashed ONCE (first 8 hex chars of
+its md5 as a 32-bit int — both engines parse hex identically) and each
+permutation ``j`` is the Carter–Wegman universal hash ``(a_j * h + b_j)
+mod P`` over that int, with ``P`` the smallest prime above 2**32 and
+fixed ``a_j < 2**30`` so the product stays inside a signed 64-bit int in
+both engines' exact-integer arithmetic. The signature component is the
+minimum over shingles. This costs ONE md5 per shingle instead of one per
+(shingle, permutation) — an 8× cut of the dominant hashing work — while
+staying a valid min-wise family, deterministic everywhere md5 exists.
+Banding pairs (bands of rows) follow Broder/LSH convention: docs sharing
+any band key become candidate pairs, verified with exact Jaccard.
 """
 
 from __future__ import annotations
@@ -28,6 +34,43 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 ENGLISH_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def let1(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    pass it to ``body`` as a lambda variable.
+
+    Higher-order-function lambdas re-evaluate any OUTER expression they
+    reference once per array element (subexpression elimination does not
+    cross lambda scope) — ``transform(sequence(...), i -> split(text)[i])``
+    runs the regex split t times per row, O(t²) total. Wrapping the
+    expensive expression as the element of a one-element array binds it:
+    ``transform(array(v), x -> body(x))[0]`` evaluates ``v`` once (it is
+    an ARGUMENT of the transform, not lambda-body content) and every
+    reference to ``x`` inside ``body`` — including nested lambdas — is a
+    free variable read."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def token_grams(toks: Column, k: int, n: Column | None = None) -> Column:
+    """Word ``k``-gram strings (space-joined) from a token-array column.
+
+    ``toks`` should be a cheap reference (lambda variable via
+    :func:`let1`, or a materialized column) — it is referenced O(k)
+    times per ROW here (zip of k shifted slices), never per element.
+    Only valid when ``size(toks) >= k``; callers guard with ``when``.
+    """
+    n = F.size(toks) if n is None else n
+    grams = toks
+    for off in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, off + 1, n - off),
+            lambda g, t: F.concat(g, F.lit(" "), t),
+        )
+    # zip_with null-pads the k-1 tail slots where the shifted view ran
+    # out; slice to the n-k+1 complete grams.
+    return F.slice(grams, 1, n - k + 1)
 
 
 def tokens(text: str | Column = "text") -> Column:
@@ -69,17 +112,23 @@ def predicted_lang(text: str | Column = "text") -> Column:
 
 def shingles(text: str | Column = "text", k: int = 3) -> Column:
     """Distinct word ``k``-grams; whole text as single shingle when the
-    document is shorter than ``k`` tokens."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + off) for off in range(k)]
+    document is shorter than ``k`` tokens.
+
+    The token split is :func:`let1`-bound (ONE regex split per row) and
+    the grams come from :func:`token_grams` — never an index lambda
+    ``transform(sequence(...), i -> toks[i] ...)``, whose body
+    re-evaluates the outer split per ELEMENT (expression-level cousin of
+    the generate-sibling trap): with ``t`` tokens that costs k·t regex
+    splits per row, O(t²) work that dominated every shingle consumer."""
+    c = F.col(text) if isinstance(text, str) else text
+    return let1(
+        tokens(text),
+        lambda toks: F.array_distinct(
+            F.when(
+                F.size(toks) >= k, token_grams(toks, k)
+            ).otherwise(F.array(c))
         ),
     )
-    c = F.col(text) if isinstance(text, str) else text
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(c)))
 
 
 # --------------------------------------------------------------------------
@@ -130,15 +179,68 @@ def sql_redact_pii(text_expr: str = "text") -> str:
     )
 
 
-def minhash(shingle_col: Column, j: int) -> Column:
-    """Component ``j`` of the MinHash signature (see module docstring)."""
+#: Carter–Wegman permutation constants (see module docstring). P is the
+#: smallest prime > 2**32; every a_j < 2**30 keeps a_j*h < 2**62 (exact
+#: in signed 64-bit on both engines). Fixed arbitrary odd constants —
+#: the family only needs a_j != 0 mod P and determinism.
+MINHASH_PRIME = 4_294_967_311
+MINHASH_A = (
+    961_748_941, 982_451_653, 899_809_363, 824_633_789,
+    715_827_883, 632_716_763, 543_218_461, 460_915_741,
+)
+MINHASH_B = (
+    154_858_639, 275_604_541, 386_910_137, 472_882_049,
+    533_000_401, 617_986_447, 703_928_643, 858_599_509,
+)
+
+
+def shingle_hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit int — the one-per-shingle
+    base hash (SQL twin: ``('0x' || substr(md5(s),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """md5-derived 32-bit int per shingle. Materialize this column
+    (persist / write) before fanning out into the permutations: each
+    ``mh_j`` references it, and without a boundary Catalyst inlines the
+    md5 transform into all of them (n_hashes× the hashing cost)."""
+    return F.transform(shingle_col, shingle_hash32)
+
+
+def minhash_from_hashes(hash_col: Column, j: int) -> Column:
+    """Component ``j`` over a precomputed 32-bit-hash array."""
+    a, b = MINHASH_A[j], MINHASH_B[j]
     return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        F.transform(
+            hash_col,
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+        )
     )
+
+
+def minhash(shingle_col: Column, j: int) -> Column:
+    """Component ``j`` of the MinHash signature (see module docstring).
+
+    Convenience form that re-derives the base hashes inline; hot paths
+    should materialize :func:`shingle_hashes` once and use
+    :func:`minhash_signature_from_hashes`."""
+    return minhash_from_hashes(shingle_hashes(shingle_col), j)
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> list[Column]:
     return [minhash(shingle_col, j).alias(f"mh_{j}") for j in range(n_hashes)]
+
+
+def minhash_signature_from_hashes(
+    hash_col: Column, n_hashes: int = 8
+) -> list[Column]:
+    """Signature columns over a materialized :func:`shingle_hashes`
+    array — the one-md5-per-shingle fast path."""
+    return [
+        minhash_from_hashes(hash_col, j).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
 
 
 def token_hashes(text: str | Column = "text") -> Column:
@@ -337,13 +439,16 @@ def hamming_expr(col_a: str, col_b: str, n_bits: int = 32) -> Column:
 
 
 def band_keys(n_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
-    """LSH band keys over an existing ``mh_{j}`` signature: hash of the
-    concatenated rows in each band, salted with the band index so keys
-    from different bands never collide."""
+    """LSH band keys over an existing ``mh_{j}`` signature: the band's
+    rows joined with an unambiguous separator, salted with the band index
+    so keys from different bands never collide. Plain concatenation (no
+    hash — the mh components are already uniform ints; hashing the key
+    again costs an md5 per (doc, band) and buys nothing)."""
     keys = []
     for b in range(0, n_hashes // rows_per_band):
-        parts = [F.lit(f"{b}|")] + [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        parts = [F.lit(str(b))] + [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
         ]
-        keys.append(F.md5(F.concat(*parts)).alias(f"band_{b}"))
+        keys.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
     return keys

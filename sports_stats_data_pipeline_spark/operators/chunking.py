@@ -50,20 +50,33 @@ def chunk_documents(
             f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
             "drop tokens between consecutive windows"
         )
+    from ..functions.text import let1
+
     toks = tokens(text_col)
-    n = F.size(toks)
+    # let1-bound split (one regex split per row — see functions.text.
+    # let1); an index lambda would re-split per window. The window
+    # count + texts come out as one struct so the bind covers both.
     # start offsets 0, stride, 2*stride, ... < n (n >= 1 always: the
     # whitespace tokenizer yields [''] for an empty string).
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
-    windows = F.transform(
-        starts,
-        # slice() is 1-based; length past the end truncates (no pad).
-        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)),
+    win = let1(
+        toks,
+        lambda t: F.struct(
+            F.size(t).alias("n"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 1, F.lit(stride)),
+                # slice() is 1-based; length past the end truncates.
+                lambda s: F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)),
+            ).alias("texts"),
+        ),
     )
-    exploded = docs.select(
+    # staged select: __w is expensive and referenced twice below, so
+    # CollapseProject keeps it materialized (one evaluation per row)
+    # and Generate carries it past the explode as a plain column.
+    staged = docs.select(F.col(id_col), win.alias("__w"))
+    exploded = staged.select(
         F.col(id_col),
-        n.alias("__n"),
-        F.posexplode(windows).alias("chunk_idx", "chunk_text"),
+        F.col("__w.n").alias("__n"),
+        F.posexplode("__w.texts").alias("chunk_idx", "chunk_text"),
     )
     return exploded.select(
         id_col,

@@ -48,17 +48,16 @@ def top_ngram_stats(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = tokens(text_col)
-    n_toks = F.size(toks)
-    grams = F.when(
-        n_toks >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_toks - n),
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + off) for off in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    from ..functions.text import let1, token_grams
+
+    # let1-bound split: an index lambda re-evaluates the split per gram
+    # (O(tokens²) per row — see functions.text.let1).
+    grams = let1(
+        tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) >= n, token_grams(toks, n)
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
     # doc length joins back AFTER the aggregates (doc-count-sized join):
     # as a projection sibling of the explode it would be re-evaluated
     # per gram row — O(n_chars · n_grams) per document (the Generate-

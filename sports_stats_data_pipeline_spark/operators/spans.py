@@ -50,24 +50,20 @@ def duplicate_spans(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    toks = tokens(text_col)
-    n = F.size(toks)
+    from ..functions.text import let1, token_grams
+
+    # let1-bound split: an index lambda re-evaluates the split per
+    # window (O(tokens²) per row — see functions.text.let1).
+    window_hashes = let1(
+        tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(token_grams(toks, k), lambda g: F.xxhash64(g)),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     shingled = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(0), n - k),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(
-                            " ",
-                            F.slice(toks, i + 1, F.lit(k)),
-                        )
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>")),
-        ).alias("pos", "h"),
+        F.posexplode(window_hashes).alias("pos", "h"),
     )
     # shingles repeated across >= 2 DISTINCT docs; the aggregate's
     # network is bounded by distinct (h) — count_distinct(doc) partials

@@ -35,8 +35,12 @@ from ..functions.text import (
     EMAIL_RE,
     ENGLISH_STOPWORDS,
     IPV4_RE,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
     band_keys,
-    minhash_signature,
+    minhash_signature_from_hashes,
+    shingle_hashes,
     pii_email_count,
     pii_ipv4_count,
     predicted_lang,
@@ -65,10 +69,18 @@ _SQL_SHINGLES = f"""
 """
 
 
+#: one md5 per shingle → 32-bit int (the Spark twin is
+#: functions.text.shingle_hashes; constants shared from the same module).
+_SQL_SH_HASHES = (
+    "list_transform(shingles, s -> ('0x' || substr(md5(s),1,8))::BIGINT)"
+)
+
+
 def _sql_minhash(j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
     return (
-        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), 'min')"
-        f" AS mh_{j}"
+        f"list_aggregate(list_transform(sh_h, h -> ({a} * h + {b}) "
+        f"% {MINHASH_PRIME}), 'min') AS mh_{j}"
     )
 
 
@@ -222,16 +234,16 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    t = tokens("text")
-    n_t = F.size(t)
-    windows = F.transform(
-        F.sequence(F.lit(0), n_t - 8),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.get(t, i + off) for off in range(8)])
-        ),
-    )
-    hashes = F.when(n_t >= 8, windows).otherwise(
-        F.array(F.md5(F.concat_ws(" ", t)))
+    from ..functions.text import let1, token_grams
+
+    # let1-bound split: an index lambda here re-evaluates the split per
+    # window (O(tokens²) per row — see functions.text.let1).
+    hashes = let1(
+        tokens("text"),
+        lambda t: F.when(
+            F.size(t) >= 8,
+            F.transform(token_grams(t, 8), F.md5),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", t)))),
     )
     aug = F.concat(
         F.col("text"),
@@ -480,15 +492,20 @@ _SQL_MINHASH_PAIRS = f"""
     sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM docs
     ),
+    hashed AS (
+      SELECT doc_id, shingles, {_SQL_SH_HASHES} AS sh_h FROM sh
+    ),
     sig AS (
       SELECT doc_id, shingles,
              {", ".join(_sql_minhash(j) for j in range(8))}
-      FROM sh
+      FROM hashed
     ),
     banded AS (
       SELECT doc_id, unnest([
-        md5('0|' || mh_0 || mh_1), md5('1|' || mh_2 || mh_3),
-        md5('2|' || mh_4 || mh_5), md5('3|' || mh_6 || mh_7)
+        '0|' || CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR),
+        '1|' || CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR),
+        '2|' || CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR),
+        '3|' || CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)
       ]) AS band_key
       FROM sig
     ),
@@ -555,20 +572,27 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     generation + exact-Jaccard-verify chain shared by the pairs query and
     the cluster-resolution query."""
     # Materialization boundary: without it Catalyst's projection collapse
-    # inlines the tokenize→shingle→minhash expression tree into every
-    # downstream reference (8 signature components + 4 band keys + both
-    # sides of the verification join), recomputing the md5 forest ~14×.
-    # At cluster scale this stage would be written to a parquet/Delta
-    # signature table; in-session, persist() is the same cut.
+    # inlines the tokenize→shingle→md5 expression tree into every
+    # downstream reference (8 signature components + both sides of the
+    # verification join), recomputing the md5 forest ~10×. The boundary
+    # sits at the per-shingle BASE hashes (one md5 each); the 8
+    # permutations are mult-add-mod over the cached array — cheap enough
+    # to recompute per consumer. At cluster scale this stage would be
+    # written to a parquet/Delta signature table; in-session, persist()
+    # is the same cut.
     sig = (
         docs.select("doc_id", shingles("text").alias("shingles"))
-        .select("doc_id", "shingles", *minhash_signature(F.col("shingles"), 8))
+        .select(
+            "doc_id",
+            "shingles",
+            shingle_hashes(F.col("shingles")).alias("sh_h"),
+        )
         .persist()
     )
     sh = sig.select("doc_id", "shingles")
     banded = sig.select(
-        "doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key")
-    )
+        "doc_id", *minhash_signature_from_hashes(F.col("sh_h"), 8)
+    ).select("doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key"))
     # skew guard (see module comment): super-buckets never reach the join.
     # persist: the capped relation feeds BOTH sides of the self-join —
     # without the boundary the hot-key aggregate + anti-join run twice.

@@ -36,7 +36,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import band_keys, minhash_signature, shingles
+from ..functions.text import (
+    band_keys,
+    minhash_signature_from_hashes,
+    shingle_hashes,
+    shingles,
+)
 from ..operators.sinks import promote_staging, recover_sink
 
 #: bucket cap mirrored from the batch operator — a super-bucket in the
@@ -47,16 +52,24 @@ BUCKET_CAP = 64
 def _signed(batch: DataFrame) -> DataFrame:
     """(doc_id, text) → + shingles + band_keys array.
 
-    Two select stages: band_keys reads the named ``mh_j`` signature
+    Staged selects: band_keys reads the named ``mh_j`` signature
     columns, so the signature must exist as columns first (projection
-    collapse fuses both selects into one codegen stage anyway)."""
+    collapse fuses the selects into one codegen stage anyway — fine
+    here, because the signature derives from the ONE-md5-per-shingle
+    base-hash array, not an md5 per (shingle, permutation))."""
     return (
         batch.select("doc_id", "text", shingles("text").alias("shingles"))
         .select(
             "doc_id",
             "text",
             "shingles",
-            *minhash_signature(F.col("shingles"), 8),
+            shingle_hashes(F.col("shingles")).alias("sh_h"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "shingles",
+            *minhash_signature_from_hashes(F.col("sh_h"), 8),
         )
         .select(
             "doc_id",
