@@ -96,3 +96,59 @@ def assign_token_shards(
         )
         .drop("__bucket", "__bucket_offset")
     )
+
+
+def pack_training_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: lay documents out contiguously in
+    ``id_col`` order and cut the token stream into fixed ``seq_len``
+    training sequences (documents spanning a boundary are split — the
+    standard concat-and-cut used to build LM training batches, with the
+    segment map preserved so loss masking / doc-boundary attention can
+    be applied downstream).
+
+    Output: one row per (document, sequence) SEGMENT — all input
+    columns plus ``start_offset`` (the doc's global token offset),
+    ``seq_id``, and ``[doc_from, doc_to)`` / ``seq_from``: tokens
+    ``doc_from..doc_to`` of the document occupy positions ``seq_from..
+    seq_from + (doc_to - doc_from)`` of sequence ``seq_id``.
+
+    Scale shape: global offsets come from the two-level prefix sum of
+    :func:`assign_token_shards` (no global sort); the segment fan-out is
+    a ``sequence``+``explode`` over each document's touched sequence
+    range — at most ``ceil(n_tokens/seq_len) + 1`` segments per doc, so
+    output size is ~``total_tokens/seq_len + n_docs`` rows regardless
+    of skew. Deterministic and restart-stable: appending documents with
+    larger ids never re-packs existing sequences.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    laid = assign_token_shards(
+        docs, budget=seq_len, id_col=id_col, token_col=token_col,
+        n_buckets=n_buckets,
+    ).drop("shard")
+    start, n = F.col("start_offset"), F.col(token_col)
+    seq_lo = F.floor(start / seq_len).cast("long")
+    seq_hi = F.floor((start + n - 1) / seq_len).cast("long")
+    seg = laid.filter(n > 0).withColumn(
+        "seq_id", F.explode(F.sequence(seq_lo, seq_hi))
+    )
+    sid = F.col("seq_id")
+    return (
+        seg.withColumn(
+            "doc_from",
+            F.greatest(F.lit(0).cast("long"), sid * seq_len - start),
+        )
+        .withColumn(
+            "doc_to", F.least(n.cast("long"), (sid + 1) * seq_len - start)
+        )
+        .withColumn(
+            "seq_from",
+            F.greatest(F.lit(0).cast("long"), start - sid * seq_len),
+        )
+    )

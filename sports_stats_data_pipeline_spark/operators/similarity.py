@@ -183,3 +183,126 @@ def ann_topk_numpy(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score_r4"))
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_partitions: int = 8,
+) -> None:
+    """Materialize the IVF index for a corpus at ``path``:
+
+    - ``centroids/`` — ``(cell, centroid array<double>)``, the coarse
+      quantizer (tiny: ``n_cells`` rows, broadcast at query time);
+    - ``cells/``     — ``(cell, id_col, v array<double>)``,
+      range-partitioned and sorted by ``cell`` so a probe's
+      ``cell IN (...)`` predicate prunes parquet row groups (min/max
+      stats) and only the probed cells' vectors are read.
+
+    The executable form of the "write the assignment at ingest"
+    prescription in :func:`ivf_topk`'s docstring (the same move as
+    operators.search.build_bm25_index): building costs the k-means fit
+    plus one corpus scan, after which every query batch touches only
+    the probed fraction of the index — the corpus itself is never
+    re-read or re-clustered. At 100 TB ``cells/`` would additionally be
+    partitioned by cell directory for partition-level pruning; the
+    row-group layout here is the same contract at file granularity.
+    """
+    from ..functions.vectors import as_double
+    from .kmeans import kmeans_fit_assign
+
+    assigned, centroids = kmeans_fit_assign(
+        embeddings,
+        k=n_cells,
+        iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells = (
+        embeddings.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("v")
+        )
+        .join(assigned.select(id_col, "cell"), id_col)
+        .select("cell", id_col, "v")
+        .repartitionByRange(cell_partitions, "cell")
+        .sortWithinPartitions("cell")
+    )
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.unpersist()
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_filter,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivf_topk` served from a :func:`build_ivf_index` layout —
+    identical output contract for the same quantizer, zero clustering
+    work at query time.
+
+    The probed cell ids are collected to the driver (bounded: queries ×
+    n_probe ints — the query set, not data) and applied as a literal
+    ``cell IN (...)`` filter, which parquet pushes into row-group
+    pruning on the cell-sorted layout: candidate I/O is proportional to
+    the probed cells, not the corpus. ``query_filter`` is a Column
+    predicate over the index columns ``(cell, id_col, v)`` — typically
+    an id predicate.
+    """
+    from ..functions.vectors import cosine
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cells_tbl = spark.read.parquet(f"{path}/cells")
+    q = cells_tbl.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.col("cdist"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cell")
+        .persist()
+    )
+    probe_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cand = cells_tbl.filter(F.col("cell").isin(probe_cells)).select(
+        "cell", F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 4).alias("score_r4"),
+        )
+    )

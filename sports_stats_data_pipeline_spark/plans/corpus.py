@@ -41,7 +41,7 @@ from ..operators.decontam import flag_contaminated
 from ..operators.lm import score_perplexity, train_char_lm
 from ..operators.repetition import top_ngram_stats
 from ..operators.sampling import deterministic_split, mix_sources
-from ..operators.sharding import assign_token_shards
+from ..operators.sharding import assign_token_shards, pack_training_sequences
 from ..sources.tables import load_table
 from . import QueryRegistry
 
@@ -288,7 +288,14 @@ _SHARD_BUDGET = 2_000
            -- count and first-window width are pure window math over the
            -- token count — (n-1)//stride + 1 windows of <= chunk_tokens
            CAST((n_tokens - 1) // 48 + 1 AS BIGINT) AS n_chunks,
-           CAST(least(n_tokens, 64) AS BIGINT) AS first_chunk_tokens
+           CAST(least(n_tokens, 64) AS BIGINT) AS first_chunk_tokens,
+           -- GPT-style sequence packing (operators.sharding.
+           -- pack_training_sequences, seq_len 512): the first training
+           -- sequence this row's tokens land in and how many sequences
+           -- its segments span — closed-form over the same offsets
+           CAST(start_offset // 512 AS BIGINT) AS first_seq,
+           CAST((start_offset + n_tokens - 1) // 512
+                - start_offset // 512 + 1 AS BIGINT) AS n_seqs
     FROM w
     """,
 )
@@ -305,7 +312,10 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-slot composite: also gates operators.chunking.chunk_documents
     — each output row carries its document's overlapping-window layout
     (64-token windows, stride 48) aggregated from the real chunk
-    relation, which the oracle reproduces in closed-form window math.
+    relation, which the oracle reproduces in closed-form window math —
+    and operators.sharding.pack_training_sequences: per-(doc, copy)
+    first-sequence id and segment count aggregated from the real
+    segment map (seq_len 512), oracle-reproduced from the same offsets.
     """
     ch = chunk_documents(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
@@ -334,7 +344,14 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = assign_token_shards(
         with_uid, budget=_SHARD_BUDGET, id_col="uid", token_col="n_tokens"
     )
-    return sharded.join(chstats, "doc_id").select(
+    packed = pack_training_sequences(
+        with_uid, 512, id_col="uid", token_col="n_tokens"
+    )
+    pstats = packed.groupBy("uid").agg(
+        F.min("seq_id").cast("long").alias("first_seq"),
+        F.count("*").cast("long").alias("n_seqs"),
+    )
+    return sharded.join(chstats, "doc_id").join(pstats, "uid").select(
         "doc_id",
         F.col("copy").cast("long").alias("copy"),
         "source",
@@ -344,6 +361,8 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "n_chunks",
         "first_chunk_tokens",
+        "first_seq",
+        "n_seqs",
     )
 
 

@@ -94,3 +94,123 @@ def test_bad_budget(spark):
     docs = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         assign_token_shards(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# pack_training_sequences: GPT-style concat-and-cut segment map.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 512
+
+
+def _packed(spark):
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        pack_training_sequences,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    return pack_training_sequences(
+        docs, SEQ_LEN, token_col="n_tokens", n_buckets=7
+    )
+
+
+def test_pack_matches_duckdb_segment_map(spark):
+    """Segment map equals the naive global-cumsum formulation computed
+    in DuckDB (generate_series over each doc's touched sequences)."""
+    con = duckdb.connect()
+    oc = con.execute(f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens
+          FROM read_parquet('{SF}/documents.parquet')
+        ), laid AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+          FROM docs
+        )
+        SELECT doc_id, start_offset, s.seq_id,
+               GREATEST(0, s.seq_id * {SEQ_LEN} - start_offset) AS doc_from,
+               LEAST(n_tokens, (s.seq_id + 1) * {SEQ_LEN} - start_offset)
+                 AS doc_to,
+               GREATEST(0, start_offset - s.seq_id * {SEQ_LEN}) AS seq_from
+        FROM laid,
+             LATERAL (SELECT unnest(generate_series(
+                 CAST(start_offset // {SEQ_LEN} AS BIGINT),
+                 CAST((start_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT)))
+                 AS seq_id) s
+        WHERE n_tokens > 0
+    """).fetchall()
+    sp = {
+        (r["doc_id"], r["seq_id"]): (
+            r["start_offset"], r["doc_from"], r["doc_to"], r["seq_from"]
+        )
+        for r in _packed(spark).collect()
+    }
+    oc_map = {(r[0], r[2]): (r[1], r[3], r[4], r[5]) for r in oc}
+    assert sp == oc_map and len(sp) > 0
+
+
+def test_pack_sequences_tile_exactly(spark):
+    """Every sequence except the last is filled to exactly SEQ_LEN with
+    non-overlapping contiguous segments; every document's segments tile
+    its full token range in order."""
+    rows = _packed(spark).collect()
+    by_seq, by_doc = {}, {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(
+            (r["seq_from"], r["seq_from"] + (r["doc_to"] - r["doc_from"]))
+        )
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["seq_id"], r["doc_from"], r["doc_to"])
+        )
+    last_seq = max(by_seq)
+    for seq, segs in by_seq.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (a0, a1), (b0, b1) in zip(segs, segs[1:]):
+            assert a1 == b0, (seq, segs)
+        if seq != last_seq:
+            assert segs[-1][1] == SEQ_LEN, (seq, segs)
+    for doc, segs in by_doc.items():
+        segs.sort()
+        assert segs[0][1] == 0
+        for (_, _, a1), (_, b0, _) in zip(segs, segs[1:]):
+            assert a1 == b0, (doc, segs)
+
+
+def test_pack_append_stability(spark):
+    """Packing a prefix of the corpus then appending the rest never
+    changes existing (doc, seq) segments — the restart-stable layout."""
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        pack_training_sequences,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    full = {
+        (r["doc_id"], r["seq_id"]): (r["doc_from"], r["doc_to"], r["seq_from"])
+        for r in pack_training_sequences(docs, SEQ_LEN, token_col="n_tokens").collect()
+    }
+    prefix = {
+        (r["doc_id"], r["seq_id"]): (r["doc_from"], r["doc_to"], r["seq_from"])
+        for r in pack_training_sequences(
+            docs.filter(F.col("doc_id") < 100), SEQ_LEN, token_col="n_tokens"
+        ).collect()
+    }
+    assert prefix == {k: v for k, v in full.items() if k[0] < 100}
+
+
+def test_pack_bad_seq_len(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        pack_training_sequences,
+    )
+
+    with pytest.raises(ValueError):
+        pack_training_sequences(docs, 0)

@@ -97,3 +97,40 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert parquet_file_count(path) <= 4
     after_rows = sorted(map(tuple, out.select("o_orderkey").collect()))
     assert before_rows == after_rows
+
+
+def test_ivf_indexed_matches_direct(spark, tmp_path):
+    """build_ivf_index -> ivf_topk_indexed equals the direct ivf_topk
+    for the same quantizer params (deterministic Lloyd), and the
+    candidate read carries the probe-cell IN filter into the parquet
+    scan (row-group pruning on the cell-sorted layout)."""
+    import contextlib
+    import io
+
+    from sports_stats_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_cells=8, kmeans_iters=2)
+
+    direct = ivf_topk(
+        emb, F.col("vec_id") < 8, k=3, n_cells=8, n_probe=3, kmeans_iters=2
+    )
+    indexed = ivf_topk_indexed(
+        spark, path, F.col("vec_id") < 8, k=3, n_probe=3
+    )
+    assert _rank_map(indexed) == _rank_map(direct)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    # the probed-cells literal filter reaches the cells/ parquet scan...
+    assert "PushedFilters: [In(cell" in plan or "PushedFilters: [IsNotNull(cell), In(cell" in plan, plan
+    # ...and query time does no clustering work (no Lloyd lineage: the
+    # only aggregate in the plan is the window rank machinery).
+    assert "posexplode" not in plan.lower()
