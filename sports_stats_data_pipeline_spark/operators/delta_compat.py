@@ -1,0 +1,160 @@
+"""Delta Lake compat shims: the transactional MERGE / OPTIMIZE surface
+behind an import-try, with the repo's parquet stand-ins as the fallback.
+
+SURVEY.md maps the reference's S5 sink-overwrite, A5 keyed dedup-merge
+and I5 periodic checkpointing onto Delta ``MERGE``/``OPTIMIZE`` where
+the environment provides Delta. This container ships no ``delta-spark``
+package, so the repo implements the same semantics on plain parquet
+(operators.merge + operators.sinks staged-replace, operators.maintenance
+compaction) — this module makes the Delta mapping EXECUTABLE instead of
+documentation-only: when ``delta-spark`` is importable (and the session
+carries the Delta extension), the same calls route to the transactional
+paths; otherwise they fall back to the crash-safe parquet protocol.
+
+Semantics contract (identical either way):
+- :func:`upsert` — last-writer-wins per key: matched target rows are
+  replaced by the update row, unmatched update rows are inserted
+  (Delta: ``whenMatchedUpdateAll + whenNotMatchedInsertAll``).
+- :func:`insert_absent` — first-writer-wins per key: existing rows are
+  untouched, only absent keys are inserted (the reference's merge rule;
+  Delta: ``whenNotMatchedInsertAll`` alone).
+- :func:`optimize` — rewrite a table into ~``target_files`` files
+  (Delta: ``OPTIMIZE``; parquet: maintenance.compact_parquet through
+  the staged-replace rename protocol).
+
+At 100 TB the Delta paths additionally give snapshot isolation and
+file-level conflict detection; the parquet fallback gives crash
+recoverability only (sinks.py module docstring) — callers needing
+concurrent writers must use the Delta route.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .maintenance import compact_parquet
+from .merge import insert_if_absent
+from .sinks import promote_staging
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when delta-spark is importable AND the session was built
+    with the Delta SQL extension + catalog (both are required; the
+    package alone cannot retrofit a running session)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def _merge_condition(keys: Sequence[str]) -> str:
+    return " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> None:
+    """Last-writer-wins MERGE of ``updates`` into the table at ``path``
+    (creating it if absent). ``order_col`` deterministically picks the
+    winner among duplicate keys WITHIN ``updates`` (max order wins);
+    required when updates may carry intra-batch duplicates — Delta's
+    MERGE rejects multiple source matches per target row.
+    """
+    ks = list(keys)
+    if order_col is not None:
+        # last-writer-wins inside the batch: keep the max order_col row
+        # per key (first_wins_dedup under the inverted ordering).
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*ks).orderBy(F.col(order_col).desc())
+        latest = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        latest = updates.dropDuplicates(ks)
+
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            latest.write.format("delta").mode("overwrite").save(path)
+            return
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(latest.alias("s"), _merge_condition(ks))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    if not os.path.exists(path):
+        latest.write.mode("overwrite").parquet(path + ".staging")
+        promote_staging(path)
+        return
+    existing = spark.read.parquet(path)
+    kept = existing.join(latest.select(*ks), on=ks, how="left_anti")
+    merged = kept.unionByName(latest, allowMissingColumns=True)
+    merged.write.mode("overwrite").parquet(path + ".staging")
+    promote_staging(path)
+
+
+def insert_absent(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """First-writer-wins MERGE: insert only keys absent from the table
+    at ``path`` (the reference's incremental-skip rule, J1/A5)."""
+    ks = list(keys)
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            new.dropDuplicates(ks).write.format("delta").mode(
+                "overwrite"
+            ).save(path)
+            return
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(new.dropDuplicates(ks).alias("s"), _merge_condition(ks))
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    if not os.path.exists(path):
+        new.dropDuplicates(ks).write.mode("overwrite").parquet(path + ".staging")
+        promote_staging(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = insert_if_absent(existing, new, ks)
+    merged.write.mode("overwrite").parquet(path + ".staging")
+    promote_staging(path)
+
+
+def optimize(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> None:
+    """Compact the table at ``path`` into ~``target_files`` files."""
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+        return
+    compact_parquet(spark, path, target_partitions=target_files)

@@ -1,0 +1,86 @@
+"""operators.delta_compat — Delta MERGE/OPTIMIZE semantics on the
+parquet fallback (delta-spark absent in this container; the Delta route
+is exercised when the package + session extension are present)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.operators.delta_compat import (
+    delta_available,
+    insert_absent,
+    optimize,
+    upsert,
+)
+from sports_stats_data_pipeline_spark.operators.maintenance import (
+    parquet_file_count,
+)
+
+
+def _read(spark, path):
+    return {
+        r["k"]: (r["v"], r["ts"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ts long"
+    )
+    upsert(spark, path, base, ["k"])
+    # batch with an intra-batch duplicate: max ts must win; key 3 inserts
+    upd = spark.createDataFrame(
+        [(2, "B1", 20), (2, "B2", 30), (3, "c", 20)],
+        "k long, v string, ts long",
+    )
+    upsert(spark, path, upd, ["k"], order_col="ts")
+    assert _read(spark, path) == {
+        1: ("a", 10),
+        2: ("B2", 30),
+        3: ("c", 20),
+    }
+
+
+def test_insert_absent_first_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    insert_absent(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a", 1)], "k long, v string, ts long"),
+        ["k"],
+    )
+    insert_absent(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "A", 2), (2, "b", 2)], "k long, v string, ts long"
+        ),
+        ["k"],
+    )
+    assert _read(spark, path) == {1: ("a", 1), 2: ("b", 2)}
+
+
+def test_optimize_compacts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(16).withColumn(
+        "k", F.col("id")
+    ).write.parquet(path)
+    assert parquet_file_count(path) >= 16
+    optimize(spark, path, target_files=2)
+    assert parquet_file_count(path) <= 2
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_delta_unavailable_is_detected(spark):
+    # this container has no delta-spark; when one is installed AND the
+    # session carries the extension, the merge paths route to DeltaTable
+    try:
+        import delta  # noqa: F401
+
+        installed = True
+    except ImportError:
+        installed = False
+    if not installed:
+        assert delta_available(spark) is False

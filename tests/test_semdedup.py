@@ -1,0 +1,131 @@
+"""operators.semdedup — SemDeDup semantic dedup: survivors on known
+duplicate structure, group resolution vs a union-find reference,
+skew-guard behavior, partition invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.operators.semdedup import semantic_dedup
+from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _synthetic(spark, parts=4):
+    """Three tight semantic groups + isolated vectors. Vectors inside a
+    group differ by a tiny last-component nudge (cos > 0.999); across
+    groups they are orthogonal-ish (cos ~ 0)."""
+    rows = []
+    bases = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    vid = 0
+    for g, base in enumerate(bases):
+        for j in range(3 + g):  # groups of size 3, 4, 5
+            v = list(base)
+            v[3] = 0.001 * j
+            rows.append((vid, v))
+            vid += 1
+    rows.append((vid, [0.5, 0.5, 0.5, 0.5]))  # isolated
+    rows.append((vid + 1, [-1.0, 0.0, 0.0, 0.0]))  # isolated (cos = -1)
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    ).repartition(parts)
+
+
+def test_groups_and_survivors_on_synthetic(spark):
+    out = {
+        r["vec_id"]: (r["group_id"], r["n_members"], r["keep"])
+        for r in semantic_dedup(
+            _synthetic(spark), n_cells=4, threshold_micro=990_000
+        ).collect()
+    }
+    # groups laid out contiguously by construction: 0-2, 3-6, 7-11
+    for lo, hi in ((0, 2), (3, 6), (7, 11)):
+        for vid in range(lo, hi + 1):
+            assert out[vid] == (lo, hi - lo + 1, 1 if vid == lo else 0), (
+                vid,
+                out[vid],
+            )
+    for vid in (12, 13):  # isolated vectors survive as singletons
+        assert out[vid] == (vid, 1, 1)
+
+
+def test_matches_union_find_reference(spark):
+    """On real embeddings: recompute the within-cell threshold graph
+    with plain python over the operator's own cell assignment, resolve
+    with union-find, and demand identical groups."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(
+        emb, n_cells=8, threshold_micro=400_000, kmeans_iters=2
+    ).collect()
+    got = {r["vec_id"]: r["group_id"] for r in out}
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos_micro(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(
+            sum(x * x for x in b)
+        )
+        return math.floor(dot / (na * nb) * 1_000_000)
+
+    parent = {v: v for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cells[a] == cells[b] and cos_micro(vecs[a], vecs[b]) >= 400_000:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in ids}
+    assert got == want
+    # and at least one non-trivial duplicate group exists at this
+    # threshold (the synthetic embeddings top out at cos ~ 0.47)
+    assert any(g != v for v, g in want.items())
+
+
+def test_cell_cap_skips_giant_cells(spark):
+    """With cell_cap below every cell size, no edges form: every vector
+    survives as a singleton (the skew-guard degrade-to-noop contract)."""
+    out = semantic_dedup(
+        _synthetic(spark), n_cells=2, threshold_micro=990_000, cell_cap=2
+    ).collect()
+    assert all(r["keep"] == 1 and r["n_members"] == 1 for r in out)
+
+
+def test_partition_invariance(spark):
+    a = {
+        (r["vec_id"], r["group_id"], r["n_members"], r["keep"])
+        for r in semantic_dedup(
+            _synthetic(spark, parts=1), n_cells=4, threshold_micro=990_000
+        ).collect()
+    }
+    b = {
+        (r["vec_id"], r["group_id"], r["n_members"], r["keep"])
+        for r in semantic_dedup(
+            _synthetic(spark, parts=7), n_cells=4, threshold_micro=990_000
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bad_threshold(spark):
+    with pytest.raises(ValueError):
+        semantic_dedup(_synthetic(spark), threshold_micro=0)
