@@ -152,3 +152,65 @@ def pack_training_sequences(
             F.greatest(F.lit(0).cast("long"), start - sid * seq_len),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-epoch shuffle: add ``epoch_pos``, a
+    dense 0..n-1 position in seeded-hash order (the GPT-style "shuffle
+    the corpus differently each epoch, identically on every re-run").
+
+    Position = rank of ``xxhash64(epoch, id)`` (ties broken by id). The
+    naive formulation is ``row_number() OVER (ORDER BY hash)`` — the
+    same single-executor global sort this module exists to avoid — so it
+    reuses the two-level shape: the hash's top bits form order-preserving
+    coarse buckets (hash order == (bucket, in-bucket hash) order), bucket
+    counts take the exclusive prefix over ``n_buckets`` rows, and
+    ``row_number`` runs partitioned BY bucket. Feed the result to
+    :func:`assign_token_shards` / :func:`pack_training_sequences` with
+    ``id_col="epoch_pos"`` to pack the shuffled order into shards.
+
+    ``n_buckets`` must be a power of two (bucket = unsigned top bits).
+    """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(
+            f"n_buckets must be a power of two, got {n_buckets}"
+        )
+    shift = 64 - (n_buckets.bit_length() - 1)
+    # unsigned top bits: bucket order is unsigned-hash order, and within
+    # a bucket every hash shares the sign bit, so signed in-bucket order
+    # matches — (bucket asc, hash asc, id asc) is a total order.
+    h = F.xxhash64(F.lit(int(epoch)), F.col(id_col))
+    bucketed = docs.withColumn("__h", h).withColumn(
+        "__bucket",
+        F.shiftrightunsigned(F.col("__h"), shift) if shift < 64
+        else F.lit(0).cast("long"),
+    )
+    bw = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("__bucket")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__n").over(bw), F.lit(0))
+            .cast("long")
+            .alias("__bucket_offset"),
+        )
+    )
+    iw = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "epoch_pos",
+            (
+                F.col("__bucket_offset") + F.row_number().over(iw) - 1
+            ).cast("long"),
+        )
+        .drop("__h", "__bucket", "__bucket_offset")
+    )

@@ -214,3 +214,86 @@ def test_pack_bad_seq_len(spark):
 
     with pytest.raises(ValueError):
         pack_training_sequences(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle: deterministic seeded permutation without a global sort
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(docs, epoch=0, n_buckets=8)
+    pos = sorted(r["epoch_pos"] for r in out.collect())
+    assert pos == list(range(500))
+
+
+def test_epoch_shuffle_matches_global_sort_and_is_stable(spark):
+    """The two-level form must equal the naive global-ORDER BY rank, and
+    re-running the same epoch must reproduce it exactly."""
+    from pyspark.sql import Window
+
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=3, n_buckets=16).collect()
+    }
+    again = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=3, n_buckets=16).collect()
+    }
+    assert out == again
+    # naive reference: rank over the raw unsigned hash order
+    naive = docs.select(
+        "doc_id",
+        F.xxhash64(F.lit(3), F.col("doc_id")).alias("h"),
+    ).select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.orderBy(
+                    F.shiftrightunsigned(F.col("h"), 1),
+                    F.pmod(F.col("h"), F.lit(2)),
+                    "doc_id",
+                )
+            )
+            - 1
+        ).alias("pos"),
+    )
+    ref = {r["doc_id"]: r["pos"] for r in naive.collect()}
+    assert out == ref
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    e0 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=0).collect()
+    }
+    e1 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=1).collect()
+    }
+    assert e0 != e1
+
+
+def test_epoch_shuffle_rejects_non_power_of_two(spark):
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="power of two"):
+        epoch_shuffle(docs, epoch=0, n_buckets=12)
