@@ -70,3 +70,59 @@ def test_non_decomposable_measure_refused(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError, match="not decomposable"):
         merge_aggregate_state(None, df, ["k"], {"med": ("median", "v")})
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct: HLL sketches make distinct counting decomposable
+# ---------------------------------------------------------------------------
+
+
+def test_approx_distinct_incremental_equals_exact(spark):
+    """Batch-maintained HLL estimates equal exact COUNT(DISTINCT) at the
+    test cardinalities (datasketches HLL is exact well past them), and
+    the sketch union across batches equals the single-shot build."""
+    from sports_stats_data_pipeline_spark.operators.incremental import (
+        estimate_sketches,
+    )
+
+    orders = _orders(spark)
+    m = {
+        "n_orders": ("count", "o_orderkey"),
+        "n_distinct_prices": ("approx_distinct", "price_c"),
+    }
+    state = None
+    for i in range(4):
+        delta = orders.filter(F.col("o_orderkey") % 4 == i)
+        state = merge_aggregate_state(state, delta, KEYS, m)
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["n_distinct_prices"])
+        for r in estimate_sketches(state, m).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["n"], r["d"])
+        for r in orders.groupBy(*KEYS)
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.countDistinct("price_c").alias("d"),
+        )
+        .collect()
+    }
+    assert got == exact
+
+
+def test_approx_distinct_is_replay_idempotent(spark):
+    """Replaying a delta double-counts sums (pinned above) but must NOT
+    move an HLL distinct estimate — sketch union has set semantics."""
+    from sports_stats_data_pipeline_spark.operators.incremental import (
+        estimate_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)], "k string, v long"
+    )
+    m = {"d": ("approx_distinct", "v")}
+    once = merge_aggregate_state(None, df, ["k"], m)
+    replayed = merge_aggregate_state(once, df, ["k"], m)  # same delta again
+    a = estimate_sketches(once, m).collect()[0]["d"]
+    b = estimate_sketches(replayed, m).collect()[0]["d"]
+    assert a == b == 50
