@@ -108,6 +108,15 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar subquery: customers whose account balance exceeds their nation's
 # average. Catalyst decorrelates this into a join against the aggregated
 # subquery — no per-row re-execution.
+#
+# Driver-slot composite: the decorrelated join runs through
+# operators.skewjoin.skew_join (hot-key salted, exact-equivalence
+# contract), so the ONE subquery oracle value-gates both the scalar-
+# subquery semantics and the skew-join operator. hot_threshold=59 sits
+# inside the per-nation customer-count range at the driver's sf0.01
+# (43..74), so BOTH the salted hot path and the plain cold path execute
+# there; at other SFs it degrades to all-cold / all-hot, either of which
+# still equals the plain join by contract.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "customers_above_nation_avg",
@@ -123,14 +132,22 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skewjoin import skew_join
+
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", cents("c_acctbal").alias("acctbal_c")
     )
-    nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+    nation_avg = cust.groupBy("c_nationkey").agg(
         (F.sum("acctbal_c").cast("double") / F.count("*")).alias("avg_c")
     )
     return (
-        cust.join(F.broadcast(nation_avg), cust.c_nationkey == nation_avg.nk)
+        skew_join(
+            cust,
+            nation_avg,
+            ["c_nationkey"],
+            hot_threshold=59,
+            salt_factor=4,
+        )
         .filter(F.col("acctbal_c") > F.col("avg_c"))
         .select("c_custkey", "c_nationkey", "acctbal_c")
     )
@@ -428,6 +445,13 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    same-bucketed tables and joined bucket-to-bucket (the plan-level
 #    no-Exchange contract is pinned in tests/test_bucketing.py; here
 #    the join's VALUES are gated).
+# 4. the approx_distinct (HLL sketch) measure kind: the binary sketch
+#    column rides the whole lifecycle — delta combine, parquet write,
+#    compaction, bucketed join — and is estimated only in the final
+#    select. The oracle uses exact COUNT(DISTINCT month): Datasketches
+#    HLL is exact at this cardinality (≤ ~84 distinct months per
+#    customer, far under the sketch's dense-mode promotion), so the
+#    estimate must hash-match the exact count.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "incremental_mart_maintenance",
@@ -437,7 +461,9 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS volume_c,
-           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c
+           CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_active_months
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2
@@ -450,14 +476,17 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental import aggregate_delta, merge_aggregate_state
     from ..operators.maintenance import compact_parquet
 
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "price_c", cents("o_totalprice")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("price_c", cents("o_totalprice"))
+        .withColumn("ts_month", F.date_format("o_orderdate", "yyyy-MM"))
     )
     cut = F.lit("1997-01-01").cast("timestamp")
     measures = {
         "n_orders": ("count", "o_orderkey"),
         "volume_c": ("sum", "price_c"),
         "max_price_c": ("max", "price_c"),
+        "n_active_months": ("approx_distinct", "ts_month"),
     }
     state = aggregate_delta(
         orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
@@ -482,5 +511,10 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_join(
         spark, "graft_mart_b", "graft_cust_b", on=["o_custkey"]
     ).select(
-        "o_custkey", "c_mktsegment", "n_orders", "volume_c", "max_price_c"
+        "o_custkey",
+        "c_mktsegment",
+        "n_orders",
+        "volume_c",
+        "max_price_c",
+        F.hll_sketch_estimate("n_active_months").alias("n_active_months"),
     )
