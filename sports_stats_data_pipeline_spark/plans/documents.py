@@ -811,11 +811,23 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (at scale: k-means centroid assignment written at ingest). Search only
 # the query's own cell — candidate set shrinks by ~|cells|× vs brute
 # force, the standard IVF trade.
+#
+# Driver-slot composite (the registry is capped at 50 — NOTES.md): the
+# same slot also value-gates operators.mining.mine_contrastive_pairs in
+# its probe-all configuration — with n_probe >= n_cells the kmeans cell
+# restriction is a no-op and mining is EXACT brute force, so its per-
+# anchor positive/negative rankings are fully SQL-expressible. Rows are
+# tagged by `family` ('ivf' | 'mine'); `grp` is the IVF cell resp. the
+# mined side (1 = positive, 0 = hard negative). The mine ranking orders
+# by FLOOR(cos·1e6) (the operator's partition-order-invariant integer
+# micro score) with the id tie-break, mirrored exactly in the oracle.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "ann_ivf_label_topk",
     oracle="""
-    SELECT * FROM (
+    SELECT query_id, neighbor_id, 'ivf' AS family,
+           CAST(cell AS INTEGER) AS grp, rank
+    FROM (
       SELECT q.vec_id AS query_id,
              c.vec_id AS neighbor_id,
              c.label AS cell,
@@ -830,9 +842,29 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < 8
     )
     WHERE rank <= 3
+    UNION ALL
+    SELECT anchor_id, neighbor_id, 'mine' AS family, is_positive, rank
+    FROM (
+      SELECT q.vec_id AS anchor_id,
+             c.vec_id AS neighbor_id,
+             CAST(q.label = c.label AS INTEGER) AS is_positive,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id, (q.label = c.label)
+               ORDER BY FLOOR(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+               ) * 1000000) DESC, c.vec_id
+             ) AS INTEGER) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 6
+    )
+    WHERE (is_positive = 1 AND rank <= 2)
+       OR (is_positive = 0 AND rank <= 3)
     """,
 )
 def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import mine_contrastive_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
@@ -847,7 +879,7 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    return (
+    ivf = (
         F.broadcast(q)
         .join(
             c,
@@ -857,8 +889,29 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "cell", "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("ivf").alias("family"),
+            F.col("cell").cast("int").alias("grp"),
+            "rank",
+        )
     )
+    mined = mine_contrastive_pairs(
+        emb,
+        F.col("vec_id") < 6,
+        k_pos=2,
+        k_neg=3,
+        n_cells=4,
+        n_probe=4,  # probe-all: exact, oracle-expressible
+    ).select(
+        F.col("anchor_id").alias("query_id"),
+        "neighbor_id",
+        F.lit("mine").alias("family"),
+        F.col("is_positive").alias("grp"),
+        "rank",
+    )
+    return ivf.unionByName(mined)
 
 
 # --------------------------------------------------------------------------
