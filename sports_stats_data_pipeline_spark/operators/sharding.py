@@ -159,18 +159,24 @@ def epoch_shuffle(
     epoch: int,
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Deterministic global training-epoch shuffle: add ``epoch_pos``, a
     dense 0..n-1 position in seeded-hash order (the GPT-style "shuffle
     the corpus differently each epoch, identically on every re-run").
 
-    Position = rank of ``xxhash64(epoch, id)`` (ties broken by id). The
-    naive formulation is ``row_number() OVER (ORDER BY hash)`` — the
-    same single-executor global sort this module exists to avoid — so it
-    reuses the two-level shape: the hash's top bits form order-preserving
-    coarse buckets (hash order == (bucket, in-bucket hash) order), bucket
-    counts take the exclusive prefix over ``n_buckets`` rows, and
-    ``row_number`` runs partitioned BY bucket. Feed the result to
+    Position = rank of ``hash_fn(epoch, id)`` (ties broken by id). The
+    default hash is ``xxhash64(epoch, id)`` — the fast engine-native
+    choice; pass :func:`md5_epoch_hash` for the cross-engine variant a
+    DuckDB/portable pipeline can reproduce bit-for-bit (the twin the
+    tests pin), or any Column-producing callable ``(epoch, id_col) ->
+    non-negative-ordered BIGINT``. The naive formulation is
+    ``row_number() OVER (ORDER BY hash)`` — the same single-executor
+    global sort this module exists to avoid — so it reuses the two-level
+    shape: the hash's top bits form order-preserving coarse buckets
+    (hash order == (bucket, in-bucket hash) order), bucket counts take
+    the exclusive prefix over ``n_buckets`` rows, and ``row_number``
+    runs partitioned BY bucket. Feed the result to
     :func:`assign_token_shards` / :func:`pack_training_sequences` with
     ``id_col="epoch_pos"`` to pack the shuffled order into shards.
 
@@ -184,7 +190,9 @@ def epoch_shuffle(
     # unsigned top bits: bucket order is unsigned-hash order, and within
     # a bucket every hash shares the sign bit, so signed in-bucket order
     # matches — (bucket asc, hash asc, id asc) is a total order.
-    h = F.xxhash64(F.lit(int(epoch)), F.col(id_col))
+    h = (hash_fn or (lambda e, c: F.xxhash64(F.lit(int(e)), F.col(c))))(
+        epoch, id_col
+    )
     bucketed = docs.withColumn("__h", h).withColumn(
         "__bucket",
         F.shiftrightunsigned(F.col("__h"), shift) if shift < 64
@@ -214,3 +222,21 @@ def epoch_shuffle(
         )
         .drop("__h", "__bucket", "__bucket_offset")
     )
+
+
+def md5_epoch_hash(epoch: int, id_col: str):
+    """Cross-engine epoch hash for :func:`epoch_shuffle`: the first 15
+    hex chars (60 bits, always non-negative — signed order == unsigned
+    order) of ``md5('<epoch>:<id>')``. Identical in DuckDB as
+    ``('0x' || substr(md5(epoch || ':' || id), 1, 15))::BIGINT`` — the
+    portability trade is one md5 per row versus xxhash64's near-free
+    integer mix (cf. the MinHash hash-family note, NOTES.md)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")

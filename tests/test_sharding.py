@@ -297,3 +297,37 @@ def test_epoch_shuffle_rejects_non_power_of_two(spark):
     docs = spark.range(10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="power of two"):
         epoch_shuffle(docs, epoch=0, n_buckets=12)
+
+
+def test_epoch_shuffle_md5_mode_matches_duckdb_twin(spark):
+    """The md5 hash mode is cross-engine: DuckDB ranking the same
+    md5-derived keys produces the identical permutation."""
+    import duckdb
+
+    from sports_stats_data_pipeline_spark.operators.sharding import (
+        epoch_shuffle,
+        md5_epoch_hash,
+    )
+
+    docs = spark.range(400).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(
+            docs, epoch=7, n_buckets=16, hash_fn=md5_epoch_hash
+        ).collect()
+    }
+    ref = dict(
+        duckdb.connect()
+        .execute(
+            """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY ('0x' || substr(md5(7 || ':' || doc_id), 1, 15))::BIGINT,
+                              doc_id
+                   ) - 1 AS pos
+            FROM range(400) t(doc_id)
+            """
+        )
+        .fetchall()
+    )
+    assert got == ref
