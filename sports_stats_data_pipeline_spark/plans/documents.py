@@ -142,12 +142,56 @@ _SQL_AUG = f"""
 """
 _SQL_AUG_LINES = "string_split(aug, chr(10))"
 
+# Boilerplate-extraction section: like the PII augmentation above, the
+# corpus is plain text, so the query wraps each document in a
+# deterministic nav/footer HTML shell *inside the query* (identical CTE
+# both engines) and runs operators.boilerplate main-content extraction
+# on it — nav + footer are link-dense and must be dropped, the wrapped
+# document body kept (when long enough). Regexes stay in the Java/RE2
+# common subset (cf. the PII section note).
+_SQL_HTML_AUG = (
+    "'<html><body><nav><a href=\"/\">Home</a> "
+    "<a href=\"/news\">All the news headlines listed here</a></nav><p>' "
+    "|| text || "
+    "'</p><footer><a href=\"/tos\">Terms of service and privacy"
+    "</a></footer></body></html>'"
+)
+_SQL_BP_DROP = (
+    r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
+)
+_SQL_BP_SPLIT = (
+    r"(?i)</(?:p|div|li|ul|ol|h[1-6]|td|tr|table|section|article|header|"
+    r"footer|nav|blockquote|pre|br)\s*>|<br\s*/?>"
+)
+
+
+def _sql_block_text(b: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({b}, '<[^>]+>', ' ', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )
+
+
+_SQL_KEPT_BLOCKS = f"""
+    list_transform(list_filter(
+      string_split_regex(
+        regexp_replace(html_aug, '{_SQL_BP_DROP}', ' ', 'g'),
+        '{_SQL_BP_SPLIT}'),
+      b -> length({_sql_block_text('b')}) >= 40
+           AND coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+                 a -> length({_sql_block_text('a')}))), 0)
+               <= length({_sql_block_text('b')}) * 0.33),
+      b -> {_sql_block_text('b')})
+"""
+
 
 @REGISTRY.register(
     "doc_text_profile",
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang, text, {_SQL_AUG} AS aug,
+        {_SQL_HTML_AUG} AS html_aug,
         {_SQL_TOKS} AS toks,
         CAST(length(text) AS INTEGER) AS n_chars,
         CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
@@ -169,6 +213,8 @@ _SQL_AUG_LINES = "string_split(aug, chr(10))"
             p -> md5(array_to_string(toks[p:p+7], ' ')))
         ELSE [md5(array_to_string(toks, ' '))] END AS hashes
       FROM scored
+    ), bp AS (
+      SELECT *, {_SQL_KEPT_BLOCKS} AS kept_blocks FROM finger
     )
     SELECT doc_id, lang, n_chars, n_tokens, n_stopwords,
            CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
@@ -201,8 +247,11 @@ _SQL_AUG_LINES = "string_split(aug, chr(10))"
            CAST(len({_SQL_AUG_LINES}) AS INTEGER) AS n_lines,
            10000 * CAST(len({_SQL_AUG_LINES})
                         - len(list_distinct({_SQL_AUG_LINES})) AS BIGINT)
-             // len({_SQL_AUG_LINES}) AS dup_line_bp
-    FROM finger
+             // len({_SQL_AUG_LINES}) AS dup_line_bp,
+           CAST(length(array_to_string(kept_blocks, chr(10))) AS INTEGER)
+             AS main_n_chars,
+           CAST(len(kept_blocks) AS INTEGER) AS n_content_blocks
+    FROM bp
     """,
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +313,21 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug_lines = F.split(aug, "\n")
     n_lines = F.size(aug_lines)
+    from ..operators.boilerplate import extract_main_text, main_text_blocks
+
+    html_aug = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> '
+            '<a href="/news">All the news headlines listed here</a>'
+            "</nav><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><footer>"
+            '<a href="/tos">Terms of service and privacy</a>'
+            "</footer></body></html>"
+        ),
+    )
     n_tokens = token_count("text").cast("long")
     n_chars = F.length("text").cast("long")
     n_stop = stopword_count("text").cast("long")
@@ -310,6 +374,8 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("dup_line_bp"),
+        F.length(extract_main_text(html_aug)).alias("main_n_chars"),
+        F.size(main_text_blocks(html_aug)).alias("n_content_blocks"),
     )
 
 
