@@ -355,10 +355,14 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 @REGISTRY.register(
     "asof_join_purchase_click",
     oracle="""
-    SELECT event_id, user_id,
+    SELECT 'asof' AS family, event_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
            asof_click_us, asof_click_value_c,
-           asof_click_us AS last_click_us
+           asof_click_us AS last_click_us,
+           CAST(NULL AS INTEGER) AS max_step,
+           CAST(NULL AS BIGINT) AS step_1_epoch_s,
+           CAST(NULL AS BIGINT) AS step_2_epoch_s,
+           CAST(NULL AS BIGINT) AS step_3_epoch_s
     FROM (
       SELECT event_id, user_id, ts, event_type,
              LAST_VALUE(CASE WHEN event_type = 'click'
@@ -372,6 +376,55 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     WHERE event_type = 'purchase'
+    UNION ALL
+    -- funnel family: the sequential min-aggregate formulation of
+    -- operators.funnel greedy-earliest semantics (entry-anchored 240-min
+    -- window, strict order, second-resolution epochs via integer
+    -- division — CAST would ROUND in DuckDB but truncate in Spark)
+    SELECT 'funnel', CAST(NULL AS BIGINT), s1.user_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INTEGER),
+           s1.t1, s2.t2, s3.t3
+    FROM (
+      SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ) s1
+    LEFT JOIN (
+      SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t2
+      FROM events e JOIN (
+        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ) p ON p.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) // 1000000 > p.t1
+        AND epoch_us(e.ts) // 1000000 <= p.t1 + 240*60
+      GROUP BY e.user_id
+    ) s2 ON s2.user_id = s1.user_id
+    LEFT JOIN (
+      SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t3
+      FROM events e
+      JOIN (
+        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ) p ON p.user_id = e.user_id
+      JOIN (
+        SELECT e2.user_id, min(epoch_us(e2.ts) // 1000000) AS t2
+        FROM events e2 JOIN (
+          SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ) p2 ON p2.user_id = e2.user_id
+        WHERE e2.event_type = 'click'
+          AND epoch_us(e2.ts) // 1000000 > p2.t1
+          AND epoch_us(e2.ts) // 1000000 <= p2.t1 + 240*60
+        GROUP BY e2.user_id
+      ) q ON q.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 1000000 > q.t2
+        AND epoch_us(e.ts) // 1000000 <= p.t1 + 240*60
+      GROUP BY e.user_id
+    ) s3 ON s3.user_id = s1.user_id
     """,
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,14 +473,41 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "last_click_us")
     )
-    return out.join(windowed, "event_id").select(
+    asof_rows = out.join(windowed, "event_id").select(
+        F.lit("asof").alias("family"),
         "event_id",
         "user_id",
         "purchase_us",
         F.col("asof_click_us"),
         F.col("asof_click_value_c"),
         "last_click_us",
+        F.lit(None).cast("int").alias("max_step"),
+        F.lit(None).cast("long").alias("step_1_epoch_s"),
+        F.lit(None).cast("long").alias("step_2_epoch_s"),
+        F.lit(None).cast("long").alias("step_3_epoch_s"),
     )
+    # Driver-slot composite: the same slot value-gates operators.funnel
+    # (view -> click -> purchase, entry-anchored 240-min window). The
+    # oracle mirrors the fold's greedy-earliest semantics as the
+    # sequential min-aggregate CTE chain.
+    from ..operators.funnel import funnel_steps
+
+    funnel_rows = funnel_steps(
+        e, ["view", "click", "purchase"], within_minutes=240
+    ).select(
+        F.lit("funnel").alias("family"),
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("long").alias("purchase_us"),
+        F.lit(None).cast("long").alias("asof_click_us"),
+        F.lit(None).cast("long").alias("asof_click_value_c"),
+        F.lit(None).cast("long").alias("last_click_us"),
+        "max_step",
+        "step_1_epoch_s",
+        "step_2_epoch_s",
+        "step_3_epoch_s",
+    )
+    return asof_rows.unionByName(funnel_rows)
 
 
 # --------------------------------------------------------------------------
