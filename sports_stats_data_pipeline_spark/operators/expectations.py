@@ -1,0 +1,209 @@
+"""Declarative data-quality expectations: evaluate a set of constraints
+over a table in ONE pass and report violation counts — the dbt-test /
+Delta-constraint / quality-gate primitive a pipeline runs before
+promoting a batch (pair with operators.sinks staged-replace: validate
+the staging table, promote only when the gate passes).
+
+Supported constraint kinds:
+- ``not_null(col)`` — no NULLs;
+- ``unique(cols)`` — no duplicate key tuples;
+- ``accepted_values(col, values)`` — domain check;
+- ``in_range(col, lo, hi)`` — inclusive bounds (NULLs don't violate —
+  compose with not_null to forbid them);
+- ``expression(sql_bool)`` — arbitrary row predicate that must hold;
+- ``foreign_key(cols, dim, dim_cols)`` — referential integrity into a
+  dimension table.
+
+Scale shape: every row-level constraint compiles to a conditional-sum
+column in ONE aggregate over ONE scan (no per-constraint passes);
+``unique`` adds one groupBy on its key and ``foreign_key`` one
+left-anti join against the (broadcastable) dimension — each extra
+relation is keyed by exactly the columns it checks, nothing rescans.
+At 100 TB the row-level gate is a single map-side-combinable pass.
+
+Output: one row per expectation — (name, kind, violations, total,
+passed) — so the gate is ``max(violations) == 0`` and the report is
+small enough to log/persist with the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+def not_null(col: str, name: str | None = None) -> Expectation:
+    return Expectation(name or f"not_null_{col}", "not_null", {"col": col})
+
+
+def unique(cols: list[str], name: str | None = None) -> Expectation:
+    return Expectation(
+        name or "unique_" + "_".join(cols), "unique", {"cols": list(cols)}
+    )
+
+
+def accepted_values(
+    col: str, values: list, name: str | None = None
+) -> Expectation:
+    return Expectation(
+        name or f"accepted_values_{col}",
+        "accepted_values",
+        {"col": col, "values": list(values)},
+    )
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"in_range_{col}", "in_range", {"col": col, "lo": lo, "hi": hi}
+    )
+
+
+def expression(sql_bool: str, name: str) -> Expectation:
+    return Expectation(name, "expression", {"sql": sql_bool})
+
+
+def foreign_key(
+    cols: list[str],
+    dim: DataFrame,
+    dim_cols: list[str],
+    name: str | None = None,
+) -> Expectation:
+    return Expectation(
+        name or "fk_" + "_".join(cols),
+        "foreign_key",
+        {"cols": list(cols), "dim": dim, "dim_cols": list(dim_cols)},
+    )
+
+
+def _violation_expr(e: Expectation) -> Column:
+    """Row-level violation indicator (1 = this row violates)."""
+    p = e.params
+    if e.kind == "not_null":
+        return F.col(p["col"]).isNull().cast("long")
+    if e.kind == "accepted_values":
+        c = F.col(p["col"])
+        return (~c.isin(*p["values"]) & c.isNotNull()).cast("long")
+    if e.kind == "in_range":
+        c = F.col(p["col"])
+        return (
+            c.isNotNull() & ~c.between(F.lit(p["lo"]), F.lit(p["hi"]))
+        ).cast("long")
+    if e.kind == "expression":
+        # a row violates when the predicate is NOT satisfied (NULL — the
+        # three-valued unknown — counts as a violation: gates fail shut)
+        return (~F.coalesce(F.expr(p["sql"]), F.lit(False))).cast("long")
+    raise ValueError(f"not a row-level expectation kind: {e.kind}")
+
+
+def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations; returns (name, kind, violations,
+    total, passed) with one row per expectation."""
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
+    row_level = [
+        e
+        for e in expectations
+        if e.kind in ("not_null", "accepted_values", "in_range", "expression")
+    ]
+    results = []
+    if row_level:
+        aggs = [F.count("*").alias("__total")] + [
+            F.sum(_violation_expr(e)).alias(f"__v{i}")
+            for i, e in enumerate(row_level)
+        ]
+        # ONE aggregate row exploded into one report row per expectation
+        # — a per-expectation select-then-union would re-plan the
+        # aggregate (and re-scan the table) once per branch.
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(e.name).alias("name"),
+                    F.lit(e.kind).alias("kind"),
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("violations"),
+                )
+                for i, e in enumerate(row_level)
+            ]
+        )
+        results.append(
+            df.agg(*aggs)
+            .select(
+                F.col("__total").cast("long").alias("total"),
+                F.explode(entries).alias("e"),
+            )
+            .select("e.name", "e.kind", "e.violations", "total")
+        )
+    for e in expectations:
+        if e.kind == "unique":
+            cols = e.params["cols"]
+            dup = (
+                df.groupBy(*cols)
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("violations"),
+                )
+            )
+            total = df.agg(F.count("*").alias("t"))
+            results.append(
+                dup.crossJoin(total).select(
+                    F.lit(e.name).alias("name"),
+                    F.lit("unique").alias("kind"),
+                    F.col("violations").cast("long"),
+                    F.col("t").cast("long").alias("total"),
+                )
+            )
+        elif e.kind == "foreign_key":
+            cols, dim, dim_cols = (
+                e.params["cols"],
+                e.params["dim"],
+                e.params["dim_cols"],
+            )
+            keyed = dim.select(
+                *[F.col(d).alias(c) for c, d in zip(cols, dim_cols)]
+            ).dropDuplicates(cols)
+            orphans = df.select(*cols).join(
+                F.broadcast(keyed), cols, "left_anti"
+            )
+            total = df.agg(F.count("*").alias("t"))
+            results.append(
+                orphans.agg(F.count("*").alias("violations"))
+                .crossJoin(total)
+                .select(
+                    F.lit(e.name).alias("name"),
+                    F.lit("foreign_key").alias("kind"),
+                    F.col("violations").cast("long"),
+                    F.col("t").cast("long").alias("total"),
+                )
+            )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "passed", (F.col("violations") == 0).cast("int")
+    )
+
+
+def gate(df: DataFrame, expectations: list[Expectation]) -> None:
+    """Raise ``ValueError`` listing every failed expectation (the
+    promote-blocking form — call between staging write and promote)."""
+    failed = [
+        (r["name"], r["violations"])
+        for r in validate(df, expectations).collect()
+        if r["passed"] == 0
+    ]
+    if failed:
+        raise ValueError(
+            "data-quality gate failed: "
+            + ", ".join(f"{n} ({v} violations)" for n, v in failed)
+        )

@@ -1,0 +1,106 @@
+"""Schema evolution for append pipelines: conform an incoming batch to
+a target table schema — the missing half of every long-lived ingest
+(upstream adds a column, widens an int, reorders fields; the sink must
+keep accepting batches without a rewrite).
+
+Policy (the Delta/Iceberg-compatible safe set):
+- missing columns → added as typed NULLs;
+- SAFE widenings applied: int→long, float→double, int/long→double,
+  date→timestamp — conversions that cannot lose information;
+- column order → target order (positional writers care);
+- extra columns → rejected by default (a typo'd producer column should
+  fail loudly), kept with ``allow_extra=True`` (appended after the
+  target columns, for sinks that merge schemas);
+- NARROWING (long→int, double→float, string→anything) → always an
+  error listing every offender; silent truncation is the one thing an
+  ingest must never do.
+
+Pure projection — no shuffle, no data pass beyond the cast itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: (from, to) pairs that cannot lose information.
+_SAFE_WIDENINGS = {
+    (T.IntegerType(), T.LongType()),
+    (T.IntegerType(), T.DoubleType()),
+    (T.LongType(), T.DoubleType()),
+    (T.FloatType(), T.DoubleType()),
+    (T.ShortType(), T.IntegerType()),
+    (T.ShortType(), T.LongType()),
+    (T.ShortType(), T.DoubleType()),
+    (T.ByteType(), T.ShortType()),
+    (T.ByteType(), T.IntegerType()),
+    (T.ByteType(), T.LongType()),
+    (T.DateType(), T.TimestampType()),
+}
+
+
+def evolve_to_schema(
+    batch: DataFrame,
+    target: T.StructType,
+    allow_extra: bool = False,
+) -> DataFrame:
+    """Project ``batch`` onto ``target``: see module docstring for the
+    add/widen/reject policy. Raises ``ValueError`` naming every
+    incompatible column."""
+    have = {f.name: f.dataType for f in batch.schema.fields}
+    errors: list[str] = []
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        src = have[f.name]
+        if src == f.dataType:
+            cols.append(F.col(f.name))
+        elif (src, f.dataType) in _SAFE_WIDENINGS:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            errors.append(
+                f"{f.name}: {src.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not a safe widening"
+            )
+    extra = [n for n in have if n not in {f.name for f in target.fields}]
+    if extra and not allow_extra:
+        errors.append(
+            "unexpected columns (allow_extra=False): " + ", ".join(sorted(extra))
+        )
+    if errors:
+        raise ValueError("schema evolution rejected: " + "; ".join(errors))
+    if allow_extra:
+        cols += [F.col(n) for n in sorted(extra)]
+    return batch.select(*cols)
+
+
+def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of two schemas with safe widening on conflicts (the target
+    a sink evolves TO when both old files and new batches must fit):
+    columns of ``a`` first (widened where ``b`` disagrees), then new
+    columns of ``b``. Incompatible conflicts raise."""
+    out = []
+    b_by_name = {f.name: f for f in b.fields}
+    for f in a.fields:
+        if f.name not in b_by_name:
+            out.append(f)
+            continue
+        other = b_by_name[f.name]
+        if f.dataType == other.dataType:
+            out.append(f)
+        elif (f.dataType, other.dataType) in _SAFE_WIDENINGS:
+            out.append(T.StructField(f.name, other.dataType, True))
+        elif (other.dataType, f.dataType) in _SAFE_WIDENINGS:
+            out.append(f)
+        else:
+            raise ValueError(
+                f"cannot merge column {f.name}: "
+                f"{f.dataType.simpleString()} vs "
+                f"{other.dataType.simpleString()}"
+            )
+    seen = {f.name for f in a.fields}
+    out += [f for f in b.fields if f.name not in seen]
+    return T.StructType(out)
