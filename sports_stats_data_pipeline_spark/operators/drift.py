@@ -1,0 +1,134 @@
+"""Distribution-drift monitoring: compare a column's distribution in a
+new batch against a reference snapshot — the input-data drift gate a
+production pipeline runs alongside the row-level quality gate
+(operators.expectations): expectations catch BROKEN data, drift catches
+data that is valid but DIFFERENT (upstream mix change, new locale,
+sensor recalibration) before it silently skews models downstream.
+
+Metric: Population Stability Index over fixed bins derived from the
+REFERENCE distribution —
+
+    PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+with the usual epsilon floor on empty bins. Conventional reading:
+< 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted.
+
+Scale shape: binning is a pure expression (floor over the reference's
+[min, max] span — the bounds travel as plain numbers with the reference
+snapshot, no join needed), each side takes ONE map-side-combinable
+groupBy over its bins, and the PSI combine joins two bin-count
+relations of ``n_bins (+2 under/overflow)`` rows — driver-light,
+shuffle bounded by the bin count, never the data. Persist the
+reference's (bounds, bin counts) with the model/snapshot and each new
+batch costs one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bin ids for values outside the reference span (they carry drift
+#: signal — a new batch spilling past the reference max IS a shift).
+UNDERFLOW, OVERFLOW = -1, -2
+
+
+def bin_counts(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin row counts of ``col`` over fixed bounds: bin i covers
+    ``[lo + i·w, lo + (i+1)·w)`` with ``w = (hi−lo)/n_bins`` (the last
+    bin closed on ``hi``); values outside land in UNDERFLOW/OVERFLOW,
+    NULLs are excluded (gate them with expectations.not_null)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    c = F.col(col).cast("double")
+    raw = F.floor(
+        (c - F.lit(float(lo))) / F.lit((float(hi) - float(lo)) / n_bins)
+    ).cast("int")
+    bin_id = (
+        F.when(c.isNull(), None)
+        .when(c < F.lit(float(lo)), F.lit(UNDERFLOW))
+        .when(c > F.lit(float(hi)), F.lit(OVERFLOW))
+        .when(raw >= n_bins, F.lit(n_bins - 1))  # c == hi closes the top
+        .otherwise(raw)
+    )
+    return (
+        df.select(bin_id.alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def psi_report(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    bounds: tuple[float, float] | None = None,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Per-bin PSI detail: (bin, ref_n, cur_n, ref_p, cur_p,
+    psi_term). ``bounds`` defaults to the reference's min/max (one tiny
+    aggregate; pass the persisted bounds to skip it). Sum ``psi_term``
+    for the scalar — or call :func:`psi`."""
+    if bounds is None:
+        row = reference.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).first()
+        if row["lo"] is None or not row["hi"] > row["lo"]:
+            raise ValueError(
+                f"reference column {col!r} has no usable span: "
+                f"[{row['lo']}, {row['hi']}]"
+            )
+        bounds = (row["lo"], row["hi"])
+    lo, hi = bounds
+    ref = bin_counts(reference, col, lo, hi, n_bins).withColumnRenamed(
+        "n", "ref_n"
+    )
+    cur = bin_counts(current, col, lo, hi, n_bins).withColumnRenamed(
+        "n", "cur_n"
+    )
+    joined = ref.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+        F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
+    )
+    eps = F.lit(float(epsilon))
+    ref_p = F.greatest(F.col("ref_n") / F.col("rt"), eps)
+    cur_p = F.greatest(F.col("cur_n") / F.col("ct"), eps)
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        ref_p.alias("ref_p"),
+        cur_p.alias("cur_p"),
+        ((cur_p - ref_p) * (F.log(cur_p) - F.log(ref_p))).alias("psi_term"),
+    )
+
+
+def psi(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    bounds: tuple[float, float] | None = None,
+    epsilon: float = 1e-4,
+) -> float:
+    """Scalar PSI (see module docstring for thresholds)."""
+    return (
+        psi_report(reference, current, col, n_bins, bounds, epsilon)
+        .agg(F.sum("psi_term"))
+        .first()[0]
+    )
