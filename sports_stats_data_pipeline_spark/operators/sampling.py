@@ -171,3 +171,38 @@ def mix_sources(
     return out.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)).alias("copy")
     ).drop("__n_copies")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows with
+    the smallest ``xxhash64(seed, id)`` per stratum (all rows when the
+    stratum is smaller) — eval sets and per-source spot-checks that
+    re-draw IDENTICALLY on every run, unlike ``sampleBy`` whose
+    rand()-based draw shifts with partitioning.
+
+    Shape: one window ranked by the hash within each stratum — the same
+    shuffle a groupBy on the strata costs; no second pass, no driver
+    state. The hash ranks rows independently, so appending new rows can
+    displace old sample members only by winning the hash order (the
+    bottom-k sketch property) — change a seed to draw a fresh sample.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(
+            f"n_per_stratum must be >= 1, got {n_per_stratum}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.xxhash64(F.lit(int(seed)), F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

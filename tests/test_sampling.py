@@ -213,3 +213,68 @@ def test_split_leakage_report_and_cluster_keyed_fix(spark):
     fixed_report = split_leakage_report(pairs, fixed).collect()
     assert all(r["leaking"] == 0 for r in fixed_report), fixed_report
     assert sum(r["n_pairs"] for r in fixed_report) == 3
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample: deterministic hash-ranked per-stratum draw
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    strata = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    s = stratified_sample(docs, ["lang"], 7)
+    got = {
+        r["lang"]: r["n"]
+        for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {k: min(7, v) for k, v in strata.items()}
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"] for r in stratified_sample(docs, ["lang"], 7).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_is_bottom_k_of_the_hash(spark):
+    """The sample must be exactly the n smallest (hash, id) per stratum
+    — the property that makes the draw partitioning-independent."""
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    ranked = docs.select(
+        "doc_id", "lang", F.xxhash64(F.lit(3), F.col("doc_id")).alias("h")
+    ).collect()
+    by_lang = {}
+    for r in ranked:
+        by_lang.setdefault(r["lang"], []).append((r["h"], r["doc_id"]))
+    want = {
+        doc
+        for lang, rows in by_lang.items()
+        for _, doc in sorted(rows)[:5]
+    }
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(docs, ["lang"], 5, seed=3).collect()
+    }
+    assert got == want
+
+
+def test_stratified_sample_seeds_differ(spark):
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    s0 = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 5, seed=0).collect()}
+    s1 = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 5, seed=1).collect()}
+    assert s0 != s1
