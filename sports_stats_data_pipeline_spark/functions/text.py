@@ -452,3 +452,41 @@ def band_keys(n_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
         ]
         keys.append(F.concat_ws("|", *parts).alias(f"band_{b}"))
     return keys
+
+
+# --------------------------------------------------------------------------
+# Dedup-grade text normalization (the CCNet preprocessing step: hashes of
+# NORMALIZED text make near-identical spins collide). Same cross-engine
+# rules as the PII section: no capture groups, the Java/RE2 common regex
+# subset, and a fixed accent map (translate) instead of unicode NFD —
+# neither engine exposes a normalization expression, and the fixed map is
+# deterministic in both.
+# --------------------------------------------------------------------------
+
+#: Latin-1 accented characters and their ASCII folds (lowercase only —
+#: normalization lowercases first).
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_text(text: str | Column = "text") -> Column:
+    """CCNet-style normalization: lowercase, fold Latin-1 accents, map
+    every digit run to ``0``, collapse every non-alphanumeric run to one
+    space, trim. Hash THIS (e.g. ``shingles(normalize_text(...))``) for
+    dedup that ignores case/punctuation/number spins."""
+    c = F.col(text) if isinstance(text, str) else text
+    folded = F.translate(F.lower(c), _ACCENT_SRC, _ACCENT_DST)
+    digits0 = F.regexp_replace(folded, F.lit("[0-9]+"), F.lit("0"))
+    spaced = F.regexp_replace(
+        digits0, F.lit("[^a-z0-9]+"), F.lit(" ")
+    )
+    return F.trim(spaced)
+
+
+def sql_normalize_text(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_text` (bit-identical output)."""
+    return (
+        "trim(regexp_replace(regexp_replace(translate(lower("
+        f"{text_expr}), '{_ACCENT_SRC}', '{_ACCENT_DST}'), "
+        "'[0-9]+', '0', 'g'), '[^a-z0-9]+', ' ', 'g'))"
+    )

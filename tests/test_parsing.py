@@ -104,3 +104,45 @@ def test_activity_flag_boundary(spark):
         activity_flag(parse_ref_date(F.col("v")), "2026-08-13").alias("s")
     ).collect()
     assert [r["s"] for r in out] == ["Active", "Inactive", "Inactive"]
+
+
+def test_normalize_text_matches_duckdb_twin(spark):
+    """Dedup normalization: hand anchors + bit-identical DuckDB twin on
+    the real documents table."""
+    import duckdb
+
+    from sports_stats_data_pipeline_spark.functions.text import (
+        normalize_text,
+        sql_normalize_text,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    anchors = spark.createDataFrame(
+        [
+            ("  Héllo,   WORLD!! 123 items ", "hello world 0 items"),
+            ("Ça va très bien –№42", "ca va tres bien 0"),
+            ("", ""),
+        ],
+        "text string, want string",
+    )
+    for r in anchors.select(
+        normalize_text("text").alias("got"), "want"
+    ).collect():
+        assert r["got"] == r["want"]
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", normalize_text("text").alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    ref = dict(
+        con.execute(
+            f"SELECT doc_id, {sql_normalize_text('text')} FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == ref
