@@ -40,6 +40,7 @@ from ..functions.text import (
     MINHASH_PRIME,
     band_keys,
     minhash_signature_from_hashes,
+    normalize_text,
     shingle_hashes,
     pii_email_count,
     pii_ipv4_count,
@@ -47,6 +48,7 @@ from ..functions.text import (
     redact_pii,
     shingles,
     simhash64_from_hashes,
+    sql_normalize_text,
     sql_redact_pii,
     sql_simhash64_int,
     stopword_count,
@@ -250,6 +252,8 @@ _SQL_KEPT_BLOCKS = f"""
              // len({_SQL_AUG_LINES}) AS dup_line_bp,
            CAST(length(array_to_string(kept_blocks, chr(10))) AS INTEGER)
              AS main_n_chars,
+           CAST(length({sql_normalize_text('text')}) AS INTEGER)
+             AS norm_n_chars,
            CAST(len(kept_blocks) AS INTEGER) AS n_content_blocks
     FROM bp
     """,
@@ -375,6 +379,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_line_bp"),
         F.length(extract_main_text(html_aug)).alias("main_n_chars"),
+        F.length(normalize_text("text")).alias("norm_n_chars"),
         F.size(main_text_blocks(html_aug)).alias("n_content_blocks"),
     )
 
