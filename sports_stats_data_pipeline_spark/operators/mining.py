@@ -52,6 +52,14 @@ def mine_contrastive_pairs(
     (``is_positive = 1``) resp. negatives (``is_positive = 0``), ordered
     by cosine descending (hardest negative first, most-confident
     positive first), ties on neighbor id.
+
+    Cache lifetime: the kmeans assignment (and, with ``semi_hard``, the
+    scored candidate relation) stays persisted for the returned plan's
+    lifetime — it feeds the result lazily, so this function cannot
+    unpersist it (the quantize.py convention: the caller owns cleanup).
+    Long-lived sessions mining many times should
+    ``spark.catalog.clearCache()`` between rounds, or persist the cell
+    assignment at ingest (similarity.build_ivf_index) and mine that.
     """
     assigned, centroids = kmeans_fit_assign(
         embeddings,
