@@ -102,16 +102,25 @@ def write_zordered(
     n_files: int = 8,
     bits_per_col: int = 16,
     bounds: dict[str, tuple[float, float]] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """Write ``df`` to parquet at ``path`` clustered along the Z-curve of
     ``cols``: range-exchange on the z-key into ~``n_files`` files, sorted
-    within each so row groups inherit tight min/max rectangles."""
+    within each so row groups inherit tight min/max rectangles.
+
+    ``partition_by`` layers the two pruning mechanisms the way a 100-TB
+    table should: directory partitions (usually the date) give O(1)
+    partition pruning on the coarse axis, and the Z-order WITHIN each
+    partition gives row-group pruning on the remaining ``cols`` — the
+    exchange ranges over (partitions, z-key) so each output file stays
+    single-partition AND z-contiguous."""
     zk = zorder_key(df, cols, bits_per_col=bits_per_col, bounds=bounds)
-    (
-        df.withColumn("__zkey", zk)
-        .repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    keyed = df.withColumn("__zkey", zk)
+    parts = list(partition_by or [])
+    keyed = keyed.repartitionByRange(
+        n_files, *parts, "__zkey"
+    ).sortWithinPartitions(*parts, "__zkey")
+    writer = keyed.drop("__zkey").write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)

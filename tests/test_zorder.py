@@ -113,3 +113,36 @@ def test_zordered_files_are_tight_in_both_dims(spark, tmp_path):
     # z-order: materially tight on BOTH dimensions
     assert z_user < 0.75
     assert z_ts < 0.75
+
+
+def test_partitioned_zorder_layers_both_prunings(spark, tmp_path):
+    """Date directories + z-order within: date predicates prune
+    PARTITIONS (PartitionFilters), and within each date directory the
+    files stay tight on the z-ordered columns."""
+    events = load_table(spark, SF, "events").select(
+        "user_id", "ts", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    path = str(tmp_path / "pz")
+    write_zordered(
+        events, path, ["user_id", "value"], n_files=16,
+        partition_by=["day"],
+    )
+    back = spark.read.parquet(path)
+    # directory layout: one dir per day
+    days = {r["day"] for r in events.select("day").distinct().collect()}
+    import os
+
+    dirs = {d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")}
+    assert dirs == days
+    # date predicate prunes partitions, not data rows
+    from sports_stats_data_pipeline_spark.plans.lint import plan_text
+
+    one_day = sorted(days)[0]
+    p = plan_text(back.filter(F.col("day") == one_day))
+    assert "PartitionFilters" in p and f"{one_day}" in p
+    # inside a single day, files are tight on user_id (the z axis 1)
+    day_path = os.path.join(path, f"day={one_day}")
+    n, u_frac, v_frac = _file_rects(spark, day_path, "user_id", "value")
+    if n >= 3:  # enough files in the day to measure spread
+        assert u_frac < 0.9
