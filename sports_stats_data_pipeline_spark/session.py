@@ -39,6 +39,17 @@ def get_spark(
         # convert sort-merge → broadcast when runtime stats allow.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size when coalescing instead of
+        # maximizing parallelism — the Spark-documented recommendation
+        # ("it's recommended to set this config to false"); the default
+        # true keeps legacy behavior and floods tiny post-shuffle stages
+        # with near-empty tasks (measured: −8.5% on the sf0.1 headline;
+        # at cluster scale the advisory size is the knob that keeps
+        # reducers at healthy input sizes).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for all Python<->JVM data movement (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
