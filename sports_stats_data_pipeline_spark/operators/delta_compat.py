@@ -35,8 +35,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from functools import reduce
+
+from pyspark.sql import functions as F
+
 from .maintenance import compact_parquet
-from .merge import insert_if_absent
 from .sinks import promote_staging
 
 
@@ -54,6 +57,25 @@ def delta_available(spark: SparkSession) -> bool:
 
 def _merge_condition(keys: Sequence[str]) -> str:
     return " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+
+
+def _anti_join_null_safe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """``left LEFT ANTI JOIN right`` matching keys null-safely (``<=>``),
+    mirroring the Delta MERGE condition above — a plain-equality anti
+    join never matches NULL keys, so the parquet fallback would
+    duplicate/re-insert NULL-keyed rows that Delta replaces/skips.
+    Null-safe equality is still an equi-join key for Spark's hash join.
+    """
+    renamed = right.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys]
+    ).dropDuplicates()
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__s_{k}")) for k in keys],
+    )
+    return left.join(renamed, cond, "left_anti")
 
 
 def upsert(
@@ -106,7 +128,7 @@ def upsert(
         promote_staging(path)
         return
     existing = spark.read.parquet(path)
-    kept = existing.join(latest.select(*ks), on=ks, how="left_anti")
+    kept = _anti_join_null_safe(existing, latest.select(*ks), ks)
     merged = kept.unionByName(latest, allowMissingColumns=True)
     merged.write.mode("overwrite").parquet(path + ".staging")
     promote_staging(path)
@@ -143,7 +165,13 @@ def insert_absent(
         promote_staging(path)
         return
     existing = spark.read.parquet(path)
-    merged = insert_if_absent(existing, new, ks)
+    # first-writer-wins with the same null-safe key matching as the
+    # Delta MERGE condition (merge.insert_if_absent is plain-equality
+    # by documented reference semantics, so it is not reused here)
+    additions = _anti_join_null_safe(
+        new.dropDuplicates(ks), existing.select(*ks), ks
+    )
+    merged = existing.unionByName(additions, allowMissingColumns=True)
     merged.write.mode("overwrite").parquet(path + ".staging")
     promote_staging(path)
 

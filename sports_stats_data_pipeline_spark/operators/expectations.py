@@ -109,6 +109,21 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     total, passed) with one row per expectation."""
     if not expectations:
         raise ValueError("expectations must be non-empty")
+    known = {
+        "not_null",
+        "accepted_values",
+        "in_range",
+        "expression",
+        "unique",
+        "foreign_key",
+    }
+    unknown = sorted({e.kind for e in expectations} - known)
+    if unknown:
+        # an unrecognized kind must fail loudly — silently producing no
+        # report row would let gate() pass as if the check succeeded
+        raise ValueError(
+            "unrecognized expectation kind(s): " + ", ".join(unknown)
+        )
     row_level = [
         e
         for e in expectations

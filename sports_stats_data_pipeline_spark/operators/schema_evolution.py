@@ -28,7 +28,6 @@ from pyspark.sql import types as T
 _SAFE_WIDENINGS = {
     (T.IntegerType(), T.LongType()),
     (T.IntegerType(), T.DoubleType()),
-    (T.LongType(), T.DoubleType()),
     (T.FloatType(), T.DoubleType()),
     (T.ShortType(), T.IntegerType()),
     (T.ShortType(), T.LongType()),
@@ -39,16 +38,28 @@ _SAFE_WIDENINGS = {
     (T.DateType(), T.TimestampType()),
 }
 
+#: (from, to) pairs that LOOK like widenings but can silently lose
+#: precision — long→double keeps only 53 mantissa bits, so |v| > 2^53
+#: rounds. Not in the Delta/Iceberg safe set; applied only under an
+#: explicit ``allow_lossy=True`` opt-in.
+_LOSSY_WIDENINGS = {
+    (T.LongType(), T.DoubleType()),
+}
+
 
 def evolve_to_schema(
     batch: DataFrame,
     target: T.StructType,
     allow_extra: bool = False,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Project ``batch`` onto ``target``: see module docstring for the
     add/widen/reject policy. Raises ``ValueError`` naming every
-    incompatible column."""
+    incompatible column. ``allow_lossy=True`` additionally permits the
+    precision-losing conversions in ``_LOSSY_WIDENINGS`` (long→double,
+    which rounds |v| > 2^53)."""
     have = {f.name: f.dataType for f in batch.schema.fields}
+    allowed = _SAFE_WIDENINGS | (_LOSSY_WIDENINGS if allow_lossy else set())
     errors: list[str] = []
     cols = []
     for f in target.fields:
@@ -58,8 +69,14 @@ def evolve_to_schema(
         src = have[f.name]
         if src == f.dataType:
             cols.append(F.col(f.name))
-        elif (src, f.dataType) in _SAFE_WIDENINGS:
+        elif (src, f.dataType) in allowed:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif (src, f.dataType) in _LOSSY_WIDENINGS:
+            errors.append(
+                f"{f.name}: {src.simpleString()} -> "
+                f"{f.dataType.simpleString()} loses precision "
+                "(pass allow_lossy=True to accept rounding)"
+            )
         else:
             errors.append(
                 f"{f.name}: {src.simpleString()} -> "
@@ -77,12 +94,16 @@ def evolve_to_schema(
     return batch.select(*cols)
 
 
-def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+def merge_schemas(
+    a: T.StructType, b: T.StructType, allow_lossy: bool = False
+) -> T.StructType:
     """Union of two schemas with safe widening on conflicts (the target
     a sink evolves TO when both old files and new batches must fit):
     columns of ``a`` first (widened where ``b`` disagrees), then new
-    columns of ``b``. Incompatible conflicts raise."""
+    columns of ``b``. Incompatible conflicts raise; precision-losing
+    resolutions (long vs double) require ``allow_lossy=True``."""
     out = []
+    allowed = _SAFE_WIDENINGS | (_LOSSY_WIDENINGS if allow_lossy else set())
     b_by_name = {f.name: f for f in b.fields}
     for f in a.fields:
         if f.name not in b_by_name:
@@ -91,9 +112,9 @@ def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
         other = b_by_name[f.name]
         if f.dataType == other.dataType:
             out.append(f)
-        elif (f.dataType, other.dataType) in _SAFE_WIDENINGS:
+        elif (f.dataType, other.dataType) in allowed:
             out.append(T.StructField(f.name, other.dataType, True))
-        elif (other.dataType, f.dataType) in _SAFE_WIDENINGS:
+        elif (other.dataType, f.dataType) in allowed:
             out.append(f)
         else:
             raise ValueError(

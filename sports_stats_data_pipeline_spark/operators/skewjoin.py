@@ -43,10 +43,25 @@ unmatched DIM rows once per replica and are rejected — swap the sides
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """True when ``xxhash64`` accepts the type (MapType is unordered and
+    rejected by the hash expression at analysis time, at any nesting
+    depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def hot_keys(
@@ -90,16 +105,32 @@ def skew_join(
     fact_hot = fact.join(hot, ks, "left_semi")
     cold = fact_cold.join(dim, ks, how)
 
-    # Deterministic fact-side salt: hash the whole row (identical rows
-    # share a salt — fine for spreading, since a hot KEY's rows differ in
-    # their payload columns; a corpus of byte-identical rows is an exact-
-    # dedup problem, not a join-skew problem). No rand(): task retries
-    # and speculative duplicates must re-derive the same salt.
+    # Deterministic fact-side salt: hash the key columns plus every
+    # hashable payload column (MapType is rejected by xxhash64 at any
+    # nesting depth, so map columns are excluded rather than crashing
+    # the whole join). Identical projections share a salt — fine for
+    # spreading, since a hot KEY's rows differ in their payload columns;
+    # a corpus of byte-identical rows is an exact-dedup problem, not a
+    # join-skew problem. No rand(): task retries and speculative
+    # duplicates must re-derive the same salt.
+    salt_cols = [
+        c for c, f in zip(fact_hot.columns, fact_hot.schema.fields)
+        if _hashable(f.dataType)
+    ]
+    if set(salt_cols) <= set(ks):
+        # no hashable non-key column distinguishes rows of a hot key —
+        # every row of that key gets ONE salt and the hot task is not
+        # split. Loud, not silent: the caller should add a hashable
+        # discriminator column (e.g. a row id) to the fact side.
+        warnings.warn(
+            "skew_join: no hashable non-key fact column to salt on "
+            "(map-typed payloads are excluded); salting degenerates to "
+            "one salt per key value",
+            stacklevel=2,
+        )
     salted_fact = fact_hot.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*fact_hot.columns), F.lit(salt_factor)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(*salt_cols), F.lit(salt_factor)).cast("int"),
     )
     # Only the hot slice of dim is replicated — semi-join first, then a
     # salt_factor-way explode. |dim_hot| == |hot keys ∩ dim|, tiny.

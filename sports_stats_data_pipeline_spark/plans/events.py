@@ -492,9 +492,15 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential min-aggregate CTE chain.
     from ..operators.funnel import funnel_steps
 
+    # max_step >= 1 so plan and oracle agree BY CONSTRUCTION: the
+    # oracle's s1 CTE anchors on 'view', so it has no row for a user
+    # with only click/purchase events, while funnel_steps emits a
+    # max_step=0 row for them (today's data has no such user, but a
+    # regenerated corpus could). The 10k max_events_per_user default
+    # is likewise unhittable at driver SFs (<1k events/user).
     funnel_rows = funnel_steps(
         e, ["view", "click", "purchase"], within_minutes=240
-    ).select(
+    ).filter(F.col("max_step") >= 1).select(
         F.lit("funnel").alias("family"),
         F.lit(None).cast("long").alias("event_id"),
         "user_id",

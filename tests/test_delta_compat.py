@@ -84,3 +84,36 @@ def test_delta_unavailable_is_detected(spark):
         installed = False
     if not installed:
         assert delta_available(spark) is False
+
+
+def test_null_keys_match_null_safely_like_delta(spark, tmp_path):
+    """Delta's MERGE condition is t.k <=> s.k, so NULL-keyed rows are
+    replaced (upsert) / skipped (insert_absent). The parquet fallback
+    must agree (ADVICE r3: plain-equality anti joins duplicated them)."""
+    up = str(tmp_path / "up")
+    base = spark.createDataFrame(
+        [(None, "old", 1), (1, "a", 1)], "k long, v string, ts long"
+    )
+    base.write.parquet(up)
+    upsert(
+        spark,
+        up,
+        spark.createDataFrame([(None, "new", 2)], "k long, v string, ts long"),
+        ["k"],
+        order_col="ts",
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(up).collect()}
+    assert got == {None: "new", 1: "a"}  # replaced, not duplicated
+
+    ia = str(tmp_path / "ia")
+    base.write.parquet(ia)
+    insert_absent(
+        spark,
+        ia,
+        spark.createDataFrame(
+            [(None, "skipme", 2), (2, "b", 2)], "k long, v string, ts long"
+        ),
+        ["k"],
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(ia).collect()}
+    assert got == {None: "old", 1: "a", 2: "b"}  # NULL key skipped

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sports_stats_data_pipeline_spark.operators.expectations import (
+    Expectation,
     accepted_values,
     expression,
     foreign_key,
@@ -136,3 +137,14 @@ def test_gate_raises_with_names(spark):
     gate(df, [unique(["k"])])  # passes
     with pytest.raises(ValueError, match="not_null_k .1 violations."):
         gate(df, [not_null("k")])
+
+
+def test_unknown_kind_raises_up_front(spark):
+    """An unrecognized kind must fail loudly — silently skipping it
+    would let gate() pass as if the check ran (ADVICE r3)."""
+    df = spark.createDataFrame([(1,)], "k long")
+    bogus = Expectation("my_check", "no_such_kind", {})
+    with pytest.raises(ValueError, match="no_such_kind"):
+        validate(df, [bogus])
+    with pytest.raises(ValueError, match="no_such_kind"):
+        gate(df, [not_null("k"), bogus])

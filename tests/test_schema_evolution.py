@@ -90,3 +90,26 @@ def test_parquet_sink_round_trip(spark, tmp_path):
     back = spark.read.schema(target).parquet(path)
     rows = {r["id"]: (r["v"], r["note"]) for r in back.collect()}
     assert rows == {1: (10, None), 2: (None, "hi")}
+
+
+def test_long_to_double_is_lossy_not_safe(spark):
+    """long→double keeps 53 mantissa bits (|v| > 2^53 rounds) — rejected
+    by default, allowed only under the explicit allow_lossy opt-in
+    (ADVICE r3: it is not in the Delta/Iceberg safe widening set)."""
+    target = T.StructType([T.StructField("v", T.DoubleType())])
+    batch = spark.createDataFrame([((1 << 60) + 1,)], "v long")
+    with pytest.raises(ValueError, match="loses precision"):
+        evolve_to_schema(batch, target)
+    got = evolve_to_schema(batch, target, allow_lossy=True).collect()[0]
+    assert isinstance(got["v"], float)
+    with pytest.raises(ValueError, match="cannot merge column v"):
+        merge_schemas(
+            T.StructType([T.StructField("v", T.LongType())]),
+            target,
+        )
+    m = merge_schemas(
+        T.StructType([T.StructField("v", T.LongType())]),
+        target,
+        allow_lossy=True,
+    )
+    assert m.fields[0].dataType == T.DoubleType()

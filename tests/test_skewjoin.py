@@ -100,3 +100,31 @@ def test_rejects_dim_preserving_sides(spark, skewed):
         skew_join(fact, dim, ["k"], how="full")
     with pytest.raises(ValueError, match="salt_factor"):
         skew_join(fact, dim, ["k"], salt_factor=0)
+
+
+def test_map_typed_payload_does_not_crash(spark, skewed):
+    """xxhash64 rejects MapType at analysis time; the salt must hash
+    only the hashable columns so a map payload still joins exactly
+    (ADVICE r3)."""
+    fact, dim = skewed
+    fact_m = fact.withColumn(
+        "props", F.create_map(F.lit("a"), F.col("payload"))
+    )
+    got = skew_join(fact_m, dim, ["k"], hot_threshold=100).drop("props")
+    plain = fact.join(dim, ["k"], "inner")
+    assert _multiset(got) == _multiset(plain)
+
+
+def test_degenerate_salt_warns(spark, skewed):
+    """When no hashable non-key column exists, every hot-key row gets
+    one salt — must warn loudly instead of silently not splitting."""
+    import warnings as w
+
+    fact, dim = skewed
+    keys_only = fact.select("k").withColumn(
+        "m", F.create_map(F.lit("x"), F.lit(1))
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        skew_join(keys_only, dim, ["k"], hot_threshold=100).count()
+    assert any("degenerates" in str(x.message) for x in rec)
