@@ -56,6 +56,7 @@ def all_registries() -> QueryRegistry:
         documents,
         events,
         multimodal,
+        quality,
         reference_queries,
         relational,
     )
@@ -67,6 +68,7 @@ def all_registries() -> QueryRegistry:
         events,
         documents,
         corpus,
+        quality,
         multimodal,
         reference_queries,
     ):

@@ -21,15 +21,34 @@ REGISTRY = QueryRegistry()
 
 
 # --------------------------------------------------------------------------
-# Nest → flatten round trip (SURVEY.md §2.9 V1 analog): per-order sorted
-# array of line numbers, then explode back to verify reversibility.
-# collect_list is order-nondeterministic under shuffles, so the array is
-# array_sort'ed — the only deterministic way to emit collections.
+# Driver-slot composite (registry capped at 50 — NOTES.md): the nest →
+# flatten round trip (SURVEY.md §2.9 V1 analog: per-order sorted array of
+# line numbers; collect_list is order-nondeterministic under shuffles so
+# the array is array_sort'ed) and the string-function library (§2.8
+# X1/X2/X7 family: case, trim/pad, substring, replace, position, concat
+# templating) share one slot as a family-tagged union — freed the slot
+# for data_quality_report (plans.quality).
 # --------------------------------------------------------------------------
+_NESTED_NULLS = """
+           CAST(NULL AS VARCHAR) AS linenumbers,
+           CAST(NULL AS BIGINT) AS n_lines,
+           CAST(NULL AS BIGINT) AS total_qty"""
+_STRING_NULLS = """
+           CAST(NULL AS VARCHAR) AS brand_upper,
+           CAST(NULL AS VARCHAR) AS type_lower,
+           CAST(NULL AS VARCHAR) AS name_prefix,
+           CAST(NULL AS BIGINT) AS name_len,
+           CAST(NULL AS VARCHAR) AS type_short,
+           CAST(NULL AS INTEGER) AS first_a,
+           CAST(NULL AS VARCHAR) AS size_padded,
+           CAST(NULL AS VARCHAR) AS brand_type"""
+
+
 @REGISTRY.register(
-    "order_lines_nested",
-    oracle="""
-    SELECT l_orderkey,
+    "nested_string_functions",
+    oracle=f"""
+    SELECT 'nested' AS family,
+           l_orderkey AS key,{_STRING_NULLS},
            array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
              AS linenumbers,
            COUNT(*) AS n_lines,
@@ -37,17 +56,61 @@ REGISTRY = QueryRegistry()
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     GROUP BY l_orderkey
+    UNION ALL
+    SELECT 'strings',
+           p_partkey,
+           upper(p_brand),
+           lower(p_type),
+           substr(p_name, 1, 8),
+           length(p_name),
+           replace(p_type, 'ECONOMY', 'ECO'),
+           CAST(strpos(p_name, 'a') AS INTEGER),
+           lpad(CAST(p_size AS VARCHAR), 3, '0'),
+           p_brand || '/' || p_type,{_NESTED_NULLS}
+    FROM part
+    WHERE p_partkey % 10 = 0
     """,
 )
-def order_lines_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nested_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
-    return li.groupBy("l_orderkey").agg(
+    nested = li.groupBy("l_orderkey").agg(
         F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber"))).alias(
             "linenumbers"
         ),
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    ).select(
+        F.lit("nested").alias("family"),
+        F.col("l_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("brand_upper"),
+        F.lit(None).cast("string").alias("type_lower"),
+        F.lit(None).cast("string").alias("name_prefix"),
+        F.lit(None).cast("long").alias("name_len"),
+        F.lit(None).cast("string").alias("type_short"),
+        F.lit(None).cast("int").alias("first_a"),
+        F.lit(None).cast("string").alias("size_padded"),
+        F.lit(None).cast("string").alias("brand_type"),
+        "linenumbers",
+        "n_lines",
+        "total_qty",
     )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    strings = part.select(
+        F.lit("strings").alias("family"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.lit(None).cast("string").alias("linenumbers"),
+        F.lit(None).cast("long").alias("n_lines"),
+        F.lit(None).cast("long").alias("total_qty"),
+    )
+    return nested.unionByName(strings)
 
 
 # --------------------------------------------------------------------------
@@ -390,46 +453,6 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n96", F.lit(0).cast("long")).alias("m2"),
     )
     return nation_left.unionByName(yoy)
-
-
-# --------------------------------------------------------------------------
-# String-function library over part names (SURVEY.md §2.8 X1/X2/X7 family
-# exercised on corpus data): case, trim/pad, substring, replace, position,
-# concat templating.
-# --------------------------------------------------------------------------
-@REGISTRY.register(
-    "part_string_functions",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand) AS brand_upper,
-           lower(p_type) AS type_lower,
-           substr(p_name, 1, 8) AS name_prefix,
-           length(p_name) AS name_len,
-           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
-           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
-           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
-           p_brand || '/' || p_type AS brand_type
-    FROM part
-    WHERE p_partkey % 10 = 0
-    """,
-)
-def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
-    return part.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_upper"),
-        F.lower("p_type").alias("type_lower"),
-        F.substring("p_name", 1, 8).alias("name_prefix"),
-        # DuckDB length() is BIGINT, Spark's is INT — but the driver
-        # compares pandas values; keep INT and cast the oracle? No:
-        # length() here returns INT in Spark; oracle length() yields
-        # BIGINT which pandas widens identically. Cast both to be safe.
-        F.length("p_name").cast("long").alias("name_len"),
-        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
-        F.instr(F.col("p_name"), "a").alias("first_a"),
-        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
-        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-    )
 
 
 # --------------------------------------------------------------------------

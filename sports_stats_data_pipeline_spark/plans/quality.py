@@ -1,0 +1,229 @@
+"""Driver-gated data-quality governance: the checks a production
+pipeline runs EVERY batch, value-verified against a DuckDB oracle.
+
+One composite slot (`data_quality_report`) gates two pytest-only
+operator modules end-to-end:
+
+1. ``operators.expectations`` — all six constraint kinds (not_null,
+   unique, accepted_values, in_range, expression, foreign_key) over the
+   orders table, including a deliberately-failing in_range bound so the
+   failure-reporting path (violations > 0, passed = 0) is value-checked,
+   not just the all-green path.
+2. ``operators.drift`` — PSI input drift of o_totalprice between the
+   pre-/post-1997 halves of orders: the per-bin contingency counts are
+   hash-matched EXACTLY (integers), the scalar PSI at milli precision
+   (the ln() last-ulp rounding convention of corpus_quality_filter).
+
+Cross-engine conventions (plans/__init__.py): every float that touches
+the hash is rounded to an integer on both sides; the PSI epsilon floor
+is written CAST(0.0001 AS DOUBLE) in SQL because a bare DuckDB decimal
+literal is DECIMAL, not DOUBLE; bin ids come from the same
+floor((v−lo)/w) double arithmetic in both engines (IEEE-identical).
+
+Scale shape: the row-level expectations share ONE aggregate over ONE
+scan; unique adds one keyed groupBy, the FK one broadcast anti join;
+the PSI sides are each one map-side-combinable groupBy whose shuffle is
+bounded by the bin count, never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import QueryRegistry
+
+REGISTRY = QueryRegistry()
+
+_CUT = "1997-01-01"
+
+#: shared bin-id CASE over the reference bounds (DuckDB side). Spark's
+#: operators.drift.bin_counts computes the identical floor arithmetic.
+_BIN_CASE = """CASE
+             WHEN v < lo THEN -1
+             WHEN v > hi THEN -2
+             WHEN CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INTEGER) >= 10
+               THEN 9
+             ELSE CAST(FLOOR((v - lo) / ((hi - lo) / 10)) AS INTEGER)
+           END"""
+
+_ORACLE = f"""
+    WITH row_checks AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS v_accepted,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND NOT (o_totalprice BETWEEN 0 AND 200000)
+                      THEN 1 ELSE 0 END) AS v_range,
+             SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                      THEN 1 ELSE 0 END) AS v_expr
+      FROM orders
+    ),
+    uq AS (
+      SELECT COALESCE(SUM(n), 0) AS v FROM (
+        SELECT COUNT(*) AS n FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1
+      )
+    ),
+    fk AS (
+      SELECT COUNT(*) AS v FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+      )
+    ),
+    expectation_rows AS (
+      SELECT 'not_null_o_custkey' AS name, 'not_null' AS kind,
+             CAST(v_notnull AS BIGINT) AS violations, total FROM row_checks
+      UNION ALL
+      SELECT 'accepted_values_o_orderstatus', 'accepted_values',
+             CAST(v_accepted AS BIGINT), total FROM row_checks
+      UNION ALL
+      SELECT 'in_range_o_totalprice', 'in_range',
+             CAST(v_range AS BIGINT), total FROM row_checks
+      UNION ALL
+      SELECT 'positive_total', 'expression',
+             CAST(v_expr AS BIGINT), total FROM row_checks
+      UNION ALL
+      SELECT 'unique_o_orderkey', 'unique', CAST(uq.v AS BIGINT),
+             row_checks.total FROM uq, row_checks
+      UNION ALL
+      SELECT 'fk_o_custkey', 'foreign_key', CAST(fk.v AS BIGINT),
+             row_checks.total FROM fk, row_checks
+    ),
+    bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    ),
+    ref_bins AS (
+      SELECT bin, COUNT(*) AS ref_n FROM (
+        SELECT {_BIN_CASE} AS bin
+        FROM (SELECT o_totalprice AS v FROM orders
+              WHERE o_orderdate < TIMESTAMP '{_CUT}'
+                AND o_totalprice IS NOT NULL), bounds
+      ) GROUP BY bin
+    ),
+    cur_bins AS (
+      SELECT bin, COUNT(*) AS cur_n FROM (
+        SELECT {_BIN_CASE} AS bin
+        FROM (SELECT o_totalprice AS v FROM orders
+              WHERE o_orderdate >= TIMESTAMP '{_CUT}'
+                AND o_totalprice IS NOT NULL), bounds
+      ) GROUP BY bin
+    ),
+    joined AS (
+      SELECT COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n,
+             COALESCE(cur_n, 0) AS cur_n
+      FROM ref_bins r FULL OUTER JOIN cur_bins c ON r.bin = c.bin
+    ),
+    tot AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM joined),
+    terms AS (
+      SELECT bin, ref_n, cur_n,
+             (GREATEST(CAST(cur_n AS DOUBLE) / ct, CAST(0.0001 AS DOUBLE))
+              - GREATEST(CAST(ref_n AS DOUBLE) / rt, CAST(0.0001 AS DOUBLE)))
+             * LN(GREATEST(CAST(cur_n AS DOUBLE) / ct, CAST(0.0001 AS DOUBLE))
+                  / GREATEST(CAST(ref_n AS DOUBLE) / rt,
+                             CAST(0.0001 AS DOUBLE))) AS term
+      FROM joined, tot
+    )
+    SELECT 'expectations' AS family, name, kind,
+           CAST(NULL AS INTEGER) AS bin,
+           CAST(NULL AS BIGINT) AS ref_n,
+           CAST(NULL AS BIGINT) AS cur_n,
+           violations,
+           CAST(total AS BIGINT) AS total,
+           CAST(violations = 0 AS INTEGER) AS passed,
+           CAST(NULL AS BIGINT) AS psi_milli
+    FROM expectation_rows
+    UNION ALL
+    SELECT 'drift', 'o_totalprice', 'psi_bin',
+           CAST(bin AS INTEGER), CAST(ref_n AS BIGINT),
+           CAST(cur_n AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM terms
+    UNION ALL
+    SELECT 'drift', 'o_totalprice', 'psi_total',
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(CAST(ROUND(SUM(term) * 1000) AS BIGINT) < 250 AS INTEGER),
+           CAST(ROUND(SUM(term) * 1000) AS BIGINT)
+    FROM terms
+"""
+
+
+@REGISTRY.register("data_quality_report", oracle=_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report + PSI drift report over orders, family-tagged
+    into one relation (see module docstring)."""
+    from ..operators import expectations as X
+    from ..operators.drift import psi_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    exps = [
+        X.not_null("o_custkey"),
+        X.unique(["o_orderkey"]),
+        X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        # 200k deliberately clips the right tail: the failing-expectation
+        # path (violations > 0, passed = 0) must be value-verified too
+        X.in_range("o_totalprice", 0, 200000),
+        X.expression("o_totalprice > 0", "positive_total"),
+        X.foreign_key(["o_custkey"], cust, ["c_custkey"]),
+    ]
+    null_i = F.lit(None).cast("int")
+    null_l = F.lit(None).cast("long")
+    rep = X.validate(orders, exps).select(
+        F.lit("expectations").alias("family"),
+        "name",
+        "kind",
+        null_i.alias("bin"),
+        null_l.alias("ref_n"),
+        null_l.alias("cur_n"),
+        "violations",
+        "total",
+        "passed",
+        null_l.alias("psi_milli"),
+    )
+
+    cut = F.lit(_CUT).cast("timestamp")
+    detail = psi_report(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        n_bins=10,
+    )
+    bins = detail.select(
+        F.lit("drift").alias("family"),
+        F.lit("o_totalprice").alias("name"),
+        F.lit("psi_bin").alias("kind"),
+        F.col("bin").cast("int").alias("bin"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        null_l.alias("violations"),
+        null_l.alias("total"),
+        null_i.alias("passed"),
+        null_l.alias("psi_milli"),
+    )
+    total = (
+        detail.agg(
+            F.round(F.sum("psi_term") * 1000).cast("long").alias("pm")
+        )
+        .select(
+            F.lit("drift").alias("family"),
+            F.lit("o_totalprice").alias("name"),
+            F.lit("psi_total").alias("kind"),
+            null_i.alias("bin"),
+            null_l.alias("ref_n"),
+            null_l.alias("cur_n"),
+            null_l.alias("violations"),
+            null_l.alias("total"),
+            (F.col("pm") < 250).cast("int").alias("passed"),
+            F.col("pm").alias("psi_milli"),
+        )
+    )
+    return rep.unionByName(bins).unionByName(total)
