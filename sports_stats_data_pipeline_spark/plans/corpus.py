@@ -419,15 +419,92 @@ def lexical_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Distributed BPE training under the driver gate. Iterative pair-merge
-# argmax rounds are the canonical non-SQL-expressible op (the task
-# contract's "iterative algorithms" exemption) — this entry is rows-only
-# at the driver; the hand-computed classic-corpus anchor and the
-# greedy/prefix/roundtrip properties in tests/test_bpe.py pin values.
-# Training is deterministic: ties break on pair lexicographic order, so
-# the merge table is identical across runs and partitionings.
+# Distributed BPE training under the driver gate — WITH a full value
+# oracle since round 4: the k merge rounds unroll into k chained
+# MATERIALIZED CTEs (DuckDB would otherwise inline each round's vocab
+# into both consumers — 2^k plan blowup). Each round mirrors the Spark
+# algorithm exactly: pair counts weighted by word frequency, argmax with
+# (count DESC, pair ASC) tie-break, HAVING >= 2 early-stop guard, then
+# the greedy left-to-right non-overlapping merge as a list_reduce fold
+# over US-joined symbol strings (fold invariant: the accumulator's last
+# token equals `a` iff acc = a OR acc ends with chr(31)||a — symbols
+# never contain chr(31), verified ASCII-only corpus; appending b without
+# a separator IS the merge). corpus_symbols_after folds to
+# SUM(cnt * |syms|) because the encoded word stream's multiplicities
+# equal the vocab counts by construction. Tie-break collation: both
+# engines compare ASCII bytewise. The oracle assumes all k rounds find
+# a pair with count >= 2 (true for this corpus at every SF; if a
+# regenerated corpus ever exhausts merges the row-count mismatch fails
+# loudly rather than silently passing).
 # --------------------------------------------------------------------------
-@REGISTRY.register("bpe_train_merges")
+_BPE_MERGES = 10
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    us = "chr(31)"
+    parts = [
+        f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt,
+             array_to_string(string_split(word, ''), {us}) AS syms
+      FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents WHERE doc_id < 300
+      )
+      WHERE length(word) > 0
+      GROUP BY word
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+    b{i} AS MATERIALIZED (
+      SELECT pair, string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM (
+        SELECT pair, SUM(cnt) AS n
+        FROM (
+          SELECT cnt,
+                 unnest(list_transform(range(1, len(l)),
+                        j -> l[j] || ' ' || l[j+1])) AS pair
+          FROM (SELECT cnt, string_split(syms, {us}) AS l FROM v{i})
+        )
+        GROUP BY pair HAVING SUM(cnt) >= 2
+        ORDER BY n DESC, pair
+        LIMIT 1
+      )
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             list_reduce(string_split(v.syms, {us}),
+               (acc, x) -> CASE
+                 WHEN (acc = b{i}.a OR ends_with(acc, {us} || b{i}.a))
+                      AND x = b{i}.b
+                 THEN acc || b{i}.b
+                 ELSE acc || {us} || x END) AS syms
+      FROM v{i} v, b{i}
+    )"""
+        )
+    parts.append(
+        f""",
+    total AS (
+      SELECT CAST(SUM(cnt * len(string_split(syms, {us}))) AS BIGINT)
+             AS corpus_symbols_after
+      FROM v{n_merges}
+    )
+    """
+    )
+    parts.append(
+        "\n    UNION ALL\n    ".join(
+            f"SELECT CAST({i} AS INTEGER) AS rank, a AS left_sym, "
+            f"b AS right_sym, corpus_symbols_after FROM b{i}, total"
+            for i in range(n_merges)
+        )
+    )
+    return "".join(parts)
+
+
+@REGISTRY.register("bpe_train_merges", oracle=_bpe_oracle(_BPE_MERGES))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import encode_words, train_bpe
 
@@ -436,7 +513,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 300)
         .select("doc_id", "text")
     )
-    merges = train_bpe(docs, n_merges=10)
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
     rules = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left_sym string, right_sym string",

@@ -39,9 +39,8 @@ def oracle():
 NO_ORACLE_ALLOWED = {
     "sketch_approx_stats",
     "ann_topk_fast",
-    # iterative pair-merge argmax training — the task contract's
-    # "iterative algorithms" exemption; values pinned in tests/test_bpe.py
-    "bpe_train_merges",
+    # bpe_train_merges graduated to a full oracle in round 4 (unrolled
+    # MATERIALIZED-CTE merge rounds in DuckDB — plans/corpus.py)
 }
 
 
