@@ -54,23 +54,44 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_cap: int = 4096,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Flag semantic duplicates; returns one row per input vector:
     ``(id_col, cell, group_id, n_members, keep)`` where ``group_id`` is
     the duplicate group's minimum id, ``n_members`` its size (1 for
     non-duplicated vectors), and ``keep`` marks the survivor.
+
+    ``centroids`` — optional pre-trained coarse quantizer as a
+    ``(cell int, centroid array<double>)`` relation; when supplied the
+    k-means fit is skipped (``n_cells``/``kmeans_iters`` are ignored)
+    and vectors are assigned by the same broadcast argmin the trainer
+    uses. This is both the production shape (the quantizer is trained
+    once, reused across batches) and what makes the whole chain
+    SQL-expressible for the driver oracle (assignment = argmin over
+    literal centroid rows — the ann_quantized_ivf probe-all trick).
     """
     if not 0 < threshold_micro <= 1_000_000:
         raise ValueError(
             f"threshold_micro must be in (0, 1e6], got {threshold_micro}"
         )
-    assigned, _centroids = kmeans_fit_assign(
-        embeddings,
-        k=n_cells,
-        iters=kmeans_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if centroids is not None:
+        from .kmeans import _assign
+
+        vecs = embeddings.select(
+            F.col(id_col).alias("__id"),
+            as_double(F.col(vec_col)).alias("__v"),
+        )
+        assigned = _assign(vecs, centroids).select(
+            F.col("__id").alias(id_col), "cell"
+        ).persist()
+    else:
+        assigned, _centroids = kmeans_fit_assign(
+            embeddings,
+            k=n_cells,
+            iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     members = (
         embeddings.select(
             F.col(id_col), as_double(F.col(vec_col)).alias("v")

@@ -711,7 +711,95 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
 # label propagation; the component's min doc_id is the deterministic
 # canonical survivor (first-wins, cf. reference fighters_scraper.py:150).
 # Oracle: the same fixpoint as a recursive min-label walk in SQL.
+#
+# Driver-slot composite since round 4: the same slot value-gates
+# operators.semdedup (SemDeDup semantic dedup, Abbas et al. 2023) as the
+# 'semdedup' family. The coarse quantizer is CALLER-SUPPLIED literal
+# centroids (the production shape — trained once, reused per batch),
+# which makes cell assignment a SQL argmin over literal rows (the
+# ann_quantized_ivf probe-all trick): assignment distances fold in array
+# order on both engines (bit-identical doubles), edges use the same
+# >= 0.95-cosine decision (synthesized nudged near-dups sit at cos
+# >= 0.995, the corpus's natural max pairwise cosine is 0.60 — verified
+# margins, no boundary risk), and group resolution reuses the recursive
+# min-label walk. Dups whose nudge crosses a cell boundary pair with
+# nothing — SemDeDup's documented recall loss, mirrored exactly.
 # --------------------------------------------------------------------------
+_SEM_DIM = 64
+_SEM_K = 4
+#: deterministic literal centroids inside the unit ball (embeddings are
+#: unit-norm): c[j][i] = ((7i + 13j) mod 19 − 9) / 90 ∈ [−0.1, 0.1].
+_SEM_CENTROIDS = [
+    [((7 * i + 13 * j) % 19 - 9) / 90.0 for i in range(_SEM_DIM)]
+    for j in range(_SEM_K)
+]
+_SEM_BASE = 800  # vec_id bound: whole table at sf<=0.01, capped at sf0.1
+
+_SQL_SEM_CENTROIDS = ", ".join(
+    "({}, [{}])".format(
+        j + 1,
+        ", ".join(
+            f"CAST({(7 * i + 13 * j) % 19 - 9} AS DOUBLE)/90"
+            for i in range(_SEM_DIM)
+        ),
+    )
+    for j in range(_SEM_K)
+)
+
+_SQL_SEM_BLOCK = f"""
+    semv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_SEM_BASE}
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.1
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id < {_SEM_BASE} AND vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.2
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id < {_SEM_BASE} AND vec_id % 10 = 0
+    ),
+    cents AS (
+      SELECT * FROM (VALUES {_SQL_SEM_CENTROIDS}) AS t(cell, c)
+    ),
+    sassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_reduce(list_transform(range(1, len(s.v) + 1),
+                   i -> (s.v[i] - c.c[i]) * (s.v[i] - c.c[i])),
+                   (a, b) -> a + b), c.cell) AS rn
+        FROM semv s, cents c
+      ) WHERE rn = 1
+    ),
+    cellmem AS (
+      SELECT a.vec_id, a.cell, s.v
+      FROM sassign a JOIN semv s USING (vec_id)
+      QUALIFY COUNT(*) OVER (PARTITION BY a.cell) <= 4096
+    ),
+    sedges AS (
+      SELECT a.vec_id AS u, b.vec_id AS w
+      FROM cellmem a JOIN cellmem b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000)
+                 AS BIGINT) >= 950000
+    ),
+    ssym AS (
+      SELECT u, w FROM sedges UNION ALL SELECT w, u FROM sedges
+    ),
+    swalk(id, lbl) AS (
+      SELECT vec_id, vec_id FROM semv
+      UNION
+      SELECT s.w, x.lbl FROM swalk x JOIN ssym s ON s.u = x.id
+      WHERE x.lbl < s.w
+    ),
+    slab AS (
+      SELECT id AS vec_id, MIN(lbl) AS group_id FROM swalk GROUP BY id
+    )"""
 
 
 @REGISTRY.register(
@@ -732,23 +820,35 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     ),
     lab AS (
       SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
-    )
-    SELECT doc_id, cluster_id,
+    ),
+    {_SQL_SEM_BLOCK}
+    SELECT 'minhash' AS family, doc_id, CAST(NULL AS INTEGER) AS cell,
+           cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
            CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INTEGER)
              AS keep
     FROM lab
+    UNION ALL
+    SELECT 'semdedup', l.vec_id, CAST(a.cell AS INTEGER), l.group_id,
+           COUNT(*) OVER (PARTITION BY l.group_id),
+           CAST(CASE WHEN l.vec_id = l.group_id THEN 1 ELSE 0 END
+                AS INTEGER)
+    FROM slab l JOIN sassign a USING (vec_id)
     """,
 )
 def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: LSH candidate pairs → exact-Jaccard verify →
-    connected components → per-document cluster id + keep/drop decision.
+    """End-to-end near-dedup, two families in one slot: (1) 'minhash' —
+    LSH candidate pairs → exact-Jaccard verify → connected components →
+    per-document cluster id + keep/drop; (2) 'semdedup' —
+    operators.semdedup with caller-supplied centroids over the
+    embeddings table plus deterministic nudged near-dups.
 
     ``keep`` is an int (0/1), not boolean — nullable-boolean columns
     cross the two pandas bridges with mismatched NULL reprs (None vs
     NaN); int columns do not (plans/__init__.py conventions).
     """
     from ..operators.components import connected_components
+    from ..operators.semdedup import semantic_dedup
 
     docs = _neardup_docs(spark, sf_dir)
     # the pair set is scanned once per propagation round — materialize it
@@ -761,12 +861,49 @@ def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
     )
     w = Window.partitionBy("cluster_id")
-    return labels.select(
+    minhash_rows = labels.select(
+        F.lit("minhash").alias("family"),
         "doc_id",
+        F.lit(None).cast("int").alias("cell"),
         "cluster_id",
         F.count("*").over(w).alias("n_members"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
     )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEM_BASE)
+        .select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    )
+
+    def _nudged(mod: int, offset: int, delta: float) -> DataFrame:
+        return emb.filter(F.col("vec_id") % mod == 0).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, i) -> "
+                f"CASE WHEN i = 0 THEN x + {delta}D ELSE x END)"
+            ).alias("embedding"),
+        )
+
+    sem_vecs = emb.unionByName(_nudged(5, 1000000, 0.1)).unionByName(
+        _nudged(10, 2000000, 0.2)
+    )
+    cent_df = spark.createDataFrame(
+        [(j + 1, c) for j, c in enumerate(_SEM_CENTROIDS)],
+        "cell int, centroid array<double>",
+    )
+    sem = semantic_dedup(
+        sem_vecs, threshold_micro=950_000, centroids=cent_df
+    )
+    sem_rows = sem.select(
+        F.lit("semdedup").alias("family"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("group_id").alias("cluster_id"),
+        F.col("n_members"),
+        F.col("keep"),
+    )
+    return minhash_rows.unionByName(sem_rows)
 
 
 # --------------------------------------------------------------------------
