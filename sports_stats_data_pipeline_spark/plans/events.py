@@ -99,28 +99,83 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# The same tumbling aggregation executed by Structured Streaming
-# (file-stream source, availableNow, append mode + watermark +
-# end-of-stream flush → memory sink).
-# Output contract — and oracle — are identical to the batch form above;
-# the driver therefore verifies the streaming runtime end-to-end.
+# TWO real Structured Streaming executions under one driver slot
+# (family-tagged composite, round 4):
+# - 'tumbling': the 1-hour tumbling aggregation as a file stream
+#   (availableNow, append mode + watermark + end-of-stream flush →
+#   memory sink). Output contract — and oracle branch — identical to
+#   the batch form above, so the driver verifies the streaming runtime
+#   end-to-end.
+# - 'sjoin': the watermarked stream-stream interval join
+#   (streaming/join.py): purchases LEFT OUTER joined to preceding
+#   clicks <= 60 min per user, state bounded by watermark + join range,
+#   typed flush sentinels advancing both sides' terminal watermark so
+#   the unmatched tail is released (the sentinel-vs-pushdown lesson).
+#   Oracle branch = the batch interval join in SQL; epoch seconds via
+#   // (truncates like Spark's cast(timestamp AS long)).
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "streaming_tumbling_hourly",
     oracle="""
-    SELECT
+    SELECT 'tumbling' AS family,
       CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+      CAST(NULL AS BIGINT) AS purchase_id,
+      CAST(NULL AS BIGINT) AS user_id,
+      CAST(NULL AS BIGINT) AS purchase_epoch_s,
+      CAST(NULL AS BIGINT) AS click_id,
+      CAST(NULL AS BIGINT) AS gap_s
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sjoin', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      p.event_id,
+      p.user_id,
+      CAST(epoch_us(p.ts) // 1000000 AS BIGINT),
+      c.event_id,
+      CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000
+           AS BIGINT)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '60 minutes'
     """,
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.join import purchase_click_pairs_table
     from ..streaming.pipeline import streaming_tumbling_hourly_table
 
-    return streaming_tumbling_hourly_table(spark, sf_dir)
+    null_l = F.lit(None).cast("long")
+    tumbling = streaming_tumbling_hourly_table(spark, sf_dir).select(
+        F.lit("tumbling").alias("family"),
+        "bucket_s",
+        "event_type",
+        "n_events",
+        "value_c",
+        null_l.alias("purchase_id"),
+        null_l.alias("user_id"),
+        null_l.alias("purchase_epoch_s"),
+        null_l.alias("click_id"),
+        null_l.alias("gap_s"),
+    )
+    sjoin = purchase_click_pairs_table(
+        spark, sf_dir, delay="2 hours", max_gap_minutes=60, how="left_outer"
+    ).select(
+        F.lit("sjoin").alias("family"),
+        null_l.alias("bucket_s"),
+        F.lit(None).cast("string").alias("event_type"),
+        null_l.alias("n_events"),
+        null_l.alias("value_c"),
+        "purchase_id",
+        "user_id",
+        "purchase_epoch_s",
+        "click_id",
+        "gap_s",
+    )
+    return tumbling.unionByName(sjoin)
 
 
 # --------------------------------------------------------------------------

@@ -142,6 +142,31 @@ def purchase_click_pairs_stream(
     return joined, staging
 
 
+def purchase_click_pairs_table(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "2 hours",
+    max_gap_minutes: int = 60,
+    how: str = "inner",
+) -> DataFrame:
+    """Run the stream-stream join to completion (availableNow → memory
+    sink) and return the finished table — the driver-gate entry point
+    (plans.events streaming composite). Output holds exactly the real
+    rows: the typed sentinels never match anything and the sentinel
+    purchase's outer-emission horizon lies past the terminal watermark
+    (module docstring)."""
+    from .pipeline import _run_append_to_memory
+
+    streamed, staging = purchase_click_pairs_stream(
+        spark, sf_dir, delay=delay, max_gap_minutes=max_gap_minutes, how=how
+    )
+    try:
+        sink = _run_append_to_memory(streamed, "stream_join")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return spark.table(sink)
+
+
 def purchase_click_pairs_batch(
     spark: SparkSession, sf_dir: str, max_gap_minutes: int = 60,
     how: str = "inner",
