@@ -41,7 +41,12 @@ from ..operators.decontam import flag_contaminated
 from ..operators.lm import score_perplexity, train_char_lm
 from ..operators.repetition import top_ngram_stats
 from ..operators.sampling import deterministic_split, mix_sources
-from ..operators.sharding import assign_token_shards, pack_training_sequences
+from ..operators.sharding import (
+    assign_token_shards,
+    epoch_shuffle,
+    md5_epoch_hash,
+    pack_training_sequences,
+)
 from ..sources.tables import load_table
 from . import QueryRegistry
 
@@ -295,7 +300,15 @@ _SHARD_BUDGET = 2_000
            -- its segments span — closed-form over the same offsets
            CAST(start_offset // 512 AS BIGINT) AS first_seq,
            CAST((start_offset + n_tokens - 1) // 512
-                - start_offset // 512 + 1 AS BIGINT) AS n_seqs
+                - start_offset // 512 + 1 AS BIGINT) AS n_seqs,
+           -- deterministic training-epoch shuffle (operators.sharding.
+           -- epoch_shuffle, md5 cross-engine mode, epoch 1): position =
+           -- global rank of (md5-60-bit hash, uid) — the oracle ranks
+           -- directly, the operator reproduces the same rank via its
+           -- two-level bucket/prefix shape without a global sort
+           CAST(ROW_NUMBER() OVER (ORDER BY
+             ('0x' || substr(md5('1:' || CAST(uid AS VARCHAR)), 1, 15))
+               ::BIGINT, uid) - 1 AS BIGINT) AS epoch_pos
     FROM w
     """,
 )
@@ -351,18 +364,31 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq_id").cast("long").alias("first_seq"),
         F.count("*").cast("long").alias("n_seqs"),
     )
-    return sharded.join(chstats, "doc_id").join(pstats, "uid").select(
-        "doc_id",
-        F.col("copy").cast("long").alias("copy"),
-        "source",
-        "split",
-        "n_tokens",
-        "start_offset",
-        "shard",
-        "n_chunks",
-        "first_chunk_tokens",
-        "first_seq",
-        "n_seqs",
+    # epoch shuffle (md5 cross-engine mode): the bit-exact DuckDB twin
+    # already pinned in tests/test_sharding.py, now driver-gated — the
+    # oracle ranks the same hash globally, the operator reaches the
+    # identical rank through bucketed prefix sums (no global sort).
+    shuffled = epoch_shuffle(
+        with_uid.select("uid"), epoch=1, id_col="uid", hash_fn=md5_epoch_hash
+    )
+    return (
+        sharded.join(chstats, "doc_id")
+        .join(pstats, "uid")
+        .join(shuffled, "uid")
+        .select(
+            "doc_id",
+            F.col("copy").cast("long").alias("copy"),
+            "source",
+            "split",
+            "n_tokens",
+            "start_offset",
+            "shard",
+            "n_chunks",
+            "first_chunk_tokens",
+            "first_seq",
+            "n_seqs",
+            "epoch_pos",
+        )
     )
 
 
