@@ -163,25 +163,34 @@ def pil_available() -> bool:
 
 
 def real_decode_pixels(
-    docs_with_payload: DataFrame, max_side: int = 64
+    docs_with_payload: DataFrame,
+    max_side: int = 64,
+    backend: str = "auto",
 ) -> DataFrame:
-    """Real-codec image decode via pillow when installed: payload bytes →
-    grayscale pixel grid in :data:`PIXELS_SCHEMA` (same contract as
-    :func:`fake_decode_pixels`, so downstream resize/feature stages are
-    codec-agnostic). Images larger than ``max_side`` are thumbnailed
-    (aspect-preserving) before pixel export so one oversized asset can't
-    blow an Arrow batch. Undecodable payloads are dropped — the
-    malformed-row filter (P6) semantics, matching the reference's
-    skip-on-parse-failure rows.
+    """Real-codec image decode: payload bytes → grayscale pixel grid in
+    :data:`PIXELS_SCHEMA` (same contract as :func:`fake_decode_pixels`,
+    so downstream resize/feature stages are codec-agnostic). Images
+    larger than ``max_side`` are thumbnailed (aspect-preserving) before
+    pixel export so one oversized asset can't blow an Arrow batch.
+    Undecodable payloads are dropped — the malformed-row filter (P6)
+    semantics, matching the reference's skip-on-parse-failure rows.
 
-    Pillow is OPTIONAL: when absent this raises NotImplementedError on
-    the driver (eagerly, before any job is launched) — the documented
-    no-codecs-in-container stub behavior.
+    Backends: ``"pillow"`` (any format PIL reads; antialiased
+    thumbnail), ``"pure"`` (the vendored stdlib-only PNG decoder in
+    :mod:`operators.png` — 8-bit non-interlaced PNGs, nearest-neighbor
+    thumbnail), or ``"auto"`` (pillow when importable, else pure — so
+    the real-codec path executes even in codec-less containers). The
+    two backends agree on dimensions and on 601-2 grayscale weights up
+    to last-unit rounding; they differ on thumbnail interpolation
+    (documented, antialias vs nearest).
     """
-    if not pil_available():
+    if backend not in ("auto", "pillow", "pure"):
+        raise ValueError(f"unknown decode backend {backend!r}")
+    if backend == "pillow" and not pil_available():
         return real_decode_stub(docs_with_payload)
+    use_pil = backend == "pillow" or (backend == "auto" and pil_available())
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         import numpy as np
@@ -203,18 +212,47 @@ def real_decode_pixels(
                 rows, columns=["doc_id", "width", "height", "pixels"]
             )
 
+    def decode_pure(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_png(bytes(b))
+                except ValueError:
+                    continue
+                grid = np.asarray(px, dtype=np.int32).reshape(h, w)
+                if max(w, h) > max_side:
+                    # aspect-preserving nearest-neighbor thumbnail via
+                    # the resize_nearest index-map gather
+                    ow = max(1, (w * max_side) // max(w, h))
+                    oh = max(1, (h * max_side) // max(w, h))
+                    ys = (np.arange(oh) * h) // oh
+                    xs = (np.arange(ow) * w) // ow
+                    grid, w, h = grid[np.ix_(ys, xs)], ow, oh
+                rows.append((doc_id, w, h, grid.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixels"]
+            )
+
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
-        decode, schema=PIXELS_SCHEMA
+        decode_pil if use_pil else decode_pure, schema=PIXELS_SCHEMA
     )
 
 
 def real_decode_stub(docs_with_payload: DataFrame) -> DataFrame:
-    """The no-codec fallback. STUB: raised when pillow/ffmpeg/torchaudio
-    are not installed; use :func:`fake_decode_features` for the pipeline
-    shape, or install pillow to activate :func:`real_decode_pixels`."""
+    """The explicit-pillow-without-pillow fallback. STUB: raised when
+    ``backend="pillow"`` is requested but pillow is not installed; use
+    ``backend="pure"``/``"auto"`` (vendored PNG decoder) or
+    :func:`fake_decode_features` for the pipeline shape."""
     raise NotImplementedError(
-        "media codecs are not installed in this environment; use "
-        "fake_decode_features for the pipeline shape"
+        "pillow is not installed in this environment; use the 'pure' "
+        "backend (vendored PNG decoder) or fake_decode_features"
     )
 
 

@@ -81,41 +81,54 @@ def test_partition_invariance(spark):
     assert a == b
 
 
-def test_real_decode_stub_raises_without_pillow(spark):
-    """Without pillow the real-codec path must fail eagerly on the
-    driver (documented stub), not mid-job on an executor."""
+def test_explicit_pillow_backend_raises_without_pillow(spark):
+    """backend="pillow" without pillow must fail eagerly on the driver
+    (documented stub), not mid-job on an executor. When pillow IS
+    installed the call must instead run — either way, no skip."""
     from sports_stats_data_pipeline_spark.operators import multimodal as mm
 
-    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .limit(2)
+    )
     payload = attach_binary_payload(docs)
     if mm.pil_available():
-        pytest.skip("pillow installed; covered by the real-decode test")
-    with pytest.raises(NotImplementedError):
-        mm.real_decode_pixels(payload)
+        # text payloads are not images: decode runs and drops every row
+        assert mm.real_decode_pixels(payload, backend="pillow").count() == 0
+    else:
+        with pytest.raises(NotImplementedError):
+            mm.real_decode_pixels(payload, backend="pillow")
 
 
-def test_real_decode_pixels_with_pillow(spark):
-    """When pillow IS installed: PNG payloads round-trip through the
-    real decode into the same PIXELS_SCHEMA contract as the fake path
-    (skips cleanly otherwise)."""
-    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+def _png_fixture_rows(filter_type):
+    from sports_stats_data_pipeline_spark.operators.png import encode_png
 
-    PIL = pytest.importorskip("PIL.Image")
-    import io
+    def gray(w, h, seed):
+        return encode_png(
+            [(seed + i * 7) % 256 for i in range(w * h)],
+            width=w,
+            filter_type=filter_type,
+        )
 
-    def png_bytes(w, h, seed):
-        img = PIL.new("L", (w, h))
-        img.putdata([(seed + i * 7) % 256 for i in range(w * h)])
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
-    rows = [
-        (1, bytearray(png_bytes(4, 3, 10))),
-        (2, bytearray(png_bytes(200, 100, 42))),  # > max_side: thumbnailed
+    return [
+        (1, bytearray(gray(4, 3, 10))),
+        (2, bytearray(gray(200, 100, 42))),  # > max_side: thumbnailed
         (3, bytearray(b"not an image")),  # undecodable: dropped
     ]
-    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_real_decode_pixels_runs_without_pillow(spark, filter_type):
+    """The real-codec path EXECUTES in this codec-less container via the
+    vendored pure-Python PNG decoder (backend auto→pure), across every
+    scanline filter type — exact pixel values, thumbnail bound, and the
+    malformed-row drop all verified."""
+    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        _png_fixture_rows(filter_type), schema="doc_id long, payload binary"
+    )
     out = mm.real_decode_pixels(df, max_side=64).orderBy("doc_id").collect()
     assert [r["doc_id"] for r in out] == [1, 2]
     r1 = out[0]
@@ -124,3 +137,58 @@ def test_real_decode_pixels_with_pillow(spark):
     r2 = out[1]
     assert max(r2["width"], r2["height"]) <= 64
     assert len(r2["pixels"]) == r2["width"] * r2["height"]
+
+
+def test_pure_decoder_color_types_and_chain(spark):
+    """Color-type coverage (RGB/RGBA/palette/gray+alpha → 601-2 gray)
+    plus the decode → resize chain on the vendored backend."""
+    import struct
+    import zlib
+
+    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+    from sports_stats_data_pipeline_spark.operators.png import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png(color_type, w, h, samples, palette=None):
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw.extend(samples[y * w * bpp : (y + 1) * w * bpp])
+        out = PNG_SIGNATURE + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        if palette is not None:
+            out += chunk(b"PLTE", bytes(palette))
+        return out + chunk(
+            b"IDAT", zlib.compress(bytes(raw))
+        ) + chunk(b"IEND", b"")
+
+    g601 = lambda r, g, b: (299 * r + 587 * g + 114 * b) // 1000  # noqa: E731
+    # 1x1 RGB red / 1x1 RGBA green (alpha ignored) / 1x1 palette blue /
+    # 1x1 gray+alpha
+    assert decode_png(png(2, 1, 1, [200, 30, 40]))[2] == [g601(200, 30, 40)]
+    assert decode_png(png(6, 1, 1, [10, 220, 5, 7]))[2] == [g601(10, 220, 5)]
+    assert decode_png(png(3, 1, 1, [1], palette=[0, 0, 0, 9, 8, 250]))[
+        2
+    ] == [g601(9, 8, 250)]
+    assert decode_png(png(4, 1, 1, [123, 45]))[2] == [123]
+
+    df = spark.createDataFrame(
+        _png_fixture_rows(4)[:1], schema="doc_id long, payload binary"
+    )
+    resized = resize_nearest(
+        mm.real_decode_pixels(df, backend="pure"), 2, 2
+    ).collect()[0]
+    assert (resized["width"], resized["height"]) == (2, 2)
+    assert len(resized["pixels"]) == 4
