@@ -43,15 +43,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_registries()
 
-    # Untimed warmup pass (TPC-style): first executions pay one-off JVM
+    # Untimed warmup passes (TPC-style): first executions pay one-off JVM
     # JIT + whole-stage-codegen compilation + parquet reader init (~2s on
-    # a 0.6s query); the timed power run below measures steady-state
-    # engine throughput, which is the number that scales to a cluster.
-    for name in HEADLINE:
-        reg.queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    spark.catalog.clearCache()  # drop persist() reuse — time real compute
+    # a 0.6s query), and the C2 compiler needs a few executions of the
+    # hash-forest codegen (MinHash/SimHash) before it replaces the
+    # interpreted tier — two passes, measured, get within noise of the
+    # many-iteration steady state. The timed power run below measures
+    # steady-state engine throughput, which is the number that scales to
+    # a cluster.
+    for _ in range(2):
+        for name in HEADLINE:
+            reg.queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        spark.catalog.clearCache()  # drop persist() reuse — time real compute
 
     # two timed executions per query, report the min: single-shot wall
     # times on a busy host carry ±15% scheduler/GC noise, and the min of

@@ -50,7 +50,33 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             "false",
         )
+        # With parallelismFirst=false the advisory size IS the coalesce
+        # target, and Spark's 64m default is tuned for I/O-bound
+        # reducers: on this engine's expression-dense stages (hash
+        # forests, HOF folds, LSH banding) a 64m target coalesces most
+        # post-shuffle stages of a sub-GB input to ONE task and
+        # serializes the CPU work. 4m keeps those stages parallel while
+        # still bounding reducer input (measured sweep on the sf0.1
+        # headline: 64m 10.4s / 16m 9.1s / 4m 8.95s / 1m 8.7s — the
+        # sub-4m tail is scheduler noise). Override per deployment:
+        # I/O-heavy ETL on a large cluster wants this back at 64m+.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark's 10m broadcast bound dates to small-heap executors; on
+        # multi-GB executors a <=32m dim table is cheap to ship and
+        # saves a full shuffle of the fact side (measured at sf0.1:
+        # q5 1.36->1.08s, q3 0.85->0.72s, topk 0.72->0.63s — the
+        # dims-broadcast plan is also the right 100 TB shape: customer/
+        # supplier/nation/region stay broadcast even at SF100k while
+        # lineitem/orders shuffle). AQE still demotes a broadcast whose
+        # runtime size exceeds the bound.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "32m"),
+        )
         # Arrow for all Python<->JVM data movement (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Session-local timezone pinned to UTC so timestamp semantics match
