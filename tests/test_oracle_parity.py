@@ -34,14 +34,11 @@ def oracle():
     con.close()
 
 
-#: ops whose internals are engine-specific (sketches, BLAS float order) —
-#: rows-only driver check; pytest covers them against exact ground truth.
-NO_ORACLE_ALLOWED = {
-    "sketch_approx_stats",
-    "ann_topk_fast",
-    # bpe_train_merges graduated to a full oracle in round 4 (unrolled
-    # MATERIALIZED-CTE merge rounds in DuckDB — plans/corpus.py)
-}
+#: ops allowed to omit an oracle. EMPTY since round 4: bpe_train_merges
+#: graduated via unrolled MATERIALIZED-CTE merge rounds and
+#: sketch_approx_stats via running each sketch inside its documented
+#: exact regime (plans/documents.py block comment).
+NO_ORACLE_ALLOWED: set[str] = set()
 
 
 def test_every_query_has_an_oracle_or_is_flagged():
@@ -51,7 +48,10 @@ def test_every_query_has_an_oracle_or_is_flagged():
     assert missing == [], f"queries without oracle (add or whitelist): {missing}"
 
 
-def test_sketches_within_error_bounds(spark):
+def test_sketches_exact_in_documented_regime(spark):
+    """The HLL estimate must EQUAL the exact distinct count while the
+    lgConfigK=21 sketch stays in its pre-dense exact regime (the
+    property the driver oracle now relies on)."""
     from sports_stats_data_pipeline_spark.plans.documents import (
         sketch_approx_stats,
     )
@@ -70,9 +70,8 @@ def test_sketches_within_error_bounds(spark):
         .collect()
     }
     for et, nd in exact.items():
-        got = approx[et]["approx_users"]
-        assert abs(got - nd) <= max(3, 0.1 * nd), (et, got, nd)
-        assert approx[et]["value_p50"] <= approx[et]["value_p95"]
+        assert approx[et]["approx_users"] == nd, (et, approx[et], nd)
+        assert approx[et]["value_p50_c"] <= approx[et]["value_p95_c"]
 
 
 @pytest.mark.parametrize("name", sorted(REG.oracles))
