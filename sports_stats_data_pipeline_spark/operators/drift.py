@@ -97,10 +97,19 @@ def psi_report(
     cur = bin_counts(current, col, lo, hi, n_bins).withColumnRenamed(
         "n", "cur_n"
     )
-    joined = ref.join(cur, "bin", "full_outer").select(
-        "bin",
-        F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
-        F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+    # materialization boundary: ``totals`` and the output both consume
+    # ``joined`` — without it each consumer re-executes BOTH bin scans
+    # (Spark has no common-subplan elimination across these shapes;
+    # verified 2 redundant full re-bins in the executed plan). The
+    # relation is <= n_bins + 2 rows, so the checkpoint is free.
+    joined = (
+        ref.join(cur, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = joined.agg(
         F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")

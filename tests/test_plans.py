@@ -175,3 +175,63 @@ def test_bm25_topk_is_take_ordered_with_broadcast_idf(spark):
     plan = _plan(bm25_topk(docs, ["query", "stream"], k=5))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_data_quality_report_plan_shape(spark):
+    """The round-4 governance composite: the FK dim must broadcast, the
+    expectations row-level block must NOT rescan orders per constraint
+    (one scan per consumer relation: row-level agg, unique, FK probe,
+    FK total, plus the two PSI sides and their bounds = bounded, not
+    per-expectation), and no row-wise Python anywhere."""
+    from sports_stats_data_pipeline_spark.plans.quality import (
+        data_quality_report,
+    )
+
+    plan = _plan(data_quality_report(spark, SF))
+    assert "BroadcastHashJoin" in plan, "FK dim did not broadcast"
+    assert "BatchEvalPython" not in plan
+    # orders is scanned once per consuming relation, never once per
+    # EXPECTATION: 4 row-level constraints share 1 scan, the PSI bin
+    # relation is checkpointed so its two consumers don't re-bin — the
+    # total stays bounded by the relation count (orders×7 + customer),
+    # not the constraint count.
+    assert plan.count("Location: InMemoryFileIndex") <= 8
+
+
+def test_streaming_join_batch_twin_is_shuffle_bounded(spark):
+    """The batch twin of the stream-stream interval join must plan as a
+    single-shuffle-per-side join on user_id with the range condition
+    attached, not a cross product."""
+    from sports_stats_data_pipeline_spark.streaming.join import (
+        purchase_click_pairs_batch,
+    )
+
+    plan = _plan(purchase_click_pairs_batch(spark, SF, how="left_outer"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (
+        "interval join degenerated to a cross product"
+    )
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    """Caller-supplied-centroid assignment must broadcast the k-row
+    centroid relation over one vector scan (the kmeans _assign shape),
+    and the within-cell self-join must be an equi-join on cell."""
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        _SEM_CENTROIDS,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 64)
+    cents = spark.createDataFrame(
+        [(j + 1, c) for j, c in enumerate(_SEM_CENTROIDS)],
+        "cell int, centroid array<double>",
+    )
+    out = semantic_dedup(emb, centroids=cents)
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
