@@ -71,9 +71,12 @@ def _anti_join_null_safe(
     renamed = right.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys]
     ).dropDuplicates()
+    # qualify through the DataFrame references, not bare F.col names —
+    # a left table that itself carries a __s_<key> column would make
+    # the bare name ambiguous at analysis time
     cond = reduce(
         lambda a, b: a & b,
-        [F.col(k).eqNullSafe(F.col(f"__s_{k}")) for k in keys],
+        [left[k].eqNullSafe(renamed[f"__s_{k}"]) for k in keys],
     )
     return left.join(renamed, cond, "left_anti")
 

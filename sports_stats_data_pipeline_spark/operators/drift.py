@@ -101,7 +101,10 @@ def psi_report(
     # ``joined`` — without it each consumer re-executes BOTH bin scans
     # (Spark has no common-subplan elimination across these shapes;
     # verified 2 redundant full re-bins in the executed plan). The
-    # relation is <= n_bins + 2 rows, so the checkpoint is free.
+    # relation is <= n_bins + 2 rows, so the checkpoint is free. LAZY
+    # (eager=False): it materializes on the first action and both
+    # consumers share the same checkpointed RDD, so plan construction /
+    # explain() stays side-effect-free.
     joined = (
         ref.join(cur, "bin", "full_outer")
         .select(
@@ -109,7 +112,7 @@ def psi_report(
             F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
             F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = joined.agg(
         F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")

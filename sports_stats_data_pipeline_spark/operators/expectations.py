@@ -34,6 +34,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: the single source of truth for the kind taxonomy — the row-level
+#: filter, the dispatch in _violation_expr, and validate()'s up-front
+#: kind check all derive from these two sets.
+ROW_LEVEL_KINDS = ("not_null", "accepted_values", "in_range", "expression")
+RELATION_KINDS = ("unique", "foreign_key")
+KNOWN_KINDS = frozenset(ROW_LEVEL_KINDS) | frozenset(RELATION_KINDS)
+
+
 @dataclass(frozen=True)
 class Expectation:
     name: str
@@ -109,26 +117,14 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     total, passed) with one row per expectation."""
     if not expectations:
         raise ValueError("expectations must be non-empty")
-    known = {
-        "not_null",
-        "accepted_values",
-        "in_range",
-        "expression",
-        "unique",
-        "foreign_key",
-    }
-    unknown = sorted({e.kind for e in expectations} - known)
+    unknown = sorted({e.kind for e in expectations} - KNOWN_KINDS)
     if unknown:
         # an unrecognized kind must fail loudly — silently producing no
         # report row would let gate() pass as if the check succeeded
         raise ValueError(
             "unrecognized expectation kind(s): " + ", ".join(unknown)
         )
-    row_level = [
-        e
-        for e in expectations
-        if e.kind in ("not_null", "accepted_values", "in_range", "expression")
-    ]
+    row_level = [e for e in expectations if e.kind in ROW_LEVEL_KINDS]
     results = []
     if row_level:
         aggs = [F.count("*").alias("__total")] + [

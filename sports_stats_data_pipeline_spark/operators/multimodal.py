@@ -180,9 +180,12 @@ def real_decode_pixels(
     :mod:`operators.png` — 8-bit non-interlaced PNGs, nearest-neighbor
     thumbnail), or ``"auto"`` (pillow when importable, else pure — so
     the real-codec path executes even in codec-less containers). The
-    two backends agree on dimensions and on 601-2 grayscale weights up
-    to last-unit rounding; they differ on thumbnail interpolation
-    (documented, antialias vs nearest).
+    two backends agree on full-size dimensions and on 601-2 grayscale
+    weights up to last-unit rounding; for THUMBNAILED assets they
+    differ in both minor-axis rounding (pure floors, PIL rounds — a
+    5x110 input at max_side 64 thumbnails to width 2 vs 3) and
+    interpolation (nearest vs antialias) — pin one backend when
+    downstream shapes must be stable across environments.
     """
     if backend not in ("auto", "pillow", "pure"):
         raise ValueError(f"unknown decode backend {backend!r}")
@@ -222,6 +225,8 @@ def real_decode_pixels(
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:  # NULL payload = malformed row, drop (P6)
+                    continue
                 try:
                     w, h, px = decode_png(bytes(b))
                 except ValueError:

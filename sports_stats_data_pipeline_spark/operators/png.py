@@ -194,6 +194,8 @@ def encode_png(
         rows = [flat[i : i + width] for i in range(0, len(flat), width)]
     else:
         rows = [list(r) for r in pixels]  # type: ignore[union-attr]
+    if not rows or not rows[0]:
+        raise ValueError("empty image")
     h, w = len(rows), len(rows[0])
     if any(len(r) != w for r in rows):
         raise ValueError("ragged rows")

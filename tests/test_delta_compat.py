@@ -117,3 +117,20 @@ def test_null_keys_match_null_safely_like_delta(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in spark.read.parquet(ia).collect()}
     assert got == {None: "old", 1: "a", 2: "b"}  # NULL key skipped
+
+
+def test_null_safe_join_survives_s_prefixed_columns(spark, tmp_path):
+    """A table that itself carries a __s_<key> column must not make the
+    null-safe merge condition ambiguous."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 7)], "k long, v string, __s_k long"
+    ).write.parquet(path)
+    upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "b", 8)], "k long, v string, __s_k long"),
+        ["k"],
+    )
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0]["v"] == "b"

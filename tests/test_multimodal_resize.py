@@ -192,3 +192,23 @@ def test_pure_decoder_color_types_and_chain(spark):
     ).collect()[0]
     assert (resized["width"], resized["height"]) == (2, 2)
     assert len(resized["pixels"]) == 4
+
+
+def test_pure_backend_drops_null_payload(spark):
+    """NULL payloads are malformed rows (P6): dropped, never a task
+    crash — parity with the pillow backend's behavior."""
+    from sports_stats_data_pipeline_spark.operators import multimodal as mm
+
+    rows = _png_fixture_rows(0)[:1] + [(9, None)]
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    out = mm.real_decode_pixels(df, backend="pure").collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_encode_png_rejects_empty(spark):
+    from sports_stats_data_pipeline_spark.operators.png import encode_png
+
+    with pytest.raises(ValueError, match="empty"):
+        encode_png([])
+    with pytest.raises(ValueError, match="empty"):
+        encode_png([], width=3)
