@@ -99,7 +99,7 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TWO real Structured Streaming executions under one driver slot
+# THREE real Structured Streaming executions under one driver slot
 # (family-tagged composite, round 4):
 # - 'tumbling': the 1-hour tumbling aggregation as a file stream
 #   (availableNow, append mode + watermark + end-of-stream flush →
@@ -113,10 +113,39 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   the unmatched tail is released (the sentinel-vs-pushdown lesson).
 #   Oracle branch = the batch interval join in SQL; epoch seconds via
 #   // (truncates like Spark's cast(timestamp AS long)).
+# - 'sessions': APPEND-mode session windows with the end-of-stream
+#   flush (streaming/pipeline.streaming_user_sessions_exact) — oracle
+#   branch is the same gaps-and-islands construction that verifies the
+#   batch events_user_sessions query.
 # --------------------------------------------------------------------------
+_SESSIONS_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) + 600000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM numbered
+    GROUP BY user_id, session_seq
+"""
+
+
 @REGISTRY.register(
     "streaming_tumbling_hourly",
-    oracle="""
+    oracle=f"""
     SELECT 'tumbling' AS family,
       CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
       event_type,
@@ -126,7 +155,9 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(NULL AS BIGINT) AS user_id,
       CAST(NULL AS BIGINT) AS purchase_epoch_s,
       CAST(NULL AS BIGINT) AS click_id,
-      CAST(NULL AS BIGINT) AS gap_s
+      CAST(NULL AS BIGINT) AS gap_s,
+      CAST(NULL AS BIGINT) AS session_start_us,
+      CAST(NULL AS BIGINT) AS session_end_us
     FROM events
     GROUP BY 2, 3
     UNION ALL
@@ -137,16 +168,27 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(epoch_us(p.ts) // 1000000 AS BIGINT),
       c.event_id,
       CAST(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000
-           AS BIGINT)
+           AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON c.user_id = p.user_id AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL '60 minutes'
+    UNION ALL
+    SELECT 'sessions', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      n_events, value_c,
+      CAST(NULL AS BIGINT), user_id, CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      session_start_us, session_end_us
+    FROM ({_SESSIONS_SQL})
     """,
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.join import purchase_click_pairs_table
-    from ..streaming.pipeline import streaming_tumbling_hourly_table
+    from ..streaming.pipeline import (
+        streaming_tumbling_hourly_table,
+        streaming_user_sessions_exact,
+    )
 
     null_l = F.lit(None).cast("long")
     tumbling = streaming_tumbling_hourly_table(spark, sf_dir).select(
@@ -160,6 +202,8 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("purchase_epoch_s"),
         null_l.alias("click_id"),
         null_l.alias("gap_s"),
+        null_l.alias("session_start_us"),
+        null_l.alias("session_end_us"),
     )
     sjoin = purchase_click_pairs_table(
         spark, sf_dir, delay="2 hours", max_gap_minutes=60, how="left_outer"
@@ -174,8 +218,24 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_epoch_s",
         "click_id",
         "gap_s",
+        null_l.alias("session_start_us"),
+        null_l.alias("session_end_us"),
     )
-    return tumbling.unionByName(sjoin)
+    sessions = streaming_user_sessions_exact(spark, sf_dir).select(
+        F.lit("sessions").alias("family"),
+        null_l.alias("bucket_s"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "value_c",
+        null_l.alias("purchase_id"),
+        "user_id",
+        null_l.alias("purchase_epoch_s"),
+        null_l.alias("click_id"),
+        null_l.alias("gap_s"),
+        "session_start_us",
+        "session_end_us",
+    )
+    return tumbling.unionByName(sjoin).unionByName(sessions)
 
 
 # --------------------------------------------------------------------------
