@@ -108,3 +108,50 @@ def test_span_island_merge_matches_reference(spark, positions):
     )
     got = sorted((r["s"], r["e"], r["n"]) for r in islands.collect())
     assert got == _ref_islands(positions, k)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec roundtrip: encode with EVERY filter type, decode, expect the
+# exact grayscale grid back — the unfilter arithmetic (Sub/Up/Average/
+# Paeth mod-256 inverses) is the subtle part and random grids cover the
+# carry/wraparound shapes hand fixtures miss. Pure Python, no Spark.
+# ---------------------------------------------------------------------------
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filter_type=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters(w, h, seed, filter_type):
+    import random
+
+    from sports_stats_data_pipeline_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(seed)
+    flat = [rng.randrange(256) for _ in range(w * h)]
+    data = encode_png(flat, width=w, filter_type=filter_type)
+    got_w, got_h, got = decode_png(data)
+    assert (got_w, got_h) == (w, h)
+    assert got == flat
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_png_decode_rejects_junk_with_valueerror(junk):
+    """Arbitrary bytes (with or without a forged signature) must raise
+    ValueError — never IndexError/struct.error/zlib.error — so the
+    operator's malformed-row filter has ONE signal to catch."""
+    import pytest as _pytest
+
+    from sports_stats_data_pipeline_spark.operators.png import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    for payload in (junk, PNG_SIGNATURE + junk):
+        with _pytest.raises(ValueError):
+            decode_png(payload)

@@ -143,3 +143,37 @@ def test_skew_cap_truncates_deterministically(spark):
 def test_empty_steps_rejected(spark):
     with pytest.raises(ValueError, match="non-empty"):
         funnel_steps(_mk(spark, []), [])
+
+
+def test_stepless_entry_users_excluded_from_driver_rows(spark):
+    """ADVICE r3 regression: a user with only click/purchase events (no
+    'view' entry) gets a max_step=0 row from the operator, but the
+    driver composite filters to max_step >= 1 so it agrees with the
+    view-anchored oracle BY CONSTRUCTION even if the corpus gains such
+    users."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.operators.funnel import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),  # user 7: click only — no entry
+        (2, t0, 8, "view", 1.0, "{}"),   # user 8: full entry
+        (3, t0 + dt.timedelta(minutes=1), 8, "click", 1.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["user_id"]: r["max_step"]
+        for r in funnel_steps(e, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {7: 0, 8: 2}  # operator reports the stepless user...
+    kept = funnel_steps(e, ["view", "click", "purchase"]).filter(
+        F.col("max_step") >= 1
+    )
+    assert [r["user_id"] for r in kept.collect()] == [8]  # ...driver drops
