@@ -461,7 +461,11 @@ def lexical_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines compare ASCII bytewise. The oracle assumes all k rounds find
 # a pair with count >= 2 (true for this corpus at every SF; if a
 # regenerated corpus ever exhausts merges the row-count mismatch fails
-# loudly rather than silently passing).
+# loudly rather than silently passing). Known corpus assumption: the
+# char split is per-UTF-16-code-unit in Spark but per-codepoint in
+# DuckDB, so an ASTRAL character (outside the BMP — emoji etc.) in a
+# regenerated corpus would split differently and fail the gate loudly;
+# the corpus is verified pure ASCII today.
 # --------------------------------------------------------------------------
 _BPE_MERGES = 10
 
