@@ -384,12 +384,6 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Approximate sketches (rows-only driver check: HLL/quantile-digest
-# internals differ across engines, so no value oracle is possible —
-# correctness is bounded-error by construction and pytest checks the
-# bounds against exact answers).
-# --------------------------------------------------------------------------
 @REGISTRY.register(
     "ann_topk_fast",
     # Same semantics as embedding_cosine_topk; the BLAS kernel's

@@ -4,8 +4,9 @@ The reference has no streaming runtime, but its incremental design maps to
 micro-batch semantics (SURVEY.md §2.10); these queries are the *batch*
 expression of the windowed operators, with exact DuckDB oracles. The
 ``streaming`` package runs the same logical windows under Structured
-Streaming with watermarks (no SQL oracle there — driver does a rows-only
-check; SURVEY.md §5.2).
+Streaming with watermarks; three of those runs are driver-gated to
+completion against full value oracles in the streaming_tumbling_hourly
+composite (SURVEY.md §5.2).
 
 Timestamp convention: computed buckets/instants are emitted as epoch
 seconds / microseconds (BIGINT) — Spark truncates parquet ns → us while
