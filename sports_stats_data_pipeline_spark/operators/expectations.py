@@ -34,9 +34,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-#: the single source of truth for the kind taxonomy — the row-level
-#: filter, the dispatch in _violation_expr, and validate()'s up-front
-#: kind check all derive from these two sets.
+#: the kind taxonomy used by validate()'s row-level filter and up-front
+#: kind check. NOTE: _violation_expr and the unique/foreign_key branches
+#: still dispatch on the literal kind strings — adding a kind means
+#: extending BOTH a set here and the matching dispatch branch (the
+#: up-front check guarantees a forgotten branch fails loudly, not
+#: silently).
 ROW_LEVEL_KINDS = ("not_null", "accepted_values", "in_range", "expression")
 RELATION_KINDS = ("unique", "foreign_key")
 KNOWN_KINDS = frozenset(ROW_LEVEL_KINDS) | frozenset(RELATION_KINDS)

@@ -119,9 +119,15 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   branch is the same gaps-and-islands construction that verifies the
 #   batch events_user_sessions query.
 # --------------------------------------------------------------------------
+# The gaps-and-islands session construction — the SINGLE oracle text
+# shared by the batch events_user_sessions gate and the streaming
+# composite's 'sessions' family, so the two gates cannot drift apart.
+# Both windows order by (ts, event_id): ties on ts would otherwise make
+# the running sum's CURRENT ROW cut nondeterministic and could split an
+# equal-ts pair across sessions on a regenerated corpus.
 _SESSIONS_SQL = """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -129,7 +135,7 @@ _SESSIONS_SQL = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT *, SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_seq
       FROM flagged
@@ -309,32 +315,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A new session starts when the gap is >= the timeout (Spark sessions span
 # [start, last+gap), an event exactly at the boundary opens a new session).
 # --------------------------------------------------------------------------
-@REGISTRY.register(
-    "events_user_sessions",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN LAG(ts) OVER w IS NULL
-                    OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT *, SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_seq
-      FROM flagged
-    )
-    SELECT user_id,
-           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
-           CAST(epoch_us(MAX(ts)) AS BIGINT) + 600000000 AS session_end_us,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
-    FROM numbered
-    GROUP BY user_id, session_seq
-    """,
-)
+@REGISTRY.register("events_user_sessions", oracle=_SESSIONS_SQL)
 def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (

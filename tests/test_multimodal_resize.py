@@ -205,7 +205,7 @@ def test_pure_backend_drops_null_payload(spark):
     assert [r["doc_id"] for r in out] == [1]
 
 
-def test_encode_png_rejects_empty(spark):
+def test_encode_png_rejects_empty():
     from sports_stats_data_pipeline_spark.operators.png import encode_png
 
     with pytest.raises(ValueError, match="empty"):
