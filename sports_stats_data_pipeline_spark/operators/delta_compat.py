@@ -142,10 +142,29 @@ def insert_absent(
     path: str,
     new: DataFrame,
     keys: Sequence[str],
+    order_col: str | None = None,
 ) -> None:
     """First-writer-wins MERGE: insert only keys absent from the table
-    at ``path`` (the reference's incremental-skip rule, J1/A5)."""
+    at ``path`` (the reference's incremental-skip rule, J1/A5).
+
+    ``order_col`` deterministically picks the surviving row among
+    duplicate keys WITHIN ``new`` (min order wins — first-writer-wins
+    extended into the batch). Without it, intra-batch duplicate keys
+    with differing payloads are resolved arbitrarily
+    (``dropDuplicates`` keeps whichever row a partition scan sees
+    first); pass ``order_col`` whenever batches can carry such rows.
+    """
     ks = list(keys)
+    if order_col is not None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*ks).orderBy(F.col(order_col).asc())
+        new = (
+            new.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if delta_available(spark):
         from delta.tables import DeltaTable
 

@@ -101,10 +101,15 @@ def psi_report(
     # ``joined`` — without it each consumer re-executes BOTH bin scans
     # (Spark has no common-subplan elimination across these shapes;
     # verified 2 redundant full re-bins in the executed plan). The
-    # relation is <= n_bins + 2 rows, so the checkpoint is free. LAZY
-    # (eager=False): it materializes on the first action and both
-    # consumers share the same checkpointed RDD, so plan construction /
-    # explain() stays side-effect-free.
+    # relation is <= n_bins + 2 rows. persist() (lazy, recomputable
+    # lineage) rather than localCheckpoint(): a checkpoint truncates
+    # lineage into unreplicated executor block storage, so losing the
+    # hosting executor mid-job would FAIL the query instead of
+    # recomputing — the wrong durability trade for a module positioned
+    # for long-running 100 TB scans. persist gives the same
+    # compute-once sharing with graceful recompute on block loss. The
+    # few-KB cached block outlives the call (the returned DF still
+    # references it); Spark evicts LRU, so repeated calls don't leak.
     joined = (
         ref.join(cur, "bin", "full_outer")
         .select(
@@ -112,7 +117,7 @@ def psi_report(
             F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
             F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     totals = joined.agg(
         F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")

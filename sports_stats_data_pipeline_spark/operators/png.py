@@ -29,6 +29,13 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 #: samples per pixel by color type.
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: hard cap on decoded sample bytes (w * bpp * h). Untrusted rows must
+#: not be able to allocate unbounded memory on an executor: this module
+#: decodes thumbnail-scale assets, and a 64 MiB grid is far above any
+#: legitimate fixture while far below executor heap. Checked BEFORE any
+#: decompression happens, so a tiny-IHDR/huge-IDAT bomb never inflates.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -123,8 +130,17 @@ def _decode_png(data: bytes) -> tuple[int, int, list[int]]:
     if w < 1 or h < 1:
         raise ValueError(f"bad dimensions {w}x{h}")
     bpp = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (w * bpp + 1) * h:
+    if w * bpp * h > MAX_DECODED_BYTES:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed decode cap")
+    expected = (w * bpp + 1) * h
+    # Bounded inflate: never allocate more than expected+1 bytes of
+    # output, whatever the compressed stream claims. A crafted IDAT
+    # that would expand past the IHDR-derived size (a zip bomb) is cut
+    # off at expected+1 and rejected by the length check below, instead
+    # of materializing the full expansion first.
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or dobj.unconsumed_tail or dobj.decompress(b"", 1):
         raise ValueError("IDAT size does not match dimensions")
     samples = _unfilter(raw, w, h, bpp)
 

@@ -430,7 +430,13 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   test SF (1,500 distinct users/type at sf0.1) and most per-group
 #   cardinalities a mart would sketch; beyond it the estimate carries
 #   the configured rsd and the oracle would need a tolerance gate
-#   instead. approx_count_distinct (HLL++) is NOT exact at these
+#   instead. Caveat: sparse/coupon-mode exactness is only
+#   collision-free with high probability (two distinct values CAN map
+#   to the same coupon), so the query also emits an exact
+#   COUNT(DISTINCT) column — if a regenerated corpus ever hits a
+#   coupon collision, approx_users mismatches by 1 while exact_users
+#   still matches, making the failure a diagnosable off-by-one rather
+#   than an opaque hash mismatch. approx_count_distinct (HLL++) is NOT exact at these
 #   cardinalities (off by 1 at 150, 7% at 1,500 — measured) and is
 #   deliberately not used for the gated column.
 # - percentile_approx is the Greenwald-Khanna summary: EXACT while the
@@ -445,6 +451,7 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
              AS value_p50_c,
            CAST(ROUND(quantile_disc(value, 0.95) * 100) AS BIGINT)
@@ -464,6 +471,7 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(21))
         ).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.round(
             F.percentile_approx("value", 0.5, 100000) * 100
         ).cast("long").alias("value_p50_c"),

@@ -62,6 +62,28 @@ def test_insert_absent_first_writer_wins(spark, tmp_path):
     assert _read(spark, path) == {1: ("a", 1), 2: ("b", 2)}
 
 
+def test_insert_absent_intra_batch_order_col(spark, tmp_path):
+    """With ``order_col``, duplicate keys WITHIN a batch resolve
+    deterministically to the min-order row (first-writer-wins extended
+    into the batch), not to an arbitrary partition-order survivor."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, "late", 5), (1, "early", 2), (2, "only", 9)],
+        "k long, v string, ts long",
+    ).repartition(4)
+    insert_absent(spark, path, batch, ["k"], order_col="ts")
+    assert _read(spark, path) == {1: ("early", 2), 2: ("only", 9)}
+    # keys already present stay untouched on the next batch
+    insert_absent(
+        spark,
+        path,
+        spark.createDataFrame([(1, "x", 1)], "k long, v string, ts long"),
+        ["k"],
+        order_col="ts",
+    )
+    assert _read(spark, path) == {1: ("early", 2), 2: ("only", 9)}
+
+
 def test_optimize_compacts(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.range(0, 1000).repartition(16).withColumn(

@@ -205,6 +205,56 @@ def test_pure_backend_drops_null_payload(spark):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_decode_png_bounds_decompression():
+    """Decompression-bomb hardening: a crafted IDAT whose inflated size
+    exceeds the IHDR-derived expectation is rejected WITHOUT
+    materializing the full expansion, and IHDR dimensions past the
+    decode cap are rejected before any inflate happens."""
+    import struct
+    import zlib
+
+    from sports_stats_data_pipeline_spark.operators.png import (
+        MAX_DECODED_BYTES,
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def png_with(w, h, idat_raw):
+        return (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(idat_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # Bomb: IHDR says 2x2 gray (expects 6 raw bytes) but the IDAT
+    # inflates to 50 MB. The bounded decompressobj stops at 7 bytes.
+    bomb = png_with(2, 2, b"\x00" * (50 * 1024 * 1024))
+    with pytest.raises(ValueError, match="IDAT size"):
+        decode_png(bomb)
+
+    # Undershoot: IDAT inflates to fewer bytes than the grid needs.
+    with pytest.raises(ValueError, match="IDAT size"):
+        decode_png(png_with(4, 4, b"\x00" * 3))
+
+    # Oversized IHDR is rejected before any decompression.
+    big = (MAX_DECODED_BYTES // 1024) + 1
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(png_with(big, 1024, b"\x00"))
+
+    # Sanity: a well-formed stream still decodes.
+    ok = png_with(2, 2, b"\x00\x05\x06\x00\x07\x08")
+    assert decode_png(ok) == (2, 2, [5, 6, 7, 8])
+
+
 def test_encode_png_rejects_empty():
     from sports_stats_data_pipeline_spark.operators.png import encode_png
 
