@@ -17,7 +17,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from sports_stats_data_pipeline_spark.plans import all_registries
+from sports_stats_data_pipeline_spark.plans.documents import (
+    ann_topk_fast,
+    dedup_exact_docs,
+    embedding_cosine_topk,
+)
 from sports_stats_data_pipeline_spark.session import get_spark
+
+#: Round 5 merged several driver slots (registry is capped at 50), but
+#: bench keeps timing the ORIGINAL per-path callables so per-query
+#: numbers stay comparable across rounds.
+DIRECT = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "ann_topk_fast": ann_topk_fast,
+}
 
 #: headline set: the scan/join/agg/window/dedup/similarity spine.
 HEADLINE = (
@@ -53,7 +67,8 @@ def main() -> None:
     # a cluster.
     for _ in range(2):
         for name in HEADLINE:
-            reg.queries[name](spark, sf_dir).write.format("noop").mode(
+            fn = DIRECT.get(name) or reg.queries[name]
+            fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         spark.catalog.clearCache()  # drop persist() reuse — time real compute
@@ -64,7 +79,7 @@ def main() -> None:
     # clearCache between runs so persist() reuse never crosses a timing.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = reg.queries[name]
+        fn = DIRECT.get(name) or reg.queries[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

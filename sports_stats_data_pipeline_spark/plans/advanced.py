@@ -541,3 +541,93 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price_c",
         F.hll_sketch_estimate("n_active_months").alias("n_active_months"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension history + point-in-time lookup (operators/scd.py).
+#
+# The change stream is derived from orders: per (customer, order date)
+# the priority of that date's last order (arg-max by o_orderkey — the
+# unique-seq pre-collapse scd2_build requires), so the dimension tracked
+# is "the customer's current order-priority tier". scd2_build collapses
+# runs of equal priority into effective-dated versions; the Spark path
+# then drives point_in_time_lookup (the as-of union-trick) to count each
+# customer's orders per in-effect version, while the oracle computes the
+# same count the closed-form way (every order falls into exactly one
+# version's half-open interval, so pit_orders == the run's order total).
+# Identical values, two independent formulations — the lookup join is
+# what the driver gates.
+#
+# custkey % 7 == 0 bounds the driver output (~1/7 of customers); dates
+# emit as ISO strings, is_current as 0/1 BIGINT per plans/__init__.py
+# conventions.
+# --------------------------------------------------------------------------
+@REGISTRY.register(
+    "scd2_dimension_history",
+    oracle="""
+    WITH filtered AS (
+      SELECT o_custkey AS k, o_orderdate AS d,
+             o_orderpriority AS p, o_orderkey
+      FROM orders WHERE o_custkey % 7 = 0
+    ), per_date AS (
+      SELECT k, d, arg_max(p, o_orderkey) AS priority,
+             COUNT(*) AS n_orders
+      FROM filtered GROUP BY k, d
+    ), flagged AS (
+      SELECT k, d, priority, n_orders,
+             CASE WHEN ROW_NUMBER() OVER w = 1
+                    OR priority IS DISTINCT FROM LAG(priority) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM per_date WINDOW w AS (PARTITION BY k ORDER BY d)
+    ), versioned AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING
+      ) AS version FROM flagged
+    ), runs AS (
+      SELECT k, version, ANY_VALUE(priority) AS priority,
+             MIN(d) AS vf, COUNT(*) AS n_obs,
+             SUM(n_orders) AS pit_orders
+      FROM versioned GROUP BY k, version
+    )
+    SELECT CAST(k AS BIGINT) AS custkey,
+           CAST(version AS BIGINT) AS version,
+           priority,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(vf) OVER w2, '%Y-%m-%d') AS valid_to,
+           CAST(CASE WHEN LEAD(vf) OVER w2 IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(pit_orders AS BIGINT) AS pit_orders
+    FROM runs WINDOW w2 AS (PARTITION BY k ORDER BY version)
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import point_in_time_lookup, scd2_build
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 7 == 0
+    )
+    changes = orders.groupBy(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("d")
+    ).agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("priority")
+    )
+    hist = scd2_build(changes, ["k"], ["priority"], "d")
+    facts = orders.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts")
+    )
+    pit = (
+        point_in_time_lookup(facts, hist, "k", "ts", ["priority"])
+        .groupBy("k", F.col("asof_version").alias("version"))
+        .agg(F.count("*").alias("pit_orders"))
+    )
+    return hist.join(pit, ["k", "version"]).select(
+        F.col("k").alias("custkey"),
+        "version",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("is_current").cast("long").alias("is_current"),
+        "n_obs",
+        "pit_orders",
+    )

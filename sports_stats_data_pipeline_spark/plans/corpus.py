@@ -564,3 +564,211 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.withColumn(
         "corpus_symbols_after", F.lit(int(total_syms)).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# URL/domain curation (functions/url.py): canonicalize a URL per doc,
+# key it by registered domain, attach per-domain stats (doc count,
+# distinct canonical URLs — the exact-URL-dedup denominator), and a
+# deterministic per-domain quota flag (the RefinedWeb-style cap on any
+# one domain's contribution to a pretraining mix).
+#
+# The corpus carries no URL column, so the URL is synthesized in-query
+# (identical expression both engines — the dedup-family precedent) with
+# deliberate mess: mixed-case schemes/hosts, WWW. prefixes, default and
+# non-default ports, tracking params in leading/interior/trailing
+# position, fragments, query-less URLs, and a colliding path family
+# (doc_id % 13) that makes canonical-URL dedup non-trivial.
+#
+# Quota selection = row_number over md5(doc_id) within domain — the
+# stratified_sample bottom-k-of-hash shape (operators/sampling.py) with
+# an engine-portable hash. 100 TB note: a mega-domain makes that window
+# partition hot; the scale remedy is a pre-aggregation pass that caps
+# candidates per (domain, hash-prefix) before the global rank — same
+# output, bounded partitions. The regex rules themselves are per-row
+# projections in whole-stage codegen: no shuffle until the domain agg.
+# --------------------------------------------------------------------------
+_URL_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+      || '://'
+      || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0
+          THEN upper(source || '.example.'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                        WHEN doc_id % 3 = 1 THEN 'co.uk'
+                        ELSE 'org' END))
+          ELSE source || '.example.'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                        WHEN doc_id % 3 = 1 THEN 'co.uk'
+                        ELSE 'org' END) END)
+      || (CASE WHEN doc_id % 6 = 0 THEN ':443'
+               WHEN doc_id % 11 = 0 THEN ':8080'
+               ELSE '' END)
+      || (CASE WHEN doc_id % 13 = 0 THEN '/articles/dup'
+               ELSE '/articles/' || CAST(doc_id AS VARCHAR) END)
+      || (CASE WHEN doc_id % 13 = 0 THEN ''
+          ELSE '?'
+               || (CASE WHEN doc_id % 7 = 0 THEN 'fbclid=abc123&'
+                        ELSE '' END)
+               || 'id=' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0
+                   THEN '&utm_source=feed&utm_campaign=c'
+                        || CAST(doc_id % 4 AS VARCHAR)
+                   ELSE '' END) END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '#s' || CAST(doc_id % 9 AS VARCHAR)
+               ELSE '' END)
+"""
+
+_DOMAIN_SQL = """
+    CASE WHEN len(string_split(host_nw, '.')) <= 2 THEN host_nw
+         WHEN array_to_string(list_slice(string_split(host_nw, '.'),
+                len(string_split(host_nw, '.')) - 1,
+                len(string_split(host_nw, '.'))), '.')
+              IN ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')
+         THEN array_to_string(list_slice(string_split(host_nw, '.'),
+                len(string_split(host_nw, '.')) - 2,
+                len(string_split(host_nw, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host_nw, '.'),
+                len(string_split(host_nw, '.')) - 1,
+                len(string_split(host_nw, '.'))), '.')
+    END
+"""
+
+
+@REGISTRY.register(
+    "url_domain_curation",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), parsed AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+          AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)
+          AS pathq
+      FROM raw
+    ), comp AS (
+      SELECT doc_id, url, scheme,
+        lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM parsed
+    ), cleaned AS (
+      SELECT *,
+        regexp_replace(host, '^www\\.', '') AS host_nw,
+        regexp_replace(
+          regexp_replace(query,
+            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+          '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&?', '') AS q_clean
+      FROM comp
+    ), norm AS (
+      SELECT doc_id, url, host,
+        scheme || '://' || host_nw
+          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END
+          || path
+          || CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END
+          AS norm_url,
+        {_DOMAIN_SQL} AS domain
+      FROM cleaned
+    ), stats AS (
+      SELECT domain, COUNT(*) AS n_docs_in_domain,
+             COUNT(DISTINCT norm_url) AS n_unique_norm_urls
+      FROM norm GROUP BY domain
+    )
+    SELECT n.doc_id, n.url, n.norm_url, n.host, n.domain,
+           s.n_docs_in_domain, s.n_unique_norm_urls,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY n.domain
+             ORDER BY md5(CAST(n.doc_id AS VARCHAR)), n.doc_id
+           ) AS BIGINT) AS url_rank,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY n.domain
+             ORDER BY md5(CAST(n.doc_id AS VARCHAR)), n.doc_id
+           ) <= 5 THEN 1 ELSE 0 END AS BIGINT) AS quota_keep
+    FROM norm n JOIN stats s USING (domain)
+    """,
+)
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.url import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = F.col("doc_id")
+    tld = (
+        F.when(d % 3 == 0, F.lit("com"))
+        .when(d % 3 == 1, F.lit("co.uk"))
+        .otherwise(F.lit("org"))
+    )
+    hostbase = F.concat(F.col("source"), F.lit(".example."), tld)
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper(hostbase)).otherwise(hostbase),
+        F.when(d % 6 == 0, F.lit(":443"))
+        .when(d % 11 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("/articles/dup")).otherwise(
+            F.concat(F.lit("/articles/"), d.cast("string"))
+        ),
+        F.when(d % 13 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?"),
+                F.when(d % 7 == 0, F.lit("fbclid=abc123&")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("id="),
+                d.cast("string"),
+                F.when(
+                    d % 2 == 0,
+                    F.concat(
+                        F.lit("&utm_source=feed&utm_campaign=c"),
+                        (d % 4).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            )
+        ),
+        F.when(d % 3 == 0, F.concat(F.lit("#s"), (d % 9).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    host = url_host("url")
+    host_nw = F.regexp_replace(host, "^www\\.", "")
+    norm = docs.select(
+        "doc_id",
+        "url",
+        normalize_url("url").alias("norm_url"),
+        host.alias("host"),
+        registered_domain(host_nw).alias("domain"),
+    )
+    stats = norm.groupBy("domain").agg(
+        F.count("*").alias("n_docs_in_domain"),
+        F.countDistinct("norm_url").alias("n_unique_norm_urls"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(d.cast("string")), "doc_id"
+    )
+    return (
+        norm.join(stats, "domain")
+        .withColumn("url_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "quota_keep",
+            (F.col("url_rank") <= 5).cast("long"),
+        )
+        .select(
+            "doc_id", "url", "norm_url", "host", "domain",
+            "n_docs_in_domain", "n_unique_norm_urls", "url_rank",
+            "quota_keep",
+        )
+    )

@@ -384,37 +384,12 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "ann_topk_fast",
-    # Same semantics as embedding_cosine_topk; the BLAS kernel's
-    # normalize-then-dot differs from the SQL dot/(|a||b|) only at
-    # ~1e-14, which round-4 absorbs — verified exact at sf0.001/0.01/0.1
-    # on the round-2 corpus. If a future testdata regeneration lands a
-    # score on a 5e-5 rounding boundary, demote this back to rows-only.
-    oracle="""
-    SELECT * FROM (
-      SELECT q.vec_id AS query_id,
-             c.vec_id AS neighbor_id,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                               c.embedding::DOUBLE[]) DESC,
-                        c.vec_id
-             ) AS INTEGER) AS rank,
-             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
-                                          c.embedding::DOUBLE[]), 4)
-               AS score_r4
-      FROM embeddings q
-      JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 8
-    )
-    WHERE rank <= 3
-    """,
-)
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-kernel brute-force ANN (operators.similarity): identical
     neighbor sets AND round-4 scores to embedding_cosine_topk — the
-    fast path runs under the full value oracle."""
+    fast path runs under the full value oracle via the merged
+    ``embedding_cosine_topk`` slot (round 5: slot freed for the SCD2
+    family; this callable stays for bench.py and direct use)."""
     from ..operators.similarity import ann_topk_numpy
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -485,22 +460,66 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on md5(text), first-wins canonical id.
 # --------------------------------------------------------------------------
+# Driver slot (round 5): both exact-dedup survivorship policies —
+# first-wins (the reference's A5 rule) and keep-longest (arg-max) —
+# gate through ONE `policy`-tagged union slot with a harmonized
+# (group_key, survivor_doc_id, survivor_len, n_copies) schema; the
+# freed slot went to the URL-domain curation family. The per-policy
+# callables stay for bench.py and direct use.
 @REGISTRY.register(
-    "dedup_exact_docs",
+    "dedup_survivorship",
     oracle="""
-    WITH docs AS (
+    WITH fw_docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text
       FROM documents WHERE doc_id % 5 = 0
+    ), kl_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 40)
+      FROM documents WHERE doc_id % 4 = 0
+    ), kl_keyed AS (
+      SELECT doc_id, md5(substr(text, 1, 40)) AS group_key,
+             length(text) AS text_len
+      FROM kl_docs
     )
-    SELECT md5(text) AS text_hash,
-           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+    SELECT 'first_wins' AS policy,
+           md5(text) AS group_key,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id,
+           CAST(MIN(length(text)) AS INTEGER) AS survivor_len,
            COUNT(*) AS n_copies
-    FROM docs
-    GROUP BY 1
+    FROM fw_docs
+    GROUP BY 2
+    UNION ALL
+    SELECT 'keep_longest' AS policy, group_key,
+           CAST(doc_id AS BIGINT) AS survivor_doc_id,
+           CAST(text_len AS INTEGER) AS survivor_len,
+           COUNT(*) OVER (PARTITION BY group_key) AS n_copies
+    FROM kl_keyed
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY group_key ORDER BY text_len DESC, doc_id
+    ) = 1
     """,
 )
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fw = dedup_exact_docs(spark, sf_dir).select(
+        F.lit("first_wins").alias("policy"),
+        F.col("text_hash").alias("group_key"),
+        F.col("canonical_doc_id").alias("survivor_doc_id"),
+        F.col("survivor_len"),
+        "n_copies",
+    )
+    kl = dedup_keep_longest(spark, sf_dir).select(
+        F.lit("keep_longest").alias("policy"),
+        "group_key",
+        "survivor_doc_id",
+        "survivor_len",
+        "n_copies",
+    )
+    return fw.unionByName(kl)
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = base.filter(F.col("doc_id") % 5 == 0).select(
@@ -511,6 +530,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5("text").alias("text_hash"))
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
+            F.min(F.length("text")).cast("int").alias("survivor_len"),
             F.count("*").alias("n_copies"),
         )
     )
@@ -521,31 +541,6 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (arg-max survivorship, vs the reference's first-wins). The windowed
 # arg-max is the standard one-shuffle pattern; ties break on doc_id.
 # --------------------------------------------------------------------------
-@REGISTRY.register(
-    "dedup_keep_longest",
-    oracle="""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      -- truncated copies: the survivor must be the longer original
-      SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 40)
-      FROM documents WHERE doc_id % 4 = 0
-    ), keyed AS (
-      SELECT doc_id, text,
-             md5(substr(text, 1, 40)) AS group_key,
-             length(text) AS text_len
-      FROM docs
-    )
-    SELECT group_key,
-           CAST(doc_id AS BIGINT) AS survivor_doc_id,
-           CAST(text_len AS INTEGER) AS survivor_len,
-           COUNT(*) OVER (PARTITION BY group_key) AS n_copies
-    FROM keyed
-    QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY group_key ORDER BY text_len DESC, doc_id
-    ) = 1
-    """,
-)
 def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     truncated = base.filter(F.col("doc_id") % 4 == 0).select(
@@ -1467,28 +1462,61 @@ def ann_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search baseline: brute-force cosine top-k for a small query
 # set — broadcast(queries) × scan(corpus), rank via per-query window.
+#
+# Driver slot (round 5): the HOF-expression path and the numpy-kernel
+# path (ann_topk_fast) produce identical neighbor sets AND round-4
+# scores, so ONE slot gates BOTH implementations via a `path`-tagged
+# union — the oracle cross-joins the shared result against the two
+# path labels. The BLAS kernel's normalize-then-dot differs from the
+# SQL dot/(|a||b|) only at ~1e-14, which round-4 absorbs — verified
+# exact at sf0.001/0.01/0.1. If a future testdata regeneration lands a
+# score on a 5e-5 rounding boundary, demote the numpy leg to rows-only.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "embedding_cosine_topk",
     oracle="""
-    SELECT * FROM (
-      SELECT q.vec_id AS query_id,
-             c.vec_id AS neighbor_id,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                               c.embedding::DOUBLE[]) DESC,
-                        c.vec_id
-             ) AS INTEGER) AS rank,
-             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
-                                          c.embedding::DOUBLE[]), 4) AS cosine_r4
-      FROM embeddings q
-      JOIN embeddings c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < 8
-    )
-    WHERE rank <= 3
+    SELECT p.path, r.query_id, r.neighbor_id, r.rank, r.score_r4
+    FROM (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id
+               ) AS INTEGER) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 4)
+                 AS score_r4
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rank <= 3
+    ) r
+    CROSS JOIN (VALUES ('hof'), ('numpy')) AS p(path)
     """,
 )
+def embedding_cosine_topk_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hof = embedding_cosine_topk(spark, sf_dir).select(
+        F.lit("hof").alias("path"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.col("cosine_r4").alias("score_r4"),
+    )
+    fast = ann_topk_fast(spark, sf_dir).select(
+        F.lit("numpy").alias("path"),
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "score_r4",
+    )
+    return hof.unionByName(fast)
+
+
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = (

@@ -1,7 +1,7 @@
 """Driver-gated data-quality governance: the checks a production
 pipeline runs EVERY batch, value-verified against a DuckDB oracle.
 
-One composite slot (`data_quality_report`) gates two pytest-only
+One composite slot (`data_quality_report`) gates three pytest-only
 operator modules end-to-end:
 
 1. ``operators.expectations`` — all six constraint kinds (not_null,
@@ -13,6 +13,14 @@ operator modules end-to-end:
    pre-/post-1997 halves of orders: the per-bin contingency counts are
    hash-matched EXACTLY (integers), the scalar PSI at milli precision
    (the ln() last-ulp rounding convention of corpus_quality_filter).
+3. ``operators.heavyhitters`` — value-dominance detection (the hot-key
+   / skewed-source check): every value above 1% of a skew-synthesized
+   events column, found via per-partition Misra-Gries summaries +
+   exact recount. The two-pass design's output is EXACT (the sketch
+   only proposes candidates; exact counts decide), so the oracle is a
+   plain ``HAVING n * 100 > total``; ``passed`` applies a 20% (2000
+   basis-point) dominance cap, exercised both ways by the two
+   synthesized hot values (~50% fails, ~17% passes).
 
 Cross-engine conventions (plans/__init__.py): every float that touches
 the hash is rounded to an integer on both sides; the PSI epsilon floor
@@ -153,6 +161,22 @@ _ORACLE = f"""
            CAST(CAST(ROUND(SUM(term) * 1000) AS BIGINT) < 250 AS INTEGER),
            CAST(ROUND(SUM(term) * 1000) AS BIGINT)
     FROM terms
+    UNION ALL
+    SELECT 'heavy_hitters', hh.value, 'frequent_value',
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(hh.n AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(ht.total AS BIGINT),
+           CAST(10000 * hh.n // ht.total < 2000 AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM (
+      SELECT value, COUNT(*) AS n FROM (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'hot_even'
+                    WHEN user_id % 3 = 0 THEN 'hot_three'
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS value
+        FROM events
+      ) GROUP BY value
+    ) hh, (SELECT COUNT(*) AS total FROM events) ht
+    WHERE hh.n * 100 > ht.total
 """
 
 
@@ -226,4 +250,27 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pm").alias("psi_milli"),
         )
     )
-    return rep.unionByName(bins).unionByName(total)
+    from ..operators.heavyhitters import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    skewed = events.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("hot_even"))
+        .when(F.col("user_id") % 3 == 0, F.lit("hot_three"))
+        .otherwise(
+            F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        )
+        .alias("value")
+    )
+    hh = heavy_hitters(skewed, "value", 100).select(
+        F.lit("heavy_hitters").alias("family"),
+        F.col("value").alias("name"),
+        F.lit("frequent_value").alias("kind"),
+        null_i.alias("bin"),
+        null_l.alias("ref_n"),
+        F.col("n").alias("cur_n"),
+        null_l.alias("violations"),
+        F.col("total"),
+        (F.col("freq_bp") < 2000).cast("int").alias("passed"),
+        null_l.alias("psi_milli"),
+    )
+    return rep.unionByName(bins).unionByName(total).unionByName(hh)

@@ -1,0 +1,132 @@
+"""URL parse/normalize expressions (functions/url.py) — unit behavior
+plus a DuckDB cross-engine pin on the shared regex rules (the oracle
+for url_domain_curation mirrors them verbatim, so dialect drift between
+Java regex and RE2 must surface HERE, not as a driver hash flip)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.functions.url import (
+    TRACKING_PARAM_RE,
+    normalize_url,
+    registered_domain,
+    url_host,
+    url_path,
+    url_port,
+    url_query,
+    url_scheme,
+)
+
+CASES = [
+    # (raw, expected_normalized)
+    ("https://Example.COM/a/b?x=1", "https://example.com/a/b?x=1"),
+    ("HTTP://WWW.Example.com:80/a", "http://example.com/a"),
+    ("https://www.example.com:443/", "https://example.com/"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com/a?utm_source=f&id=3", "https://example.com/a?id=3"),
+    ("https://example.com/a?id=3&utm_a=1&utm_b=2", "https://example.com/a?id=3"),
+    ("https://example.com/a?fbclid=xyz", "https://example.com/a"),
+    ("https://example.com/a?gclid=1&x=2&utm_c=3", "https://example.com/a?x=2"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?x=1#frag", "https://example.com/a?x=1"),
+    ("https://sub.host.co.uk/p?a=1&b=2", "https://sub.host.co.uk/p?a=1&b=2"),
+    ("http://example.com", "http://example.com"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url("u").alias("n")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_component_extractors(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://User.Host.org:8443/p/q?x=1&y=2#z",)], "u string"
+    )
+    r = df.select(
+        url_scheme("u").alias("s"),
+        url_host("u").alias("h"),
+        url_port("u").alias("p"),
+        url_path("u").alias("pa"),
+        url_query("u").alias("q"),
+    ).collect()[0]
+    assert (r["s"], r["h"], r["p"], r["pa"], r["q"]) == (
+        "https", "user.host.org", "8443", "/p/q", "x=1&y=2"
+    )
+
+
+def test_registered_domain(spark):
+    cases = {
+        "example.com": "example.com",
+        "www.example.com": "example.com",
+        "a.b.example.com": "example.com",
+        "sub.host.co.uk": "host.co.uk",
+        "host.co.uk": "host.co.uk",
+        "co.uk": "co.uk",
+        "localhost": "localhost",
+        "news.site.com.au": "site.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", registered_domain("h").alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_tracking_strip_matches_duckdb(spark):
+    """The exact two-pass strip the oracle mirrors: Spark regexp_replace
+    (implicit global) must equal DuckDB regexp_replace(..., 'g') on a
+    query-string corpus covering leading/interior/trailing/only-tracking
+    shapes."""
+    queries = [
+        "id=1",
+        "utm_source=a",
+        "utm_source=a&id=1",
+        "id=1&utm_source=a",
+        "id=1&utm_a=1&utm_b=2&x=2",
+        "fbclid=abc&gclid=d&id=9",
+        "utm_=1&id=2",
+        "a=utm_source&b=2",
+        "",
+        "utm_a=1&utm_b=2",
+    ]
+    from sports_stats_data_pipeline_spark.functions.url import (
+        strip_tracking_params,
+    )
+
+    df = spark.createDataFrame([(q,) for q in queries], "q string")
+    got = {
+        r["q"]: r["s"]
+        for r in df.select(
+            "q", strip_tracking_params(F.col("q")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"q": queries}))
+    exp = dict(
+        con.execute(
+            f"""
+        SELECT q, regexp_replace(
+                 regexp_replace(q, '&{TRACKING_PARAM_RE}=[^&]*', '', 'g'),
+                 '^{TRACKING_PARAM_RE}=[^&]*&?', '', 'g') AS s
+        FROM t
+        """
+        ).fetchall()
+    )
+    assert got == exp
+    assert got["id=1&utm_a=1&utm_b=2&x=2"] == "id=1&x=2"
+    assert got["utm_a=1&utm_b=2"] == ""
+    assert got["a=utm_source&b=2"] == "a=utm_source&b=2"
