@@ -1,7 +1,7 @@
 """Driver-gated data-quality governance: the checks a production
 pipeline runs EVERY batch, value-verified against a DuckDB oracle.
 
-One composite slot (`data_quality_report`) gates three pytest-only
+One composite slot (`data_quality_report`) gates four pytest-only
 operator modules end-to-end:
 
 1. ``operators.expectations`` — all six constraint kinds (not_null,
@@ -13,7 +13,14 @@ operator modules end-to-end:
    pre-/post-1997 halves of orders: the per-bin contingency counts are
    hash-matched EXACTLY (integers), the scalar PSI at milli precision
    (the ln() last-ulp rounding convention of corpus_quality_filter).
-3. ``operators.heavyhitters`` — value-dominance detection (the hot-key
+3. ``operators.diff`` — snapshot reconciliation: orders diffed against
+   a deterministically mutated copy (price bump on custkey%97, status
+   flip on orderkey%101, deletes on orderkey%89, two inserted keys);
+   the report carries rows-per-status (added/removed/changed/
+   unchanged) and per-column changed-row counts — the
+   migration-validation numbers. One full-outer join + null-safe
+   codegen comparisons; the oracle mirrors with IS DISTINCT FROM.
+4. ``operators.heavyhitters`` — value-dominance detection (the hot-key
    / skewed-source check): every value above 1% of a skew-synthesized
    events column, found via per-partition Misra-Gries summaries +
    exact recount. The two-pass design's output is EXACT (the sketch
@@ -177,6 +184,55 @@ _ORACLE = f"""
       ) GROUP BY value
     ) hh, (SELECT COUNT(*) AS total FROM events) ht
     WHERE hh.n * 100 > ht.total
+    UNION ALL
+    SELECT 'reconcile', d.name, d.kind,
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(d.n AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH old_snap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+      ), new_snap AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_custkey % 97 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+        UNION ALL
+        SELECT * FROM (VALUES (10000001, 1, 'O', 1.0),
+                              (10000002, 2, 'F', 2.0))
+      ), j AS (
+        SELECT o.o_orderkey IS NOT NULL AS in_l,
+               n.o_orderkey IS NOT NULL AS in_r,
+               o.o_custkey IS DISTINCT FROM n.o_custkey AS c_cust,
+               o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS c_st,
+               o.o_totalprice IS DISTINCT FROM n.o_totalprice AS c_tp
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+      ), status_counts AS (
+        SELECT CASE WHEN NOT in_l THEN 'added'
+                    WHEN NOT in_r THEN 'removed'
+                    WHEN c_cust OR c_st OR c_tp THEN 'changed'
+                    ELSE 'unchanged' END AS name,
+               COUNT(*) AS n
+        FROM j GROUP BY 1
+      )
+      SELECT 'diff_status' AS kind, s.name,
+             COALESCE(sc.n, 0) AS n
+      FROM (VALUES ('added'), ('removed'), ('changed'),
+                   ('unchanged')) s(name)
+      LEFT JOIN status_counts sc ON sc.name = s.name
+      UNION ALL
+      SELECT 'diff_column', col, COUNT(*) FROM (
+        SELECT 'o_custkey' AS col FROM j WHERE in_l AND in_r AND c_cust
+        UNION ALL
+        SELECT 'o_orderstatus' FROM j WHERE in_l AND in_r AND c_st
+        UNION ALL
+        SELECT 'o_totalprice' FROM j WHERE in_l AND in_r AND c_tp
+      ) GROUP BY 2
+    ) d
 """
 
 
@@ -273,4 +329,51 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("freq_bp") < 2000).cast("int").alias("passed"),
         null_l.alias("psi_milli"),
     )
-    return rep.unionByName(bins).unionByName(total).unionByName(hh)
+    from ..operators.diff import diff_summary, table_diff
+
+    old_snap = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new_snap = (
+        old_snap.filter(F.col("o_orderkey") % 89 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_custkey") % 97 == 0,
+                F.col("o_totalprice") + 1.0,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, 1, "O", 1.0), (10_000_002, 2, "F", 2.0)],
+                "o_orderkey long, o_custkey long, "
+                "o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    rec = diff_summary(
+        table_diff(old_snap, new_snap, ["o_orderkey"])
+    ).select(
+        F.lit("reconcile").alias("family"),
+        "name",
+        F.concat(F.lit("diff_"), F.col("kind")).alias("kind"),
+        null_i.alias("bin"),
+        null_l.alias("ref_n"),
+        F.col("n").alias("cur_n"),
+        null_l.alias("violations"),
+        null_l.alias("total"),
+        null_i.alias("passed"),
+        null_l.alias("psi_milli"),
+    )
+    return (
+        rep.unionByName(bins)
+        .unionByName(total)
+        .unionByName(hh)
+        .unionByName(rec)
+    )
