@@ -306,3 +306,58 @@ def ivf_topk_indexed(
             F.round("cos", 4).alias("score_r4"),
         )
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_partitions: int = 2,
+) -> None:
+    """Incrementally add vectors to a :func:`build_ivf_index` layout
+    WITHOUT re-clustering: assign the batch against the index's frozen
+    coarse quantizer (``centroids/`` — broadcast, one batch scan) and
+    append the new ``(cell, id, v)`` rows as additional cell-sorted
+    parquet files.
+
+    This is the 100 TB index-maintenance contract: ingest cost is
+    O(batch), the existing corpus is never re-read, and queries keep
+    pruning at row-group granularity — each appended file is itself
+    cell-sorted, so its min/max stats exclude unprobed cells exactly
+    like the base files' (a probed cell now reads one region per
+    append generation; compact with operators.maintenance when
+    generations accumulate, the same OPTIMIZE story as the mart).
+
+    Freezing the quantizer is the standard IVF trade (FAISS
+    ``add`` vs ``train``): cell populations drift as the distribution
+    does — monitor with operators.drift over the cell histogram and
+    rebuild when PSI crosses the threshold. Identity contract (pinned
+    in test_similarity_and_maintenance): append-then-query ==
+    one-shot cells/ rebuild over the union UNDER THE SAME CENTROIDS.
+
+    Caller contract: ids in ``new_embeddings`` must not already exist
+    in the index (dedup upstream — this is an append, not an upsert).
+    """
+    from ..functions.vectors import as_double
+    from .kmeans import _assign
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    vecs = new_embeddings.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    assigned = _assign(vecs, centroids)
+    (
+        vecs.join(assigned, "__id")
+        .select(
+            "cell",
+            F.col("__id").alias(id_col),
+            F.col("__v").alias("v"),
+        )
+        .repartitionByRange(cell_partitions, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .parquet(f"{path}/cells")
+    )

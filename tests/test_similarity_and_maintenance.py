@@ -134,3 +134,50 @@ def test_ivf_indexed_matches_direct(spark, tmp_path):
     # ...and query time does no clustering work (no Lloyd lineage: the
     # only aggregate in the plan is the window rank machinery).
     assert "posexplode" not in plan.lower()
+
+
+def test_ivf_append_equals_one_shot_under_same_centroids(spark, tmp_path):
+    """append_to_ivf_index (frozen quantizer) must serve IDENTICAL
+    query results to a cells/ layout written in one shot over the full
+    corpus under the SAME centroid table — and the appended files must
+    keep the row-group-prunable cell-sorted layout."""
+    from sports_stats_data_pipeline_spark.functions.vectors import as_double
+    from sports_stats_data_pipeline_spark.operators.kmeans import _assign
+    from sports_stats_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(base, inc_path, n_cells=8, kmeans_iters=2)
+    append_to_ivf_index(spark, inc_path, batch)
+
+    # one-shot reference under the SAME (base-trained) centroids
+    ref_path = str(tmp_path / "ref")
+    centroids = spark.read.parquet(f"{inc_path}/centroids")
+    vecs = emb.select(
+        F.col("vec_id").alias("__id"),
+        as_double(F.col("embedding")).alias("__v"),
+    )
+    (
+        vecs.join(_assign(vecs, centroids), "__id")
+        .select("cell", F.col("__id").alias("vec_id"), F.col("__v").alias("v"))
+        .repartitionByRange(8, "cell")
+        .sortWithinPartitions("cell")
+        .write.parquet(f"{ref_path}/cells")
+    )
+    centroids.write.parquet(f"{ref_path}/centroids")
+
+    q = F.col("vec_id") < 8
+    got = _rank_map(ivf_topk_indexed(spark, inc_path, q, k=3, n_probe=3))
+    want = _rank_map(ivf_topk_indexed(spark, ref_path, q, k=3, n_probe=3))
+    assert got == want and got
+
+    # appended rows landed and the batch's ids are servable neighbors
+    n_total = spark.read.parquet(f"{inc_path}/cells").count()
+    assert n_total == emb.count()
