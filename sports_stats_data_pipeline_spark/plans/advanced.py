@@ -130,20 +130,57 @@ _QUARTER_VALUES = ", ".join(
 )
 
 
+#: the same quarter boundaries as integer epoch-days (computed offline,
+#: embedded as literals on BOTH engines — no cross-engine date math in
+#: the interval part).
+_QUARTER_DAYS = [
+    ("1995-Q1", 9131, 9221),
+    ("1995-Q2", 9221, 9312),
+    ("1995-H2", 9312, 9496),
+    ("1996-FY", 9496, 9862),
+]
+_QUARTER_DAY_VALUES = ", ".join(
+    f"('{n}', {s}, {e})" for n, s, e in _QUARTER_DAYS
+)
+
+
 @REGISTRY.register(
     "orders_by_period_rangejoin",
+    # Composite since round 5: the point-in-range join ('period' rows,
+    # unchanged semantics) plus an interval×interval OVERLAP join
+    # ('active' rows) through operators/intervaljoin.py — customer
+    # order-lifespan intervals [first_order_day, last_order_day + 1)
+    # against the same quarters; bin_width=30/max_bins=16 routes
+    # multi-year lifespans through the broadcast fallback leg and the
+    # rest through the binned equi-join, so BOTH legs execute under the
+    # driver gate. The oracle computes the overlap the naive way.
     oracle=f"""
-    SELECT p.period_name,
-           COUNT(*) AS n_orders,
+    SELECT 'period' AS part, p.period_name,
+           COUNT(*) AS n,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS volume_c
     FROM orders o
     JOIN (VALUES {_QUARTER_VALUES}) AS p(period_name, period_start, period_end)
       ON o.o_orderdate >= p.period_start AND o.o_orderdate < p.period_end
     GROUP BY p.period_name
+    UNION ALL
+    SELECT 'active', p.period_name, COUNT(*) AS n,
+           CAST(NULL AS BIGINT) AS volume_c
+    FROM (
+      SELECT o_custkey,
+             MIN(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)) AS ls,
+             MAX(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)) + 1
+               AS le
+      FROM orders GROUP BY o_custkey
+    ) c
+    JOIN (VALUES {_QUARTER_DAY_VALUES}) AS p(period_name, ps, pe)
+      ON c.ls < p.pe AND p.ps < c.le
+    GROUP BY p.period_name
     """,
 )
 def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervaljoin import overlap_join
+
     orders = load_table(spark, sf_dir, "orders")
     periods = spark.createDataFrame(
         [(n, s, e) for n, s, e in _QUARTERS],
@@ -153,7 +190,7 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("period_start").cast("timestamp").alias("period_start"),
         F.col("period_end").cast("timestamp").alias("period_end"),
     )
-    return (
+    period_rows = (
         orders.join(
             F.broadcast(periods),
             (orders.o_orderdate >= periods.period_start)
@@ -161,10 +198,39 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("period_name")
         .agg(
-            F.count("*").alias("n_orders"),
+            F.count("*").alias("n"),
             F.sum(cents("o_totalprice")).alias("volume_c"),
         )
+        .select(F.lit("period").alias("part"), "period_name", "n", "volume_c")
     )
+
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp")
+    ).cast("long")
+    lifespans = orders.groupBy("o_custkey").agg(
+        F.min(day).alias("ls"), (F.max(day) + 1).alias("le")
+    )
+    quarter_days = spark.createDataFrame(
+        _QUARTER_DAYS, "period_name string, ps long, pe long"
+    )
+    active_rows = (
+        overlap_join(
+            lifespans,
+            quarter_days,
+            "ls", "le", "ps", "pe",
+            bin_width=30,
+            max_bins=16,
+        )
+        .groupBy("period_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("active").alias("part"),
+            "period_name",
+            "n",
+            F.lit(None).cast("long").alias("volume_c"),
+        )
+    )
+    return period_rows.unionByName(active_rows)
 
 
 # --------------------------------------------------------------------------
