@@ -215,3 +215,27 @@ def test_seq_collision_guard_documented(spark):
     )
     h = _collect(scd2_build(collapsed, ["k"], ["attr"], "seq"))
     assert [(v, a) for (_, v, a, *_rest) in h] == [(1, "B"), (2, "C")]
+
+
+@pytest.mark.parametrize("splits", [(3,), (1, 4), (2, 5, 8), (6, 7)])
+def test_apply_fold_invariance(spark, splits):
+    """Folding an in-order change stream through ANY sequence of
+    sequential batches yields the identical history (the CDC contract:
+    batch boundaries are an operational artifact, not a semantic one)."""
+    rows = [
+        (k, ["P", "Q", None][(k + s) % 3], s * 10 + k)
+        for k in range(1, 5)
+        for s in range(10)
+    ]
+    rows.sort(key=lambda r: r[2])
+    full = _hist(spark, rows)
+    cuts = [0, *[s * len(rows) // 10 for s in splits], len(rows)]
+    hist = None
+    for lo, hi in zip(cuts, cuts[1:]):
+        chunk = spark.createDataFrame(rows[lo:hi], CHANGES_SCHEMA)
+        if hist is None:
+            hist = scd2_build(chunk, ["k"], ["attr"], "seq")
+        else:
+            hist = scd2_apply_batch(hist, chunk, ["k"], ["attr"], "seq")
+        hist = hist.localCheckpoint(eager=True)  # cut the fold lineage
+    assert _collect(hist) == _collect(full)
