@@ -152,3 +152,108 @@ def heavy_hitters(
             .alias("freq_bp"),
         )
     )
+
+
+def grouped_partition_summaries(
+    df: DataFrame, group_col: str, col: str, capacity: int
+) -> DataFrame:
+    """Per-(partition, group) Misra-Gries summaries:
+    DataFrame[group, value, weight] with <= ``capacity`` rows per group
+    per input partition. The superset guarantee holds per group by the
+    same averaging argument applied to the group's rows alone."""
+    src = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(col).cast("string").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("group").isNotNull())
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict[str, dict[str, int]] = {}
+        for pdf in it:
+            vc = pdf.groupby(["group", "value"], sort=False).size()
+            for (g, v), c in vc.items():
+                counters = groups.setdefault(g, {})
+                _mg_update(
+                    counters,
+                    np.array([v]),
+                    np.array([c]),
+                    capacity,
+                )
+        rows = [
+            (g, v, c)
+            for g, counters in groups.items()
+            for v, c in counters.items()
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["group", "value", "weight"]
+            ).astype({"weight": "int64"})
+        else:
+            yield pd.DataFrame(
+                {
+                    "group": pd.Series([], dtype="object"),
+                    "value": pd.Series([], dtype="object"),
+                    "weight": pd.Series([], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        summarize, "group string, value string, weight long"
+    )
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    threshold_denom: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-group exact heavy hitters: for each group, every value of
+    ``col`` occurring strictly more than ``1/threshold_denom`` of the
+    group's non-null rows. DataFrame[group, value, n, total, freq_bp]
+    with ``total`` the GROUP's row count.
+
+    Executor memory per task is ``capacity × groups-per-partition``
+    summary entries; when the group universe is itself huge,
+    pre-repartition by ``group_col`` so each task sees few groups (the
+    summary then degenerates gracefully toward a plain per-group
+    count, which is the right tool at that cardinality anyway).
+    """
+    if threshold_denom < 2:
+        raise ValueError(
+            f"threshold_denom must be >= 2, got {threshold_denom}"
+        )
+    cap = 2 * threshold_denom if capacity is None else capacity
+    if cap < threshold_denom:
+        raise ValueError(
+            f"capacity {cap} < threshold_denom {threshold_denom} "
+            "breaks the superset guarantee"
+        )
+    src = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(col).cast("string").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("group").isNotNull())
+    candidates = (
+        grouped_partition_summaries(df, group_col, col, cap)
+        .select("group", "value")
+        .distinct()
+    )
+    exact = (
+        src.join(F.broadcast(candidates), ["group", "value"], "left_semi")
+        .groupBy("group", "value")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = src.groupBy("group").agg(F.count("*").alias("total"))
+    return (
+        exact.join(totals, "group")
+        .filter(F.col("n") * threshold_denom > F.col("total"))
+        .select(
+            "group",
+            "value",
+            "n",
+            "total",
+            F.floor(F.lit(10000) * F.col("n") / F.col("total"))
+            .cast("long")
+            .alias("freq_bp"),
+        )
+    )
