@@ -206,3 +206,50 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def stratified_sample_scalable(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    prefix_bits: int = 4,
+) -> DataFrame:
+    """:func:`stratified_sample` for strata too hot for one window
+    partition (the mega-domain problem in per-domain quotas).
+
+    Identical output (pinned in test_sampling), different plan: rank
+    first within (stratum, hash-prefix) — ``2^prefix_bits`` sub-
+    partitions per stratum, each ~1/2^bits of the stratum — keep each
+    sub-partition's bottom-``n_per_stratum``, then rank the survivors
+    (<= ``2^bits × n`` rows per stratum) globally within the stratum.
+    Correct because every global bottom-n row is, within its own
+    prefix, also a bottom-n row — the union of per-prefix bottom-n is
+    a superset of the global bottom-n. No single window partition ever
+    exceeds max(stratum/2^bits, 2^bits × n) rows, so one hot domain
+    can't serialize the stage.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(
+            f"n_per_stratum must be >= 1, got {n_per_stratum}"
+        )
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.lit(int(seed)), F.col(id_col))
+    prefix = F.pmod(h, F.lit(2 ** prefix_bits))
+    w1 = Window.partitionBy(*strata_cols, "__pfx").orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    w2 = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__pfx", prefix)
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= n_per_stratum)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= n_per_stratum)
+        .drop("__h", "__pfx", "__rk1", "__rk2")
+    )

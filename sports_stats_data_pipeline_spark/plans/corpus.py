@@ -583,9 +583,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quota selection = row_number over md5(doc_id) within domain — the
 # stratified_sample bottom-k-of-hash shape (operators/sampling.py) with
 # an engine-portable hash. 100 TB note: a mega-domain makes that window
-# partition hot; the scale remedy is a pre-aggregation pass that caps
-# candidates per (domain, hash-prefix) before the global rank — same
-# output, bounded partitions. The regex rules themselves are per-row
+# partition hot; the scale remedy is operators.sampling.
+# stratified_sample_scalable — rank within (domain, hash-prefix)
+# first, then over the bounded survivors; identical output, bounded
+# partitions (equality pinned in test_sampling). The regex rules themselves are per-row
 # projections in whole-stage codegen: no shuffle until the domain agg.
 # --------------------------------------------------------------------------
 _URL_SQL = """

@@ -278,3 +278,36 @@ def test_stratified_sample_seeds_differ(spark):
     s0 = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 5, seed=0).collect()}
     s1 = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 5, seed=1).collect()}
     assert s0 != s1
+
+
+def test_stratified_sample_scalable_equals_plain(spark):
+    """The two-phase (prefix-split) quota draw must select the IDENTICAL
+    rows as the single-window stratified_sample, at several quota sizes
+    and prefix widths, on skewed strata."""
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_scalable,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        # one mega-stratum (~3/4 of rows) plus a tail of small ones
+        F.when(F.col("id") % 4 != 0, F.lit("mega"))
+        .otherwise((F.col("id") % 13).cast("string"))
+        .alias("src"),
+    )
+    for n in (1, 7, 40):
+        for bits in (1, 4):
+            plain = {
+                r["doc_id"]
+                for r in stratified_sample(
+                    df, ["src"], n, seed=3
+                ).collect()
+            }
+            scalable = {
+                r["doc_id"]
+                for r in stratified_sample_scalable(
+                    df, ["src"], n, seed=3, prefix_bits=bits
+                ).collect()
+            }
+            assert scalable == plain, (n, bits)
