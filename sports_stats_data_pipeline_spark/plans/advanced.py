@@ -673,12 +673,25 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") % 7 == 0
     )
-    changes = orders.groupBy(
-        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("d")
-    ).agg(
-        F.max_by("o_orderpriority", "o_orderkey").alias("priority")
+    # alias first, then repartition on the key alone: the (k, d)
+    # pre-collapse aggregate AND every scd2_build window cluster on a
+    # superset of k, so ONE k-exchange serves the whole dimension chain
+    # (vs letting groupBy shuffle on (k, d) and the window re-shuffle
+    # on k). hist is persisted: both the output and the point-in-time
+    # branch consume it, and without the boundary each consumer
+    # re-executes the full chain (verified: 6 exchanges -> 3).
+    changes = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            "o_orderpriority",
+            "o_orderkey",
+        )
+        .repartition("k")
+        .groupBy("k", "d")
+        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
     )
-    hist = scd2_build(changes, ["k"], ["priority"], "d")
+    hist = scd2_build(changes, ["k"], ["priority"], "d").persist()
     facts = orders.select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts")
     )
