@@ -61,10 +61,12 @@ def url_hostport(url: Column | str) -> Column:
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host with any ``:port`` removed (``www.`` kept —
-    stripping it is a normalization choice, see :func:`normalize_url`)."""
-    return F.lower(
-        F.regexp_replace(url_hostport(url), ":[0-9]+$", "")
-    )
+    stripping it is a normalization choice, see :func:`normalize_url`).
+    NULL when the URL has no parseable ``scheme://authority`` — an
+    empty-string host would otherwise collect every malformed URL into
+    one per-domain stats bucket."""
+    h = F.lower(F.regexp_replace(url_hostport(url), ":[0-9]+$", ""))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
 def url_port(url: Column | str) -> Column:
@@ -100,7 +102,12 @@ def strip_tracking_params(query: Column) -> Column:
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Canonical URL per the module-docstring contract."""
+    """Canonical URL per the module-docstring contract. NULL when the
+    URL has no parseable ``scheme://authority``: every component regex
+    returns '' on no match, so without the guard all malformed inputs
+    (scheme-less hosts, mailto:, plain garbage) would canonicalize to
+    the SAME constant ``'://'`` and collide into one group under
+    canonical-URL dedup — silently dropping distinct documents."""
     u = _c(url)
     scheme = url_scheme(u)
     host = F.regexp_replace(url_host(u), "^www\\.", "")
@@ -117,8 +124,13 @@ def normalize_url(url: Column | str) -> Column:
     querypart = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), query)
     )
-    return F.concat(
-        scheme, F.lit("://"), host, portpart, url_path(u), querypart
+    return F.when(
+        (scheme == "") | host.isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, portpart, url_path(u), querypart
+        )
     )
 
 
@@ -132,6 +144,11 @@ def registered_domain(host: Column | str) -> Column:
     last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
     last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
     is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
-    return F.when(n <= 2, h).otherwise(
-        F.when(is_multi, last3).otherwise(last2)
+    # explicit NULL guard: concat_ws('' on NULL input) would otherwise
+    # turn a NULL host into the empty string, merging all malformed
+    # rows into one domain bucket
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 2, h).otherwise(
+            F.when(is_multi, last3).otherwise(last2)
+        )
     )

@@ -90,9 +90,11 @@ def upsert(
 ) -> None:
     """Last-writer-wins MERGE of ``updates`` into the table at ``path``
     (creating it if absent). ``order_col`` deterministically picks the
-    winner among duplicate keys WITHIN ``updates`` (max order wins);
-    required when updates may carry intra-batch duplicates — Delta's
-    MERGE rejects multiple source matches per target row.
+    winner among duplicate keys WITHIN ``updates`` (max order wins;
+    ``(keys, order_col)`` must be unique per batch — equal order
+    values fall back to partition-scan order); required when updates
+    may carry intra-batch duplicates — Delta's MERGE rejects multiple
+    source matches per target row.
     """
     ks = list(keys)
     if order_col is not None:
@@ -149,10 +151,14 @@ def insert_absent(
 
     ``order_col`` deterministically picks the surviving row among
     duplicate keys WITHIN ``new`` (min order wins — first-writer-wins
-    extended into the batch). Without it, intra-batch duplicate keys
-    with differing payloads are resolved arbitrarily
+    extended into the batch). Determinism requires ``(keys,
+    order_col)`` to be unique within the batch (a sequence number or
+    ingest timestamp with uniqueness): EQUAL order values fall back to
+    partition-scan order, the very nondeterminism the parameter
+    exists to remove. Without ``order_col``, intra-batch duplicate
+    keys with differing payloads are resolved arbitrarily
     (``dropDuplicates`` keeps whichever row a partition scan sees
-    first); pass ``order_col`` whenever batches can carry such rows.
+    first); pass it whenever batches can carry such rows.
     """
     ks = list(keys)
     if order_col is not None:

@@ -116,9 +116,22 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     - ``kind='column'``: per-column changed-row counts (only columns
       that actually changed appear).
     """
-    status_rows = (
-        diff.groupBy(F.col("diff_status").alias("name"))
+    # ONE aggregation over the diff's data rows — grouping by (status,
+    # changed-column set) collapses to a tiny relation (distinct column
+    # subsets that actually co-change, not rows), from which both
+    # summaries derive. Computing status and column counts as two
+    # separate aggregates over an unpersisted diff would re-execute the
+    # full-outer join twice.
+    # persisted (psi_report's precedent): the few-row relation is
+    # shared by both consumers with recomputable lineage; LRU-evicted
+    grouped = (
+        diff.groupBy("diff_status", "changed_cols")
         .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    status_rows = (
+        grouped.groupBy(F.col("diff_status").alias("name"))
+        .agg(F.sum("n").alias("n"))
         .select(F.lit("status").alias("kind"), "name", "n")
     )
     # 0-fill absent statuses so the report schema is stable
@@ -135,9 +148,9 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         )
     )
     col_rows = (
-        diff.select(F.explode("changed_cols").alias("name"))
+        grouped.select(F.explode("changed_cols").alias("name"), "n")
         .groupBy("name")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("n"))
         .select(F.lit("column").alias("kind"), "name", F.col("n"))
     )
     return status_full.unionByName(col_rows)

@@ -72,16 +72,24 @@ def partition_summaries(
     df: DataFrame, col: str, capacity: int
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries: DataFrame[value, weight]
-    with <= ``capacity`` rows per input partition. ``col`` is cast to
-    string (the summary key type; NULLs are dropped — a NULL frequency
-    check belongs to expectations.not_null)."""
+    with <= ``capacity`` + 1 rows per input partition. ``col`` is cast
+    to string (the summary key type; NULLs are dropped — a NULL
+    frequency check belongs to expectations.not_null).
+
+    Each partition additionally emits ONE ``value IS NULL`` marker row
+    whose weight is the partition's row count — NULL values were
+    filtered from the stream, so the marker is unambiguous, and
+    summing marker weights gives the grand total WITHOUT a separate
+    counting scan of the input (the two-scan contract)."""
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in it:
+            n_rows += len(pdf)
             vc = pdf["value"].value_counts()
             _mg_update(
                 counters,
@@ -91,10 +99,11 @@ def partition_summaries(
             )
         yield pd.DataFrame(
             {
-                "value": list(counters.keys()),
+                "value": [*counters.keys(), None],
                 "weight": np.fromiter(
-                    counters.values(), dtype=np.int64,
-                    count=len(counters),
+                    [*counters.values(), n_rows],
+                    dtype=np.int64,
+                    count=len(counters) + 1,
                 ),
             }
         )
@@ -131,15 +140,23 @@ def heavy_hitters(
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
+    # ONE summary relation feeds both the candidate set and the total
+    # (via the per-partition NULL marker rows), so the operator costs
+    # exactly two scans of the input — summary pass + exact recount —
+    # not three. The relation is tiny (<= (capacity+1) × partitions);
+    # persist so the two consumers don't re-run the summary pass.
+    summ = partition_summaries(df, col, cap).persist()
     candidates = (
-        partition_summaries(df, col, cap).select("value").distinct()
+        summ.filter(F.col("value").isNotNull()).select("value").distinct()
     )
     exact = (
         src.join(F.broadcast(candidates), "value", "left_semi")
         .groupBy("value")
         .agg(F.count("*").alias("n"))
     )
-    total_df = src.agg(F.count("*").alias("total"))
+    total_df = summ.filter(F.col("value").isNull()).agg(
+        F.sum("weight").alias("total")
+    )
     return (
         exact.crossJoin(F.broadcast(total_df))
         .filter(F.col("n") * threshold_denom > F.col("total"))
@@ -147,9 +164,11 @@ def heavy_hitters(
             "value",
             "n",
             "total",
-            F.floor(F.lit(10000) * F.col("n") / F.col("total"))
-            .cast("long")
-            .alias("freq_bp"),
+            # integer floor division end-to-end: the double path
+            # (floor(10000*n / total)) can round across an integer
+            # boundary once 10000*n exceeds 2^53 and flip vs the
+            # oracle's `10000 * n // total`
+            F.expr("(10000 * n) div total").alias("freq_bp"),
         )
     )
 
@@ -158,9 +177,12 @@ def grouped_partition_summaries(
     df: DataFrame, group_col: str, col: str, capacity: int
 ) -> DataFrame:
     """Per-(partition, group) Misra-Gries summaries:
-    DataFrame[group, value, weight] with <= ``capacity`` rows per group
-    per input partition. The superset guarantee holds per group by the
-    same averaging argument applied to the group's rows alone."""
+    DataFrame[group, value, weight] with <= ``capacity`` + 1 rows per
+    group per input partition. The superset guarantee holds per group
+    by the same averaging argument applied to the group's rows alone.
+    As in :func:`partition_summaries`, each (partition, group) emits a
+    ``value IS NULL`` marker row carrying the group's partition-local
+    row count, so group totals need no separate counting scan."""
     src = df.select(
         F.col(group_col).cast("string").alias("group"),
         F.col(col).cast("string").alias("value"),
@@ -168,10 +190,12 @@ def grouped_partition_summaries(
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         groups: dict[str, dict[str, int]] = {}
+        group_rows: dict[str, int] = {}
         for pdf in it:
             vc = pdf.groupby(["group", "value"], sort=False).size()
             for (g, v), c in vc.items():
                 counters = groups.setdefault(g, {})
+                group_rows[g] = group_rows.get(g, 0) + int(c)
                 _mg_update(
                     counters,
                     np.array([v]),
@@ -182,7 +206,7 @@ def grouped_partition_summaries(
             (g, v, c)
             for g, counters in groups.items()
             for v, c in counters.items()
-        ]
+        ] + [(g, None, n) for g, n in group_rows.items()]
         if rows:
             yield pd.DataFrame(
                 rows, columns=["group", "value", "weight"]
@@ -233,8 +257,11 @@ def heavy_hitters_grouped(
         F.col(group_col).cast("string").alias("group"),
         F.col(col).cast("string").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("group").isNotNull())
+    # the persisted summary relation feeds candidates AND group totals
+    # (NULL marker rows) — two scans of the input, not three
+    summ = grouped_partition_summaries(df, group_col, col, cap).persist()
     candidates = (
-        grouped_partition_summaries(df, group_col, col, cap)
+        summ.filter(F.col("value").isNotNull())
         .select("group", "value")
         .distinct()
     )
@@ -243,7 +270,11 @@ def heavy_hitters_grouped(
         .groupBy("group", "value")
         .agg(F.count("*").alias("n"))
     )
-    totals = src.groupBy("group").agg(F.count("*").alias("total"))
+    totals = (
+        summ.filter(F.col("value").isNull())
+        .groupBy("group")
+        .agg(F.sum("weight").alias("total"))
+    )
     return (
         exact.join(totals, "group")
         .filter(F.col("n") * threshold_denom > F.col("total"))
@@ -252,8 +283,10 @@ def heavy_hitters_grouped(
             "value",
             "n",
             "total",
-            F.floor(F.lit(10000) * F.col("n") / F.col("total"))
-            .cast("long")
-            .alias("freq_bp"),
+            # integer floor division end-to-end: the double path
+            # (floor(10000*n / total)) can round across an integer
+            # boundary once 10000*n exceeds 2^53 and flip vs the
+            # oracle's `10000 * n // total`
+            F.expr("(10000 * n) div total").alias("freq_bp"),
         )
     )

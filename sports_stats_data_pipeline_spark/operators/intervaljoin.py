@@ -90,6 +90,15 @@ def overlap_join(
     key_cond = [F.col(a) == F.col(b) for a, b in keys]
     out_cols = [*left.columns, *right.columns]
 
+    # Degenerate rows are dropped up front: an empty interval [x, x)
+    # contains no points so it overlaps nothing under half-open
+    # semantics, and a REVERSED interval (end < start, a corrupt row)
+    # must not reach the binned leg — its negative bin count slips past
+    # the <= max_bins guard and F.sequence(first, last) with last <
+    # first would generate an unbounded DESCENDING bin array.
+    left = left.filter(F.col(l_start) < F.col(l_end))
+    right = right.filter(F.col(r_start) < F.col(r_end))
+
     l_short = left.filter(_n_bins(l_start, l_end, bin_width) <= max_bins)
     l_long = left.filter(_n_bins(l_start, l_end, bin_width) > max_bins)
     r_short = right.filter(_n_bins(r_start, r_end, bin_width) <= max_bins)

@@ -140,7 +140,16 @@ def _decode_png(data: bytes) -> tuple[int, int, list[int]]:
     # of materializing the full expansion first.
     dobj = zlib.decompressobj()
     raw = dobj.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected or dobj.unconsumed_tail or dobj.decompress(b"", 1):
+    # the eof check preserves plain zlib.decompress's completeness
+    # verification: a TRUNCATED deflate stream that happens to emit
+    # exactly `expected` bytes before being cut off (no stream-end
+    # marker) must still read as corrupt, not decode as valid
+    if (
+        len(raw) != expected
+        or dobj.unconsumed_tail
+        or dobj.decompress(b"", 1)
+        or not dobj.eof
+    ):
         raise ValueError("IDAT size does not match dimensions")
     samples = _unfilter(raw, w, h, bpp)
 

@@ -177,20 +177,35 @@ def point_in_time_lookup(
     belongs to the version that starts there), so this reuses the
     single-shuffle union-trick from operators/asof.py instead of the
     broadcast-nested-loop plan an interval predicate would force.
-    ``version`` disambiguates equal ``valid_from`` values (impossible
-    by construction, but keeps the window ordering total).
+
+    The attrs ride in ONE struct payload column: asof_join carries
+    each payload column independently with ``last(..., ignorenulls)``,
+    so a version whose attr is legitimately NULL (scd2_build supports
+    NULL runs) would otherwise leak the PREVIOUS version's non-null
+    attr into a mixed-version row. The struct is non-null whenever a
+    version exists, so the carry is all-or-nothing per version.
     """
     from .asof import asof_join
 
-    return asof_join(
+    joined = asof_join(
         facts,
         history.select(
-            key, "valid_from", "version", *[F.col(a) for a in attrs]
+            key,
+            "valid_from",
+            F.struct(
+                F.col("version").alias("version"),
+                *[F.col(a).alias(a) for a in attrs],
+            ).alias("__pit"),
         ),
         key=key,
         left_ts=fact_ts,
         right_ts="valid_from",
-        right_payload=[*attrs, "version"],
+        right_payload=["__pit"],
         strict=False,
         order_by=None,
+    )
+    return joined.select(
+        *facts.columns,
+        *[F.col(f"asof___pit.{a}").alias(f"asof_{a}") for a in attrs],
+        F.col("asof___pit.version").alias("asof_version"),
     )

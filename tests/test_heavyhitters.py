@@ -119,8 +119,13 @@ def test_mg_core_decrement_accounting():
 def test_summary_rows_bounded_per_partition(spark):
     df = _skewed(spark, 5000).repartition(6)
     summ = partition_summaries(df, "v", 25)
-    # 6 partitions × <= 25 rows
-    assert summ.count() <= 150
+    # 6 partitions × (<= 25 counter rows + 1 total-marker row)
+    assert summ.count() <= 156
+    # marker rows carry the partition row counts; they sum to the total
+    total = sum(
+        r["weight"] for r in summ.collect() if r["value"] is None
+    )
+    assert total == 5000
 
 
 def _grouped_exact(df, g, col, denom):

@@ -113,3 +113,21 @@ def test_duplicate_rows_multiply_like_a_join(spark):
         left, right, "ls", "le", "rs", "re", bin_width=4
     )
     assert out.count() == 2
+
+
+def test_degenerate_intervals_dropped(spark):
+    """Empty [x,x) and reversed (end < start) intervals contain no
+    points: they must match nothing — and a reversed row must not
+    reach the binned leg, where its negative bin count would slip past
+    the max_bins guard into an unbounded F.sequence."""
+    left = _left(
+        spark, [(1, 5, 5), (2, 1_000_000_000, 0), (3, 0, 10)]
+    )
+    right = _right(spark, [(1, 0, 100), (2, 7, 7), (3, 50, 3)])
+    got = _pairs(
+        overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            bin_width=4, max_bins=4,
+        )
+    )
+    assert got == [(3, 1)]

@@ -250,6 +250,21 @@ def test_decode_png_bounds_decompression():
     with pytest.raises(ValueError, match="decode cap"):
         decode_png(png_with(big, 1024, b"\x00"))
 
+    # Truncated deflate stream that still yields exactly the expected
+    # byte count must read as corrupt (eof check), not decode as valid.
+    import struct as _s
+
+    full = zlib.compress(b"\x00\x05\x06\x00\x07\x08")
+    for cut in range(len(full) - 1, 0, -1):
+        trunc = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", full[:cut])
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(trunc)
+
     # Sanity: a well-formed stream still decodes.
     ok = png_with(2, 2, b"\x00\x05\x06\x00\x07\x08")
     assert decode_png(ok) == (2, 2, [5, 6, 7, 8])

@@ -239,3 +239,21 @@ def test_apply_fold_invariance(spark, splits):
             hist = scd2_apply_batch(hist, chunk, ["k"], ["attr"], "seq")
         hist = hist.localCheckpoint(eager=True)  # cut the fold lineage
     assert _collect(hist) == _collect(full)
+
+
+def test_point_in_time_null_attr_version(spark):
+    """A version whose attr is legitimately NULL must surface AS null
+    at lookup time — not leak the previous version's value (the struct
+    payload carries versions all-or-nothing)."""
+    hist = _hist(spark, [(1, "A", 10), (1, None, 30), (1, "B", 50)])
+    facts = spark.createDataFrame(
+        [(100, 1, 20), (101, 1, 40), (102, 1, 60)],
+        "fact_id long, k long, ts long",
+    )
+    out = {
+        r["fact_id"]: (r["asof_attr"], r["asof_version"])
+        for r in point_in_time_lookup(
+            facts, hist, "k", "ts", ["attr"]
+        ).collect()
+    }
+    assert out == {100: ("A", 1), 101: (None, 2), 102: ("B", 3)}

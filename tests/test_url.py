@@ -130,3 +130,28 @@ def test_tracking_strip_matches_duckdb(spark):
     assert got["id=1&utm_a=1&utm_b=2&x=2"] == "id=1&x=2"
     assert got["utm_a=1&utm_b=2"] == ""
     assert got["a=utm_source&b=2"] == "a=utm_source&b=2"
+
+
+def test_malformed_urls_normalize_to_null(spark):
+    """Unparseable URLs must yield NULL, never a shared constant:
+    distinct malformed documents must NOT collide into one group under
+    canonical-URL dedup."""
+    from sports_stats_data_pipeline_spark.functions.url import (
+        registered_domain,
+        url_host,
+    )
+
+    bad = ["example.com/a", "mailto:x@y.com", "ftp:broken", "", "http//x"]
+    df = spark.createDataFrame([(u,) for u in bad], "u string")
+    rows = df.select(
+        normalize_url("u").alias("n"),
+        url_host("u").alias("h"),
+        registered_domain(url_host("u")).alias("d"),
+    ).collect()
+    for r in rows:
+        assert r["n"] is None and r["h"] is None and r["d"] is None, r
+    # and a well-formed URL still normalizes
+    ok = spark.createDataFrame([("https://A.example.com/x",)], "u string")
+    assert ok.select(normalize_url("u").alias("n")).collect()[0]["n"] == (
+        "https://a.example.com/x"
+    )
