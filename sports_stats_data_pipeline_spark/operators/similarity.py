@@ -361,3 +361,40 @@ def append_to_ivf_index(
         .write.mode("append")
         .parquet(f"{path}/cells")
     )
+
+
+def compact_ivf_cells(
+    spark,
+    path: str,
+    cell_partitions: int = 8,
+) -> None:
+    """Compact an IVF index's append generations back into one
+    cell-sorted layout (crash-safe staged replace).
+
+    Generic ``maintenance.compact_parquet`` would merge the files but
+    DESTROY the cell clustering (it repartitions round-robin, so every
+    file's cell min/max spans the whole range and the probe filter
+    stops pruning). This rewrite re-range-partitions and re-sorts by
+    cell, restoring one tight region per cell — run it when
+    :func:`append_to_ivf_index` generations accumulate (same cadence
+    as the mart's OPTIMIZE)."""
+    from .sinks import promote_staging
+
+    cells = spark.read.parquet(f"{path}/cells")
+    (
+        cells.repartitionByRange(cell_partitions, "cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(f"{path}/cells.staging")
+    )
+    promote_staging(f"{path}/cells")
+
+
+def ivf_cell_histogram(spark, path: str):
+    """Per-cell vector counts of a persisted IVF index — the drift
+    input for the frozen-quantizer rebuild decision: persist a
+    reference histogram at build time, then ``operators.drift.psi``
+    over (cell, n) tells you when the data has walked away from the
+    centroids and the index needs re-training."""
+    cells = spark.read.parquet(f"{path}/cells")
+    return cells.groupBy("cell").agg(F.count("*").alias("n"))

@@ -181,3 +181,50 @@ def test_ivf_append_equals_one_shot_under_same_centroids(spark, tmp_path):
     # appended rows landed and the batch's ids are servable neighbors
     n_total = spark.read.parquet(f"{inc_path}/cells").count()
     assert n_total == emb.count()
+
+
+def test_ivf_compaction_restores_pruning_layout(spark, tmp_path):
+    """After appends, compact_ivf_cells must (a) preserve rows and
+    query results exactly and (b) restore the cell-clustered layout —
+    pinned by per-file cell-span tightness, which generic round-robin
+    compaction would destroy."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from sports_stats_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_cells,
+        ivf_cell_histogram,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 != 0), path, n_cells=8)
+    append_to_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+    q = F.col("vec_id") < 8
+    before = _rank_map(ivf_topk_indexed(spark, path, q, k=3, n_probe=3))
+    hist_before = {
+        r["cell"]: r["n"] for r in ivf_cell_histogram(spark, path).collect()
+    }
+    compact_ivf_cells(spark, path, cell_partitions=4)
+    after = _rank_map(ivf_topk_indexed(spark, path, q, k=3, n_probe=3))
+    hist_after = {
+        r["cell"]: r["n"] for r in ivf_cell_histogram(spark, path).collect()
+    }
+    assert after == before and hist_after == hist_before
+    # layout: every compacted file covers a narrow, non-interleaved
+    # cell range (row-group stats prune) — with 8 cells over 4 range
+    # partitions each file spans ~2 cells
+    spans = []
+    for f in Path(f"{path}/cells").glob("*.parquet"):
+        t = pq.read_table(f, columns=["cell"])
+        if t.num_rows:
+            cells = t.column("cell").to_pylist()
+            spans.append((min(cells), max(cells)))
+    assert spans
+    for lo, hi in spans:
+        assert hi - lo <= 3, spans
