@@ -155,3 +155,47 @@ def test_malformed_urls_normalize_to_null(spark):
     assert ok.select(normalize_url("u").alias("n")).collect()[0]["n"] == (
         "https://a.example.com/x"
     )
+
+
+def test_normalize_idempotent_fuzz(spark):
+    """Canonicalization must be a projection: normalize(normalize(u))
+    == normalize(u) for component-fuzzed AND junk inputs (a
+    non-idempotent rule would make dedup results depend on how many
+    times a URL passed through the pipeline)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text("abcXYZ09-", min_size=1, max_size=6)
+    param = st.sampled_from(
+        ["id=1", "utm_source=a", "fbclid=z", "a=b", "x="]
+    )
+    built = st.builds(
+        lambda sch, host, port, path, params, frag: (
+            f"{sch}://{host}{port}/{path}"
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        st.builds(
+            lambda a, b, www: ("WWW." if www else "") + f"{a}.{b}.com",
+            label, label, st.booleans(),
+        ),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        label,
+        st.lists(param, max_size=4),
+        st.sampled_from(["", "#frag", "#"]),
+    )
+    junk = st.text(max_size=20)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.one_of(built, junk), min_size=1, max_size=80))
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        once = df.select(normalize_url("u").alias("n"))
+        twice = once.select(
+            F.col("n").alias("orig"), normalize_url("n").alias("n2")
+        ).collect()
+        for r in twice:
+            assert r["n2"] == r["orig"], (r["orig"], r["n2"])
+
+    check()
