@@ -178,11 +178,11 @@ def test_bm25_topk_is_take_ordered_with_broadcast_idf(spark):
 
 
 def test_data_quality_report_plan_shape(spark):
-    """The round-4 governance composite: the FK dim must broadcast, the
-    expectations row-level block must NOT rescan orders per constraint
-    (one scan per consumer relation: row-level agg, unique, FK probe,
-    FK total, plus the two PSI sides and their bounds = bounded, not
-    per-expectation), and no row-wise Python anywhere."""
+    """The governance composite (four families since round 5): the FK
+    dim must broadcast, the expectations row-level block must NOT
+    rescan orders per constraint, and no row-wise Python anywhere
+    (heavy hitters runs through Arrow mapInPandas, never
+    BatchEvalPython)."""
     from sports_stats_data_pipeline_spark.plans.quality import (
         data_quality_report,
     )
@@ -190,12 +190,14 @@ def test_data_quality_report_plan_shape(spark):
     plan = _plan(data_quality_report(spark, SF))
     assert "BroadcastHashJoin" in plan, "FK dim did not broadcast"
     assert "BatchEvalPython" not in plan
-    # orders is scanned once per consuming relation, never once per
-    # EXPECTATION: 4 row-level constraints share 1 scan, the PSI bin
-    # relation is checkpointed so its two consumers don't re-bin — the
-    # total stays bounded by the relation count (orders×7 + customer),
-    # not the constraint count.
-    assert plan.count("Location: InMemoryFileIndex") <= 8
+    # scans stay bounded by the RELATION count, never the constraint
+    # count: expectations row-level agg (1) + unique (1) + FK probe (1)
+    # + FK customer (1) + two PSI sides (2) + heavy-hitters summary and
+    # exact passes over events (2, the two-scan contract) + reconcile's
+    # old/new snapshot sides (2, both derived from orders) + plan-reuse
+    # artifacts = 12 on Spark 4.1; a jump past this means some family
+    # started rescanning per constraint.
+    assert plan.count("Location: InMemoryFileIndex") <= 12
 
 
 def test_streaming_join_batch_twin_is_shuffle_bounded(spark):
