@@ -375,6 +375,28 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE event_type = 'view')     AS view
     FROM events
     GROUP BY 2
+    UNION ALL
+    SELECT 'cohort' AS kind,
+           c.cohort || ':' || CAST(c.off AS VARCHAR) AS prop_key,
+           CAST(c.au AS BIGINT) AS n_events,
+           CAST(c.bp AS BIGINT) AS metric,
+           NULL, NULL, NULL, NULL, NULL
+    FROM (
+      WITH ev AS (
+        SELECT user_id AS u, date_trunc('week', ts) AS p FROM events
+      ), first AS (
+        SELECT u, MIN(p) AS cp FROM ev GROUP BY u
+      ), sizes AS (
+        SELECT cp, COUNT(DISTINCT u) AS cs FROM first GROUP BY cp
+      ), active AS (
+        SELECT cp, datediff('day', cp, p) // 7 AS off,
+               COUNT(DISTINCT e.u) AS au
+        FROM ev e JOIN first f ON e.u = f.u GROUP BY 1, 2
+      )
+      SELECT strftime(a.cp, '%Y-%m-%d') AS cohort, a.off, a.au,
+             (10000 * a.au) // s.cs AS bp
+      FROM active a JOIN sizes s ON a.cp = s.cp
+    ) c
     """,
 )
 def events_props_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,7 +456,21 @@ def events_props_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_EVENT_TYPES,
         )
     )
-    return props.unionByName(days)
+    # 'cohort' rows (round 5): weekly retention triangle via
+    # operators/cohort.py — prop_key = "<cohort-week>:<offset>",
+    # n_events = active users, metric = retention basis points.
+    from ..operators.cohort import cohort_retention
+
+    cohorts = cohort_retention(e).select(
+        F.lit("cohort").alias("kind"),
+        F.concat_ws(
+            ":", "cohort", F.col("period_offset").cast("string")
+        ).alias("prop_key"),
+        F.col("active_users").alias("n_events"),
+        F.col("retention_bp").alias("metric"),
+        *[F.lit(None).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+    return props.unionByName(days).unionByName(cohorts)
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
