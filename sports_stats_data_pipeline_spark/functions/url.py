@@ -12,7 +12,11 @@ differently), so the DuckDB oracle can mirror each rule verbatim.
 
 Normalization contract (:func:`normalize_url`):
 - scheme and host lowercased;
-- a single leading ``www.`` stripped from the host;
+- ALL leading ``www.`` labels stripped from the host (all, not one:
+  stripping one would make ``www.www.example.com`` normalize
+  differently on a second pass — canonicalization must be a
+  projection); a host that is NOTHING BUT ``www.`` labels is
+  malformed and normalizes to NULL;
 - default ports dropped (``:80`` for http, ``:443`` for https; other
   ports kept);
 - the fragment dropped;
@@ -110,7 +114,7 @@ def normalize_url(url: Column | str) -> Column:
     canonical-URL dedup — silently dropping distinct documents."""
     u = _c(url)
     scheme = url_scheme(u)
-    host = F.regexp_replace(url_host(u), "^www\\.", "")
+    host = F.regexp_replace(url_host(u), "^(www\\.)+", "")
     port = url_port(u)
     default_port = (
         (port == "")
@@ -125,7 +129,7 @@ def normalize_url(url: Column | str) -> Column:
         F.concat(F.lit("?"), query)
     )
     return F.when(
-        (scheme == "") | host.isNull(),
+        (scheme == "") | host.isNull() | (host == ""),
         F.lit(None).cast("string"),
     ).otherwise(
         F.concat(

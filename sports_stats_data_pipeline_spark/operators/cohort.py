@@ -44,12 +44,18 @@ def cohort_retention(
         raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
     days = _PERIOD_DAYS[period]
     bucket = F.date_trunc("week" if period == "week" else "day", F.col(ts_col))
-    ev = events.select(
-        F.col(user_col).alias("user"), bucket.alias("p")
-    )
+    # rows without a user or timestamp cannot be cohorted — dropped up
+    # front (a NULL ts would otherwise surface as a NULL period_offset
+    # row, which engines then concatenate/propagate differently)
+    ev = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("user"), bucket.alias("p"))
     first = ev.groupBy("user").agg(F.min("p").alias("cohort_p"))
+    # `first` is one row per user and `active`'s input is .distinct()-ed
+    # already, so plain counts suffice — countDistinct here would add a
+    # redundant dedup exchange per aggregate for identical results
     sizes = first.groupBy("cohort_p").agg(
-        F.countDistinct("user").alias("cohort_size")
+        F.count("*").alias("cohort_size")
     )
     active = (
         ev.join(first, "user")
@@ -62,7 +68,7 @@ def cohort_retention(
         )
         .distinct()
         .groupBy("cohort_p", "period_offset")
-        .agg(F.countDistinct("user").alias("active_users"))
+        .agg(F.count("*").alias("active_users"))
     )
     return (
         active.join(sizes, "cohort_p")

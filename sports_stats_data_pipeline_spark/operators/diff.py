@@ -118,39 +118,26 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """
     # ONE aggregation over the diff's data rows — grouping by (status,
     # changed-column set) collapses to a tiny relation (distinct column
-    # subsets that actually co-change, not rows), from which both
-    # summaries derive. Computing status and column counts as two
-    # separate aggregates over an unpersisted diff would re-execute the
-    # full-outer join twice.
-    # persisted (psi_report's precedent): the few-row relation is
-    # shared by both consumers with recomputable lineage; LRU-evicted
-    grouped = (
+    # subsets that actually co-change, not rows). Computing status and
+    # column counts as two separate aggregates over an unpersisted diff
+    # would re-execute the full-outer join twice, and an internal
+    # persist() would pin an orphaned cache entry per call; instead the
+    # tiny grouped relation is collected EAGERLY and the report built
+    # as a literal frame — one job over the data, nothing cached.
+    rows = (
         diff.groupBy("diff_status", "changed_cols")
         .agg(F.count("*").alias("n"))
-        .persist()
+        .collect()
     )
-    status_rows = (
-        grouped.groupBy(F.col("diff_status").alias("name"))
-        .agg(F.sum("n").alias("n"))
-        .select(F.lit("status").alias("kind"), "name", "n")
+    status_counts = {s: 0 for s in STATUSES}
+    col_counts: dict[str, int] = {}
+    for r in rows:
+        status_counts[r["diff_status"]] += r["n"]
+        for c in r["changed_cols"]:
+            col_counts[c] = col_counts.get(c, 0) + r["n"]
+    out = [("status", s, status_counts[s]) for s in STATUSES] + [
+        ("column", c, n) for c, n in sorted(col_counts.items())
+    ]
+    return diff.sparkSession.createDataFrame(
+        out, "kind string, name string, n long"
     )
-    # 0-fill absent statuses so the report schema is stable
-    statuses = diff.sparkSession.createDataFrame(
-        [(s,) for s in STATUSES], "name string"
-    )
-    status_full = (
-        F.broadcast(statuses)
-        .join(status_rows.drop("kind"), "name", "left")
-        .select(
-            F.lit("status").alias("kind"),
-            "name",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-    )
-    col_rows = (
-        grouped.select(F.explode("changed_cols").alias("name"), "n")
-        .groupBy("name")
-        .agg(F.sum("n").alias("n"))
-        .select(F.lit("column").alias("kind"), "name", F.col("n"))
-    )
-    return status_full.unionByName(col_rows)

@@ -143,32 +143,37 @@ def heavy_hitters(
     # ONE summary relation feeds both the candidate set and the total
     # (via the per-partition NULL marker rows), so the operator costs
     # exactly two scans of the input — summary pass + exact recount —
-    # not three. The relation is tiny (<= (capacity+1) × partitions);
-    # persist so the two consumers don't re-run the summary pass.
-    summ = partition_summaries(df, col, cap).persist()
-    candidates = (
-        summ.filter(F.col("value").isNotNull()).select("value").distinct()
+    # not three. The summary is tiny (<= (capacity+1) × partitions
+    # rows) and consumed twice, so it is collected EAGERLY here — it
+    # was headed for a broadcast anyway, and an internal persist()
+    # would pin an orphaned cache entry per call for the application
+    # lifetime (no handle to unpersist).
+    spark = df.sparkSession
+    summ = partition_summaries(df, col, cap).collect()
+    total = sum(r["weight"] for r in summ if r["value"] is None)
+    cands = sorted({r["value"] for r in summ if r["value"] is not None})
+    empty = spark.createDataFrame(
+        [], "value string, n long, total long, freq_bp long"
     )
+    if total == 0 or not cands:
+        return empty
+    cand_df = spark.createDataFrame([(v,) for v in cands], "value string")
     exact = (
-        src.join(F.broadcast(candidates), "value", "left_semi")
+        src.join(F.broadcast(cand_df), "value", "left_semi")
         .groupBy("value")
         .agg(F.count("*").alias("n"))
     )
-    total_df = summ.filter(F.col("value").isNull()).agg(
-        F.sum("weight").alias("total")
-    )
     return (
-        exact.crossJoin(F.broadcast(total_df))
-        .filter(F.col("n") * threshold_denom > F.col("total"))
+        exact.filter(F.col("n") * threshold_denom > F.lit(total))
         .select(
             "value",
             "n",
-            "total",
+            F.lit(total).alias("total"),
             # integer floor division end-to-end: the double path
             # (floor(10000*n / total)) can round across an integer
             # boundary once 10000*n exceeds 2^53 and flip vs the
             # oracle's `10000 * n // total`
-            F.expr("(10000 * n) div total").alias("freq_bp"),
+            F.expr(f"(10000 * n) div {total}").alias("freq_bp"),
         )
     )
 
@@ -257,26 +262,39 @@ def heavy_hitters_grouped(
         F.col(group_col).cast("string").alias("group"),
         F.col(col).cast("string").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("group").isNotNull())
-    # the persisted summary relation feeds candidates AND group totals
-    # (NULL marker rows) — two scans of the input, not three
-    summ = grouped_partition_summaries(df, group_col, col, cap).persist()
-    candidates = (
-        summ.filter(F.col("value").isNotNull())
-        .select("group", "value")
-        .distinct()
+    # the summary feeds candidates AND group totals (NULL marker rows)
+    # — two scans of the input, not three; collected eagerly like
+    # heavy_hitters (tiny, broadcast-bound, no orphaned cache entry)
+    spark = df.sparkSession
+    summ = grouped_partition_summaries(df, group_col, col, cap).collect()
+    totals_map: dict[str, int] = {}
+    cands: set[tuple[str, str]] = set()
+    for r in summ:
+        if r["value"] is None:
+            totals_map[r["group"]] = (
+                totals_map.get(r["group"], 0) + r["weight"]
+            )
+        else:
+            cands.add((r["group"], r["value"]))
+    if not cands or not totals_map:
+        return spark.createDataFrame(
+            [],
+            "group string, value string, n long, total long, "
+            "freq_bp long",
+        )
+    cand_df = spark.createDataFrame(
+        sorted(cands), "group string, value string"
+    )
+    totals = spark.createDataFrame(
+        sorted(totals_map.items()), "group string, total long"
     )
     exact = (
-        src.join(F.broadcast(candidates), ["group", "value"], "left_semi")
+        src.join(F.broadcast(cand_df), ["group", "value"], "left_semi")
         .groupBy("group", "value")
         .agg(F.count("*").alias("n"))
     )
-    totals = (
-        summ.filter(F.col("value").isNull())
-        .groupBy("group")
-        .agg(F.sum("weight").alias("total"))
-    )
     return (
-        exact.join(totals, "group")
+        exact.join(F.broadcast(totals), "group")
         .filter(F.col("n") * threshold_denom > F.col("total"))
         .select(
             "group",

@@ -659,7 +659,7 @@ _DOMAIN_SQL = """
       FROM parsed
     ), cleaned AS (
       SELECT *,
-        regexp_replace(host, '^www\\.', '') AS host_nw,
+        regexp_replace(host, '^(www\\.)+', '') AS host_nw,
         regexp_replace(
           regexp_replace(query,
             '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
@@ -745,7 +745,7 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", url.alias("url")
     )
     host = url_host("url")
-    host_nw = F.regexp_replace(host, "^www\\.", "")
+    host_nw = F.regexp_replace(host, "^(www\\.)+", "")
     norm = docs.select(
         "doc_id",
         "url",

@@ -94,3 +94,20 @@ def test_duckdb_twin_on_events(spark):
         for (c, o, au, cs, bp) in exp_rows
     }
     assert got == exp and got
+
+
+def test_null_user_or_ts_rows_dropped(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, None),
+        (None, "2024-01-02 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = cohort_retention(df).collect()
+    assert [(r["cohort"], r["period_offset"], r["active_users"]) for r in out] == [
+        ("2024-01-01", 0, 1)
+    ]

@@ -165,7 +165,7 @@ def test_normalize_idempotent_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    label = st.text("abcXYZ09-", min_size=1, max_size=6)
+    label = st.text("abcwXYZ09-", min_size=1, max_size=6)
     param = st.sampled_from(
         ["id=1", "utm_source=a", "fbclid=z", "a=b", "x="]
     )
@@ -177,8 +177,9 @@ def test_normalize_idempotent_fuzz(spark):
         ),
         st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
         st.builds(
-            lambda a, b, www: ("WWW." if www else "") + f"{a}.{b}.com",
-            label, label, st.booleans(),
+            lambda a, b, www: www + f"{a}.{b}.com",
+            label, label,
+            st.sampled_from(["", "WWW.", "www.www.", "www."]),
         ),
         st.sampled_from(["", ":80", ":443", ":8080"]),
         label,
@@ -199,3 +200,22 @@ def test_normalize_idempotent_fuzz(spark):
             assert r["n2"] == r["orig"], (r["orig"], r["n2"])
 
     check()
+
+
+def test_www_stripping_idempotent_cases(spark):
+    """All leading www. labels strip at once; a www-only host is
+    malformed (NULL) — both required for normalize to be a projection."""
+    cases = {
+        "http://www.example.com/a": "http://example.com/a",
+        "http://www.www.example.com/a": "http://example.com/a",
+        "http://WWW.WWW.example.com/a": "http://example.com/a",
+        "http://www./a": None,
+        "http://www.www./a": None,
+        "http://www.": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select("u", normalize_url("u").alias("n")).collect()
+    }
+    assert got == cases
