@@ -253,3 +253,49 @@ def stratified_sample_scalable(
         .filter(F.col("__rk2") <= n_per_stratum)
         .drop("__h", "__pfx", "__rk1", "__rk2")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): keep the ``n`` rows with the largest
+    ``u^(1/w)`` where ``u`` is a per-row uniform draw derived from
+    ``xxhash64(seed, id)`` — inclusion probability proportional to
+    weight, reproducible across runs/partitionings/retries (no
+    ``rand()``), re-drawable by seed. ``strata_cols`` draws ``n`` per
+    stratum instead of globally.
+
+    Implemented on the log scale (``ln(u)/w`` — monotone in the key,
+    numerically safe for tiny ``u`` or large ``w``); rows with
+    non-positive or NULL weight are excluded (zero-weight rows must
+    never win a slot). One window ranked by the key per stratum — the
+    stratified_sample shape; for a single giant stratum apply the
+    stratified_sample_scalable prefix-split the same way.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    # uniform in (0, 1]: 53-bit mantissa of the hash, +1 to exclude 0
+    u = (
+        (F.pmod(F.xxhash64(F.lit(int(seed)), F.col(id_col)),
+                F.lit(2 ** 53)) + 1)
+        / F.lit(float(2 ** 53))
+    )
+    key = F.log(u) / F.col(weight_col)  # maximize u^(1/w) == maximize this
+    w = Window.partitionBy(*(strata_cols or [])).orderBy(
+        F.col("__k").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__k", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__k", "__rk")
+    )

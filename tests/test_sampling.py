@@ -311,3 +311,75 @@ def test_stratified_sample_scalable_equals_plain(spark):
                 ).collect()
             }
             assert scalable == plain, (n, bits)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """A-Res keys computed independently in python over the same hash
+    values must select the identical sample; zero/NULL weights are
+    excluded; the draw is partitioning-invariant and seed-redrawable."""
+    import math
+
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 0, F.lit(None).cast("double"))
+        .when(F.col("id") % 7 == 0, F.lit(0.0))
+        .otherwise((F.col("id") % 9 + 1).cast("double"))
+        .alias("w"),
+    )
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64(F.lit(0), F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    weights = {r["doc_id"]: r["w"] for r in df.collect()}
+    ref_keys = {}
+    for i, h in hashes.items():
+        w = weights[i]
+        if w is None or w <= 0:
+            continue
+        u = ((h % 2 ** 53) + 1) / float(2 ** 53)
+        ref_keys[i] = math.log(u) / w
+    want = {
+        i for i, _ in sorted(
+            ref_keys.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:40]
+    }
+    for parts in (1, 8):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.repartition(parts), 40, "w"
+            ).collect()
+        }
+        assert got == want
+    other = {
+        r["doc_id"]
+        for r in weighted_sample(df, 40, "w", seed=5).collect()
+    }
+    assert other != want  # a new seed redraws
+
+
+def test_weighted_sample_stratified_and_validation(spark):
+    from sports_stats_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        F.lit(1.0).alias("w"),
+    )
+    out = weighted_sample(df, 10, "w", strata_cols=["src"]).collect()
+    per = {}
+    for r in out:
+        per[r["src"]] = per.get(r["src"], 0) + 1
+    assert per == {"0": 10, "1": 10, "2": 10, "3": 10}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n must be"):
+        weighted_sample(df, 0, "w")
