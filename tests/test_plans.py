@@ -237,3 +237,39 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     plan = _plan(out)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_domain_curation_prunes_and_shuffles_bounded(spark):
+    """The URL slot must read ONLY (doc_id, source) from documents —
+    the synthesized-URL projection and every regex rule are per-row
+    codegen over a pruned scan — and plan no cartesian product."""
+    from sports_stats_data_pipeline_spark.plans.corpus import (
+        url_domain_curation,
+    )
+
+    plan = _plan(url_domain_curation(spark, SF))
+    assert "CartesianProduct" not in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert schemas
+    for s in schemas:
+        assert "text" not in s and "n_chars" not in s, s
+
+
+def test_interval_overlap_binned_leg_is_equi_join(spark):
+    """The interval part of the range-join composite must route its
+    short×short pairs through a real equi-join on the bin key (hash or
+    sort-merge or broadcast-hash), never a cartesian product; only the
+    long-interval fallback legs may be broadcast nested loops."""
+    from sports_stats_data_pipeline_spark.plans.advanced import (
+        orders_by_period_rangejoin,
+    )
+
+    plan = _plan(orders_by_period_rangejoin(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), "no equi-join found for the binned leg"
