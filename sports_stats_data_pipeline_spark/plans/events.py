@@ -383,7 +383,10 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL, NULL, NULL, NULL, NULL
     FROM (
       WITH ev AS (
+        -- mirror cohort_retention's contract: rows without a user or
+        -- timestamp cannot be cohorted
         SELECT user_id AS u, date_trunc('week', ts) AS p FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
       ), first AS (
         SELECT u, MIN(p) AS cp FROM ev GROUP BY u
       ), sizes AS (
