@@ -132,3 +132,79 @@ def encode_words(
         if (i + 1) % checkpoint_every == 0:
             out = out.localCheckpoint(eager=True)
     return out
+
+
+def encode_words_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """:func:`encode_words` for PRODUCTION-SIZE merge tables.
+
+    The expression-fold encoder builds one Catalyst transform per merge
+    — elegant and fully codegen'd at the tens of merges the driver
+    oracle unrolls, but a real tokenizer carries 30k-50k merges and
+    50k chained column transforms is not a plan Catalyst can hold.
+    This variant ships the merge RANK table to executors once (task
+    broadcast via closure — a dict of pairs, a few MB at vocab scale)
+    and applies the standard rank-greedy BPE loop per DISTINCT word in
+    Arrow batches, with a per-task word cache so repeated words cost a
+    dict hit (Zipf makes that the common case).
+
+    Exactly equivalent to :func:`encode_words` — both replay merges in
+    rank order with left-to-right non-overlapping application — pinned
+    in tests/test_bpe.py.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<string>"
+
+    def encode_one(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            # best-ranked adjacent pair
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, syms[i], syms[i + 1])
+            if best is None:
+                break
+            _, a, b = best
+            # left-to-right non-overlapping replacement of (a, b)
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            toks = []
+            for w in pdf[word_col]:
+                got = cache.get(w)
+                if got is None:
+                    got = encode_one(w)
+                    cache[w] = got
+                toks.append(got)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.mapInPandas(run, schema)
