@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["train_bpe", "encode_words"]
+__all__ = ["train_bpe", "encode_words", "encode_words_pandas"]
 
 
 def _adjacent_pairs(syms: Column) -> Column:
@@ -194,13 +194,21 @@ def encode_words_pandas(
         return syms
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cache is capped: Zipf keeps the hit rate high at any cap, but a
+        # distinct-heavy partition (URLs, identifiers) would otherwise
+        # grow it without bound over the task's whole input.
         cache: dict[str, list[str]] = {}
         for pdf in it:
-            toks = []
+            toks: list[list[str] | None] = []
             for w in pdf[word_col]:
+                if w is None or w != w:  # NULL word -> NULL tokens,
+                    toks.append(None)  # matching encode_words (split(NULL))
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = encode_one(w)
+                    if len(cache) >= 1_000_000:
+                        cache.clear()
                     cache[w] = got
                 toks.append(got)
             pdf = pdf.copy()

@@ -589,16 +589,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitions (equality pinned in test_sampling). The regex rules themselves are per-row
 # projections in whole-stage codegen: no shuffle until the domain agg.
 # --------------------------------------------------------------------------
-_URL_SQL = """
+_SRC_SQL = """COALESCE(NULLIF(
+      regexp_replace(lower(source), '[^a-z0-9-]', '', 'g'), ''), 'src')"""
+
+_URL_SQL = f"""
       (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
       || '://'
       || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
       || (CASE WHEN doc_id % 5 = 0
-          THEN upper(source || '.example.'
+          THEN upper({_SRC_SQL} || '.example.'
                || (CASE WHEN doc_id % 3 = 0 THEN 'com'
                         WHEN doc_id % 3 = 1 THEN 'co.uk'
                         ELSE 'org' END))
-          ELSE source || '.example.'
+          ELSE {_SRC_SQL} || '.example.'
                || (CASE WHEN doc_id % 3 = 0 THEN 'com'
                         WHEN doc_id % 3 = 1 THEN 'co.uk'
                         ELSE 'org' END) END)
@@ -674,7 +677,7 @@ _DOMAIN_SQL = """
           || path
           || CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END
           AS norm_url,
-        {_DOMAIN_SQL} AS domain
+        COALESCE({_DOMAIN_SQL}, '') AS domain
       FROM cleaned
     ), stats AS (
       SELECT domain, COUNT(*) AS n_docs_in_domain,
@@ -709,7 +712,22 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 3 == 1, F.lit("co.uk"))
         .otherwise(F.lit("org"))
     )
-    hostbase = F.concat(F.col("source"), F.lit(".example."), tld)
+    # sanitized source token: regenerated testdata may carry source
+    # values that are not hostname-safe; fold to [a-z0-9-] in BOTH
+    # engines (empty/NULL -> 'src') so the synthesized host stays valid
+    src_clean = F.regexp_replace(
+        F.lower(F.col("source")), "[^a-z0-9-]", ""
+    )
+    src_safe = F.when(F.length(src_clean) > 0, src_clean).otherwise(
+        F.lit("src")
+    )
+    # hostbase is referenced twice below (upper/plain branch). Keep it
+    # as a materialized projection column, not an inline subtree: the
+    # regexp is non-cheap, so CollapseProject leaves the extra Project
+    # in place — one regex eval per row, and the fused
+    # project+hashAgg stage stays under Janino's method-size limit
+    # (inlining it twice pushed codegen into interpreted fallback).
+    hostbase = F.col("hostbase")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
         F.lit("://"),
@@ -741,8 +759,13 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 3 == 0, F.concat(F.lit("#s"), (d % 9).cast("string")))
         .otherwise(F.lit("")),
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", url.alias("url")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(src_safe, F.lit(".example."), tld).alias("hostbase"),
+        )
+        .select("doc_id", url.alias("url"))
     )
     host = url_host("url")
     host_nw = F.regexp_replace(host, "^(www\\.)+", "")
@@ -751,7 +774,16 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         normalize_url("url").alias("norm_url"),
         host.alias("host"),
-        registered_domain(host_nw).alias("domain"),
+        # coalesce makes `domain` non-nullable, so the groupBy+self-join
+        # below infers NO isnotnull(domain) constraint. Without it,
+        # Catalyst pushes an inferred filter beneath these Projects,
+        # inlining the whole url->host->domain regexp chain into a
+        # ~25 KB Filter expression on BOTH join sides — which blows the
+        # fused scan+hashAgg past Janino's method limit (interpreted
+        # fallback) and re-evaluates every regex once more per row.
+        # Mirrored in the oracle (COALESCE(domain, '')); synth URLs
+        # always parse, so '' never actually appears.
+        F.coalesce(registered_domain(host_nw), F.lit("")).alias("domain"),
     )
     stats = norm.groupBy("domain").agg(
         F.count("*").alias("n_docs_in_domain"),

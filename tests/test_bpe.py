@@ -122,3 +122,27 @@ def test_pandas_encoder_matches_expression_fold(spark):
         for r in encode_words_pandas(tricky, merges).collect()
     }
     assert ta == tb
+
+
+def test_pandas_encoder_null_word_yields_null(spark):
+    """A NULL word must tokenize to NULL in BOTH paths (split(NULL) is
+    NULL in the expression fold; the Arrow path must not crash on None)."""
+    from sports_stats_data_pipeline_spark.operators.bpe import (
+        encode_words,
+        encode_words_pandas,
+    )
+
+    words = spark.createDataFrame(
+        [("ab",), (None,), ("ba",)], "word string"
+    )
+    merges = [("a", "b")]
+    expr = {r["word"]: r["bpe_tokens"] for r in encode_words(words, merges).collect()}
+    arrow = {
+        r["word"]: r["bpe_tokens"]
+        for r in encode_words_pandas(words, merges).collect()
+    }
+    assert expr[None] is None and arrow[None] is None
+    assert list(arrow["ab"]) == ["ab"] and list(arrow["ba"]) == ["b", "a"]
+    assert {k: (v if v is None else list(v)) for k, v in expr.items()} == {
+        k: (v if v is None else list(v)) for k, v in arrow.items()
+    }

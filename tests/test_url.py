@@ -219,3 +219,55 @@ def test_www_stripping_idempotent_cases(spark):
         for r in df.select("u", normalize_url("u").alias("n")).collect()
     }
     assert got == cases
+
+
+def test_url_domain_curation_hostile_source_values(spark, tmp_path):
+    """The driver slot synthesizes hosts from documents.source; a
+    regenerated corpus may carry source values that are not
+    hostname-safe. The sanitize-to-[a-z0-9-] fold (empty/NULL -> 'src')
+    must keep Spark and DuckDB hash-identical on adversarial inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sports_stats_data_pipeline_spark.plans import all_registries
+    from ._compare import assert_frames_match
+
+    hostile = [
+        "Feed One",          # space + case
+        "src_9",             # underscore
+        "a/b?c#d",           # URL metacharacters
+        "",                  # empty -> 'src'
+        None,                # NULL -> 'src'
+        "UPPER.CASE",        # dots (would fake subdomains) + case
+        "café-π",            # non-ASCII
+        "ok-src7",           # already clean
+    ]
+    n = 64
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([hostile[i % len(hostile)] for i in range(n)]),
+            "n_chars": pa.array([2] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    import duckdb
+
+    reg = all_registries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    spark_pdf = reg.queries["url_domain_curation"](
+        spark, str(tmp_path)
+    ).toPandas()
+    oracle_pdf = con.execute(reg.oracles["url_domain_curation"]).df()
+    con.close()
+    assert len(spark_pdf) == n
+    # hosts derived from hostile sources are still valid-looking labels
+    assert spark_pdf["host"].str.match(r"^[a-z0-9.:-]+$").all()
+    assert_frames_match(spark_pdf, oracle_pdf, "url_domain_curation_hostile")
