@@ -1,0 +1,237 @@
+"""Distributed PageRank over an edge list.
+
+Why it belongs in a training-data engine: web-scale corpus curation
+weights documents by link-graph centrality (Common-Crawl-style quality
+priors), and within a near-dup cluster the most-linked copy is the
+natural survivor. Both want "rank nodes of a huge sparse graph", the
+canonical iterative Spark workload.
+
+Two variants share one loop:
+
+- ``pagerank``             — double arithmetic, the one to use for real.
+- ``pagerank_fixedpoint``  — BIGINT fixed-point with floor division at
+  every step. Integer addition is exact and order-independent, so the
+  result is bit-identical across partitionings AND across engines —
+  ``pagerank_fixedpoint_sql`` emits a DuckDB twin (k unrolled CTE
+  rounds) that matches it hash-for-hash. This is the oracle/testing
+  path; the tiny mass lost to flooring (< n_edges ulps per round) is
+  the price of determinism.
+
+Semantics (standard): ranks sum to ~1 (scale ``SCALE`` in fixed-point);
+each round every node keeps ``(1-d)`` of the uniform share and receives
+``d`` times the rank of its in-neighbours split evenly over their
+out-edges; the mass of dangling nodes (no out-edges) is redistributed
+uniformly. Self-loops and parallel edges are honoured as given — dedup
+upstream if the graph means them to be simple.
+
+Scale design (100 TB graph):
+- Out-degrees are joined to the edge list ONCE up front and the result
+  persisted partitioned by ``src``; each of the k rounds then shuffles
+  only the rank relation (|V| rows) into that layout — the |E|-sized
+  relation never re-shuffles after round 0.
+- Ranks are one row per node. The per-round plan is
+  join(edges, ranks on src) -> groupBy(dst) -> join(nodes): two |V|
+  shuffles per round, no |E| shuffle.
+- The dangling mass is a 1-row aggregate collected to the driver per
+  round — a scalar, not a data pull.
+- Every round's rank relation is cut with an eager ``localCheckpoint``
+  (the components.py precedent): ``persist`` alone leaves the logical
+  plan growing linearly with rounds, and ~10 rounds of join+agg lineage
+  is enough to stall the optimizer. Lost-executor recovery restarts the
+  job from the last checkpoint, the documented trade for iterative ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "pagerank_fixedpoint", "pagerank_fixedpoint_sql"]
+
+#: total rank mass in fixed-point mode; 10^12 leaves ~6 safe decimal
+#: digits per node at a billion nodes and keeps every intermediate
+#: product (rank * damping_numerator) far below 2^63.
+SCALE = 10**12
+
+
+def _prepare(edges: DataFrame, src: str, dst: str):
+    """Shared setup: node set, out-degrees riding the edge list, and the
+    dangling flag. Returns persisted (nodes, contrib_edges, n_nodes)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # one-time |E| shuffle into src layout; reused by every round's join
+    contrib_edges = (
+        e.join(out_deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    srcs = (
+        out_deg.select(F.col("src").alias("node"))
+        .withColumn("has_out", F.lit(True))
+    )
+    nodes = (
+        nodes.join(srcs, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"),
+        )
+        .select("node", (~F.col("has_out")).alias("dangling"))
+        .repartition("node")
+        .persist()
+    )
+    n = nodes.count()  # also materializes both persists
+    contrib_edges.count()
+    return nodes, contrib_edges, n
+
+
+def _loop(nodes, contrib_edges, n, iterations, *, fixed: bool, damping: float):
+    if fixed:
+        d_num, d_den = 85, 100  # damping fixed at 0.85 in oracle mode
+        base = F.lit((SCALE * (d_den - d_num)) // (d_den * n))
+        init = F.lit(SCALE // n)
+        rank_t = "bigint"
+    else:
+        base = F.lit((1.0 - damping) / n)
+        init = F.lit(1.0 / n)
+        rank_t = "double"
+    ranks = nodes.select("node", "dangling", init.cast(rank_t).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dang = ranks.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("s")
+        ).collect()[0]["s"]
+        if fixed:
+            dang_share = F.lit((int(dang) * d_num) // (d_den * n))
+            # `div`, not `/`: BIGINT `/` is DOUBLE division in Spark and
+            # floor(double) stops being exact past 2^53 — the whole
+            # point of this variant is order/engine-independent integers.
+            contrib = F.expr(f"(rank * {d_num}) div ({d_den} * out_deg)")
+        else:
+            dang_share = F.lit(damping * float(dang) / n)
+            contrib = F.col("rank") * damping / F.col("out_deg")
+        sums = (
+            contrib_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select(F.col("dst").alias("node"), contrib.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        new_ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                "dangling",
+                (
+                    base
+                    + dang_share
+                    + F.coalesce(F.col("in_sum"), F.lit(0).cast(rank_t))
+                )
+                .cast(rank_t)
+                .alias("rank"),
+            )
+        )
+        prev = ranks
+        ranks = new_ranks.localCheckpoint(eager=True)
+        prev.unpersist()
+    out = ranks.select("node", "rank")
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Double-precision PageRank; returns (node, rank DOUBLE)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes, contrib_edges, n = _prepare(edges, src, dst)
+    return _loop(nodes, contrib_edges, n, iterations, fixed=False, damping=damping)
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic BIGINT PageRank (damping 85/100, mass ``SCALE``);
+    returns (node, rank BIGINT) bit-identical across engines and
+    partitionings. Pair with :func:`pagerank_fixedpoint_sql`."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes, contrib_edges, n = _prepare(edges, src, dst)
+    return _loop(nodes, contrib_edges, n, iterations, fixed=True, damping=0.85)
+
+
+def pagerank_fixedpoint_sql(edges_cte: str, iterations: int = 5) -> str:
+    """DuckDB twin of :func:`pagerank_fixedpoint`: ``edges_cte`` must be
+    a CTE body yielding (src, dst). Emits k unrolled rounds — a plain
+    join+GROUP BY per round, no recursive CTE (aggregates are restricted
+    in recursive terms and an unrolled chain mirrors the Spark loop
+    one-to-one anyway)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        """nodes AS (
+          SELECT node,
+                 node NOT IN (SELECT src FROM e) AS dangling
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        )""",
+        """deg AS (
+          SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src
+        )""",
+        """ce AS (
+          SELECT e.src, e.dst, deg.out_deg FROM e JOIN deg USING (src)
+        )""",
+        f"""r0 AS (
+          SELECT node, dangling,
+                 CAST({SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+                   AS rank
+          FROM nodes
+        )""",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""d{i} AS (
+              SELECT COALESCE(SUM(rank), 0) AS s FROM {prev} WHERE dangling
+            )""",
+        )
+        parts.append(
+            f"""s{i} AS (
+              SELECT ce.dst AS node,
+                     SUM((p.rank * 85) // (100 * ce.out_deg)) AS in_sum
+              FROM ce JOIN {prev} p ON p.node = ce.src
+              GROUP BY ce.dst
+            )""",
+        )
+        parts.append(
+            f"""{cur} AS (
+              SELECT n.node, n.dangling,
+                     CAST(({SCALE} * 15) // (100 * (SELECT COUNT(*) FROM nodes))
+                       + ((SELECT s FROM d{i}) * 85)
+                           // (100 * (SELECT COUNT(*) FROM nodes))
+                       + COALESCE(s{i}.in_sum, 0) AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node
+            )""",
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, rank FROM r{iterations}"
+    )
