@@ -46,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_fixedpoint", "pagerank_fixedpoint_sql"]
+__all__ = [
+    "pagerank",
+    "pagerank_fixedpoint",
+    "pagerank_fixedpoint_sql",
+    "pagerank_fixedpoint_cte_parts",
+]
 
 #: total rank mass in fixed-point mode; 10^12 leaves ~6 safe decimal
 #: digits per node at a billion nodes and keeps every intermediate
@@ -92,6 +97,14 @@ def _prepare(edges: DataFrame, src: str, dst: str):
 
 
 def _loop(nodes, contrib_edges, n, iterations, *, fixed: bool, damping: float):
+    if n == 0:  # empty edge list: no nodes, typed empty result
+        out = nodes.select(
+            "node",
+            F.lit(0).cast("bigint" if fixed else "double").alias("rank"),
+        )
+        nodes.unpersist()
+        contrib_edges.unpersist()
+        return out
     if fixed:
         d_num, d_den = 85, 100  # damping fixed at 0.85 in oracle mode
         base = F.lit((SCALE * (d_den - d_num)) // (d_den * n))
@@ -178,60 +191,75 @@ def pagerank_fixedpoint(
     return _loop(nodes, contrib_edges, n, iterations, fixed=True, damping=0.85)
 
 
-def pagerank_fixedpoint_sql(edges_cte: str, iterations: int = 5) -> str:
-    """DuckDB twin of :func:`pagerank_fixedpoint`: ``edges_cte`` must be
-    a CTE body yielding (src, dst). Emits k unrolled rounds — a plain
-    join+GROUP BY per round, no recursive CTE (aggregates are restricted
-    in recursive terms and an unrolled chain mirrors the Spark loop
-    one-to-one anyway)."""
+def pagerank_fixedpoint_cte_parts(
+    edges_cte: str, iterations: int = 5, prefix: str = ""
+) -> tuple[list[str], str]:
+    """Composable DuckDB twin of :func:`pagerank_fixedpoint`:
+    ``edges_cte`` must be a CTE body yielding (src, dst). Returns the
+    CTE definitions (to splice into a larger WITH chain — every name
+    carries ``prefix`` so callers can avoid collisions) and the name of
+    the final relation, which yields (node, rank BIGINT). A plain
+    join+GROUP BY per unrolled round, no recursive CTE (aggregates are
+    restricted in recursive terms and an unrolled chain mirrors the
+    Spark loop one-to-one anyway)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    p = prefix
     parts = [
-        f"WITH e AS ({edges_cte})",
-        """nodes AS (
+        f"{p}e AS ({edges_cte})",
+        f"""{p}nodes AS (
           SELECT node,
-                 node NOT IN (SELECT src FROM e) AS dangling
-          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+                 node NOT IN (SELECT src FROM {p}e) AS dangling
+          FROM (SELECT src AS node FROM {p}e UNION SELECT dst FROM {p}e)
         )""",
-        """deg AS (
-          SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src
+        f"""{p}deg AS (
+          SELECT src, COUNT(*) AS out_deg FROM {p}e GROUP BY src
         )""",
-        """ce AS (
-          SELECT e.src, e.dst, deg.out_deg FROM e JOIN deg USING (src)
+        f"""{p}ce AS (
+          SELECT {p}e.src, {p}e.dst, {p}deg.out_deg
+          FROM {p}e JOIN {p}deg USING (src)
         )""",
-        f"""r0 AS (
+        f"""{p}r0 AS (
           SELECT node, dangling,
-                 CAST({SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+                 CAST({SCALE} // (SELECT COUNT(*) FROM {p}nodes) AS BIGINT)
                    AS rank
-          FROM nodes
+          FROM {p}nodes
         )""",
     ]
     for i in range(iterations):
-        prev, cur = f"r{i}", f"r{i + 1}"
+        prev, cur = f"{p}r{i}", f"{p}r{i + 1}"
         parts.append(
-            f"""d{i} AS (
+            f"""{p}d{i} AS (
               SELECT COALESCE(SUM(rank), 0) AS s FROM {prev} WHERE dangling
             )""",
         )
         parts.append(
-            f"""s{i} AS (
-              SELECT ce.dst AS node,
-                     SUM((p.rank * 85) // (100 * ce.out_deg)) AS in_sum
-              FROM ce JOIN {prev} p ON p.node = ce.src
-              GROUP BY ce.dst
+            f"""{p}s{i} AS (
+              SELECT {p}ce.dst AS node,
+                     SUM((pr.rank * 85) // (100 * {p}ce.out_deg)) AS in_sum
+              FROM {p}ce JOIN {prev} pr ON pr.node = {p}ce.src
+              GROUP BY {p}ce.dst
             )""",
         )
         parts.append(
             f"""{cur} AS (
               SELECT n.node, n.dangling,
-                     CAST(({SCALE} * 15) // (100 * (SELECT COUNT(*) FROM nodes))
-                       + ((SELECT s FROM d{i}) * 85)
-                           // (100 * (SELECT COUNT(*) FROM nodes))
-                       + COALESCE(s{i}.in_sum, 0) AS BIGINT) AS rank
-              FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node
+                     CAST(({SCALE} * 15)
+                            // (100 * (SELECT COUNT(*) FROM {p}nodes))
+                       + ((SELECT s FROM {p}d{i}) * 85)
+                           // (100 * (SELECT COUNT(*) FROM {p}nodes))
+                       + COALESCE({p}s{i}.in_sum, 0) AS BIGINT) AS rank
+              FROM {p}nodes n LEFT JOIN {p}s{i} ON {p}s{i}.node = n.node
             )""",
         )
+    return parts, f"{p}r{iterations}"
+
+
+def pagerank_fixedpoint_sql(edges_cte: str, iterations: int = 5) -> str:
+    """Standalone DuckDB twin of :func:`pagerank_fixedpoint` — the
+    :func:`pagerank_fixedpoint_cte_parts` chain wrapped in its own
+    WITH."""
+    parts, final = pagerank_fixedpoint_cte_parts(edges_cte, iterations)
     return (
-        ",\n".join(parts)
-        + f"\nSELECT node, rank FROM r{iterations}"
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM {final}"
     )

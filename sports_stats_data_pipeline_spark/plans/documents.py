@@ -56,6 +56,7 @@ from ..functions.text import (
     token_hashes,
 )
 from ..functions.vectors import as_double, cosine
+from ..operators.pagerank import pagerank_fixedpoint_cte_parts
 from ..sources.tables import load_table
 from . import QueryRegistry
 
@@ -759,6 +760,19 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
 # margins, no boundary risk), and group resolution reuses the recursive
 # min-label walk. Dups whose nudge crosses a cell boundary pair with
 # nothing — SemDeDup's documented recall loss, mirrored exactly.
+#
+# Round-5 third family, 'pagerank': centrality-based survivor selection
+# — the alternative to min-id first-wins when the most-linked copy of a
+# near-dup cluster should survive (Common-Crawl-style quality priors).
+# The verified pair list becomes a directed graph (min-id → max-id, so
+# cluster maxima are dangling and the dangling-mass path is exercised on
+# real data); operators.pagerank runs 5 fixed-point rounds (BIGINT floor
+# division — bit-identical across engines and partitionings, see that
+# module), and `keep` marks the top-rank doc per connected component
+# (rank desc, doc_id tiebreak). For this family `n_members` carries the
+# fixed-point rank (mass SCALE = 10^12) — the composite schema is shared
+# across families, per-family column meaning documented here. Oracle:
+# the operator's own unrolled-CTE twin spliced in under a `pg` prefix.
 # --------------------------------------------------------------------------
 _SEM_DIM = 64
 _SEM_K = 4
@@ -837,6 +851,12 @@ _SQL_SEM_BLOCK = f"""
     )"""
 
 
+_PG_PARTS, _PG_FINAL = pagerank_fixedpoint_cte_parts(
+    "SELECT doc_a AS src, doc_b AS dst FROM pairs", iterations=5, prefix="pg"
+)
+_SQL_PG_BLOCK = ",\n".join(_PG_PARTS)
+
+
 @REGISTRY.register(
     "neardup_doc_clusters",
     oracle=f"""
@@ -856,7 +876,8 @@ _SQL_SEM_BLOCK = f"""
     lab AS (
       SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
     ),
-    {_SQL_SEM_BLOCK}
+    {_SQL_SEM_BLOCK},
+    {_SQL_PG_BLOCK}
     SELECT 'minhash' AS family, doc_id, CAST(NULL AS INTEGER) AS cell,
            cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
@@ -869,20 +890,32 @@ _SQL_SEM_BLOCK = f"""
            CAST(CASE WHEN l.vec_id = l.group_id THEN 1 ELSE 0 END
                 AS INTEGER)
     FROM slab l JOIN sassign a USING (vec_id)
+    UNION ALL
+    SELECT 'pagerank', p.node, CAST(NULL AS INTEGER), l.cluster_id,
+           p.rank,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY l.cluster_id
+                  ORDER BY p.rank DESC, p.node) = 1
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM {_PG_FINAL} p JOIN lab l ON l.doc_id = p.node
     """,
 )
 def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup, two families in one slot: (1) 'minhash' —
-    LSH candidate pairs → exact-Jaccard verify → connected components →
-    per-document cluster id + keep/drop; (2) 'semdedup' —
+    """End-to-end near-dedup, three families in one slot: (1) 'minhash'
+    — LSH candidate pairs → exact-Jaccard verify → connected components
+    → per-document cluster id + keep/drop; (2) 'semdedup' —
     operators.semdedup with caller-supplied centroids over the
-    embeddings table plus deterministic nudged near-dups.
+    embeddings table plus deterministic nudged near-dups; (3)
+    'pagerank' — operators.pagerank fixed-point centrality over the
+    verified pair graph, ``keep`` = top-rank doc per component
+    (``n_members`` carries the BIGINT rank for this family).
 
     ``keep`` is an int (0/1), not boolean — nullable-boolean columns
     cross the two pandas bridges with mismatched NULL reprs (None vs
     NaN); int columns do not (plans/__init__.py conventions).
     """
     from ..operators.components import connected_components
+    from ..operators.pagerank import pagerank_fixedpoint
     from ..operators.semdedup import semantic_dedup
 
     docs = _neardup_docs(spark, sf_dir)
@@ -938,7 +971,29 @@ def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members"),
         F.col("keep"),
     )
-    return minhash_rows.unionByName(sem_rows)
+
+    ranks = pagerank_fixedpoint(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        iterations=5,
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col("doc_id")
+    )
+    pr_rows = (
+        ranks.withColumnRenamed("node", "doc_id")
+        .join(labels, "doc_id")
+        .select(
+            F.lit("pagerank").alias("family"),
+            "doc_id",
+            F.lit(None).cast("int").alias("cell"),
+            "cluster_id",
+            F.col("rank").alias("n_members"),
+            (F.row_number().over(wr) == 1).cast("int").alias("keep"),
+        )
+    )
+    return minhash_rows.unionByName(sem_rows).unionByName(pr_rows)
 
 
 # --------------------------------------------------------------------------
