@@ -1,0 +1,132 @@
+"""Multi-touch conversion attribution.
+
+The marketing-analytics workhorse the reference's event data implies but
+never computes (reference scrapers stop at ingest; cf. SURVEY.md §2's
+events family): for every conversion event, find the touchpoint events
+that preceded it within a lookback window and split the conversion
+credit across them under the standard models — first-touch, last-touch,
+linear, and U-shaped (position-based).
+
+Credit is emitted in integer basis points (10_000 = full credit) with
+floor division, never floats — the repo-wide determinism convention
+(plans/__init__.py): results are bit-identical across engines and
+partitionings, and a DuckDB twin can hash-match them. The flooring
+remainder is documented, not hidden: ``sum(linear_bp) <= 10000`` per
+conversion with equality iff ``n_touches`` divides 10_000.
+
+Model semantics (rank 1 = earliest touch, ties broken by event id):
+- ``first_touch_bp``: 10_000 on rank 1, else 0.
+- ``last_touch_bp``:  10_000 on rank n, else 0.
+- ``linear_bp``:      10_000 // n for every touch.
+- ``position_bp``:    U-shaped 40/20/40 — n=1: 10_000; n=2: 5_000 each;
+  n>=3: 4_000 on first and last, 2_000 // (n-2) on each middle touch.
+
+Scale design (100 TB event log):
+- The touch<->conversion pairing is an equi-join on the user key with a
+  residual time-range predicate — Spark plans it as one shuffle join on
+  ``user``; no cross join, no window over the whole log. Hot users are
+  the usual skew risk: compose with operators.skewjoin, or bound blast
+  radius with ``max_touches_per_conversion`` (earliest-N, deterministic,
+  applied BEFORE credit so the models see the capped set).
+- Ranking/credit is one window partitioned by the conversion id —
+  partitions are bounded by touches-per-conversion (<= lookback x user
+  rate), never by user or table size.
+- Every expression is codegen (no UDF).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["attribute_conversions"]
+
+FULL_BP = 10_000
+
+
+def attribute_conversions(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    lookback_s: int = 24 * 3600,
+    ts: str = "ts",
+    user: str = "user_id",
+    event_id: str = "event_id",
+    event_type: str = "event_type",
+    max_touches_per_conversion: int | None = None,
+) -> DataFrame:
+    """One row per (conversion, touch) pair with the credit models.
+
+    A touch qualifies when ``conv_us - lookback_s*1e6 <= touch_us <
+    conv_us`` (strictly earlier; the lower bound is inclusive).
+    Conversions with zero qualifying touches emit nothing — attribution
+    is a statement about touchpoints, and "unattributed conversions" is
+    an anti-join the caller can do in one line.
+
+    Returns (conv_id, user, conv_us, touch_id, touch_us, touch_type,
+    n_touches, touch_rank, first_touch_bp, last_touch_bp, linear_bp,
+    position_bp) with all epochs in microseconds BIGINT and all credits
+    in integer basis points.
+    """
+    if lookback_s <= 0:
+        raise ValueError("lookback_s must be positive")
+    if max_touches_per_conversion is not None and max_touches_per_conversion < 1:
+        raise ValueError("max_touches_per_conversion must be >= 1")
+
+    conv = events.filter(F.col(event_type) == conversion_type).select(
+        F.col(user).alias("user"),
+        F.col(event_id).alias("conv_id"),
+        F.unix_micros(F.col(ts)).alias("conv_us"),
+    )
+    touch = events.filter(F.col(event_type).isin(list(touch_types))).select(
+        F.col(user).alias("user"),
+        F.col(event_id).alias("touch_id"),
+        F.unix_micros(F.col(ts)).alias("touch_us"),
+        F.col(event_type).alias("touch_type"),
+    )
+    lookback_us = int(lookback_s) * 1_000_000
+    pairs = conv.join(touch, "user").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(lookback_us))
+    )
+
+    w_asc = Window.partitionBy("conv_id").orderBy("touch_us", "touch_id")
+    pairs = pairs.withColumn("touch_rank", F.row_number().over(w_asc))
+    if max_touches_per_conversion is not None:
+        pairs = pairs.filter(
+            F.col("touch_rank") <= max_touches_per_conversion
+        )
+        # ranks are already 1..cap and contiguous after the earliest-N
+        # cut (row_number has no gaps), so no re-rank is needed.
+    w_all = Window.partitionBy("conv_id")
+    n = F.count(F.lit(1)).over(w_all)
+    rk = F.col("touch_rank")
+    first_bp = F.when(rk == 1, F.lit(FULL_BP)).otherwise(F.lit(0))
+    last_bp = F.when(rk == n, F.lit(FULL_BP)).otherwise(F.lit(0))
+    linear_bp = F.expr(f"{FULL_BP} div n_touches")
+    position_bp = (
+        F.when(n == 1, F.lit(FULL_BP))
+        .when(n == 2, F.lit(FULL_BP // 2))
+        .when((rk == 1) | (rk == n), F.lit(4_000))
+        .otherwise(F.expr("2000 div (n_touches - 2)"))
+    )
+    return (
+        pairs.withColumn("n_touches", n)
+        .select(
+            "conv_id",
+            "user",
+            "conv_us",
+            "touch_id",
+            "touch_us",
+            "touch_type",
+            "n_touches",
+            "touch_rank",
+            first_bp.cast("long").alias("first_touch_bp"),
+            last_bp.cast("long").alias("last_touch_bp"),
+            linear_bp.cast("long").alias("linear_bp"),
+            position_bp.cast("long").alias("position_bp"),
+        )
+    )

@@ -561,6 +561,37 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
         AND epoch_us(e.ts) // 1000000 <= p.t1 + 240*60
       GROUP BY e.user_id
     ) s3 ON s3.user_id = s1.user_id
+    UNION ALL
+    -- attrib family (round 5): operators.attribution multi-touch
+    -- credit, 24h lookback over click+view touches. Column reuse per
+    -- the composite convention: asof_click_us = touch event id,
+    -- asof_click_value_c = touch epoch us, last_click_us = linear_bp,
+    -- max_step = n_touches, step_1/2/3 = first/last/position bp.
+    SELECT 'attrib', conv_id, usr, conv_us, touch_id, touch_us,
+           10000 // n,
+           CAST(n AS INTEGER),
+           CASE WHEN rk = 1 THEN 10000 ELSE 0 END,
+           CASE WHEN rk = n THEN 10000 ELSE 0 END,
+           CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+                WHEN rk = 1 OR rk = n THEN 4000
+                ELSE 2000 // (n - 2) END
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY touch_us, touch_id) AS rk,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n
+      FROM (
+        SELECT c.event_id AS conv_id, c.user_id AS usr,
+               CAST(epoch_us(c.ts) AS BIGINT) AS conv_us,
+               t.event_id AS touch_id,
+               CAST(epoch_us(t.ts) AS BIGINT) AS touch_us
+        FROM events c JOIN events t ON t.user_id = c.user_id
+        WHERE c.event_type = 'purchase'
+          AND t.event_type IN ('click', 'view')
+          AND epoch_us(t.ts) < epoch_us(c.ts)
+          AND epoch_us(t.ts) >= epoch_us(c.ts) - 86400000000
+      )
+    )
     """,
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,7 +680,25 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step_2_epoch_s",
         "step_3_epoch_s",
     )
-    return asof_rows.unionByName(funnel_rows)
+    # 'attrib' family (round 5): operators.attribution multi-touch
+    # credit models under the same gate — column reuse documented in the
+    # oracle comment above.
+    from ..operators.attribution import attribute_conversions
+
+    attrib_rows = attribute_conversions(e, lookback_s=24 * 3600).select(
+        F.lit("attrib").alias("family"),
+        F.col("conv_id").alias("event_id"),
+        F.col("user").alias("user_id"),
+        F.col("conv_us").alias("purchase_us"),
+        F.col("touch_id").alias("asof_click_us"),
+        F.col("touch_us").alias("asof_click_value_c"),
+        F.col("linear_bp").alias("last_click_us"),
+        F.col("n_touches").cast("int").alias("max_step"),
+        F.col("first_touch_bp").alias("step_1_epoch_s"),
+        F.col("last_touch_bp").alias("step_2_epoch_s"),
+        F.col("position_bp").alias("step_3_epoch_s"),
+    )
+    return asof_rows.unionByName(funnel_rows).unionByName(attrib_rows)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Multi-touch attribution: hand-anchored credits, boundary semantics,
+credit-sum invariants, cap behavior, and a DuckDB twin on real events."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.operators.attribution import (
+    FULL_BP,
+    attribute_conversions,
+)
+from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, 0.0)
+            for i, (m, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_hand_anchored_models(spark):
+    # user 1: touches at t=0 (view), t=10 (click), t=20 (click),
+    # conversion at t=30 -> n=3
+    rows = [
+        (0, 1, "view"),
+        (10, 1, "click"),
+        (20, 1, "click"),
+        (30, 1, "purchase"),
+        # user 2: single touch
+        (5, 2, "click"),
+        (6, 2, "purchase"),
+        # user 3: no touches in window (touch AFTER conversion)
+        (50, 3, "purchase"),
+        (60, 3, "click"),
+    ]
+    out = attribute_conversions(_ev(spark, rows), lookback_s=3600)
+    got = {
+        (r["conv_id"], r["touch_id"]): r for r in out.collect()
+    }
+    assert set(got) == {(3, 0), (3, 1), (3, 2), (5, 4)}
+    t0, t1, t2 = got[(3, 0)], got[(3, 1)], got[(3, 2)]
+    assert (t0["touch_rank"], t1["touch_rank"], t2["touch_rank"]) == (1, 2, 3)
+    assert [t0["first_touch_bp"], t1["first_touch_bp"], t2["first_touch_bp"]] == [
+        FULL_BP, 0, 0,
+    ]
+    assert [t0["last_touch_bp"], t1["last_touch_bp"], t2["last_touch_bp"]] == [
+        0, 0, FULL_BP,
+    ]
+    assert {r["linear_bp"] for r in (t0, t1, t2)} == {FULL_BP // 3}
+    assert [t0["position_bp"], t1["position_bp"], t2["position_bp"]] == [
+        4000, 2000, 4000,
+    ]
+    solo = got[(5, 4)]
+    assert (
+        solo["first_touch_bp"], solo["last_touch_bp"],
+        solo["linear_bp"], solo["position_bp"],
+    ) == (FULL_BP, FULL_BP, FULL_BP, FULL_BP)
+
+
+def test_lookback_boundaries(spark):
+    # lookback 10 min: touch exactly at conv-10min is IN (inclusive
+    # lower bound), touch at conv_ts is OUT (strictly earlier)
+    rows = [
+        (0, 1, "click"),   # == conv - 10 min -> in
+        (10, 1, "purchase"),
+        (10, 2, "click"),  # == conv ts -> out
+        (10, 2, "purchase"),
+    ]
+    df = _ev(spark, rows)
+    out = attribute_conversions(df, lookback_s=600)
+    assert [(r["conv_id"], r["touch_id"]) for r in out.collect()] == [(1, 0)]
+    # one second less lookback excludes the boundary touch
+    assert attribute_conversions(df, lookback_s=599).count() == 0
+
+
+def test_two_touch_split_and_cap(spark):
+    rows = [
+        (0, 1, "view"),
+        (5, 1, "click"),
+        (9, 1, "purchase"),
+    ]
+    out = attribute_conversions(_ev(spark, rows), lookback_s=3600).collect()
+    assert {r["position_bp"] for r in out} == {FULL_BP // 2}
+    # cap at 1: only the EARLIEST touch survives, and the models see n=1
+    capped = attribute_conversions(
+        _ev(spark, rows), lookback_s=3600, max_touches_per_conversion=1
+    ).collect()
+    assert len(capped) == 1
+    assert capped[0]["touch_id"] == 0 and capped[0]["n_touches"] == 1
+    assert capped[0]["position_bp"] == FULL_BP
+
+
+def test_credit_sum_invariants_on_real_events(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    out = attribute_conversions(e, lookback_s=24 * 3600)
+    sums = (
+        out.groupBy("conv_id", "n_touches")
+        .agg(
+            F.sum("first_touch_bp").alias("f"),
+            F.sum("last_touch_bp").alias("l"),
+            F.sum("linear_bp").alias("lin"),
+            F.sum("position_bp").alias("pos"),
+        )
+        .collect()
+    )
+    assert len(sums) > 0
+    for r in sums:
+        assert r["f"] == FULL_BP  # exactly one first touch
+        assert r["l"] == FULL_BP  # exactly one last touch
+        assert FULL_BP - r["n_touches"] < r["lin"] <= FULL_BP
+        assert r["pos"] <= FULL_BP
+
+
+def test_duckdb_twin_on_real_events(spark):
+    import duckdb
+
+    out = (
+        attribute_conversions(
+            load_table(spark, SF_SMOKE, "events"), lookback_s=24 * 3600
+        )
+        .orderBy("conv_id", "touch_rank")
+        .collect()
+    )
+    got = [
+        (
+            r["conv_id"], r["user"], r["conv_us"], r["touch_id"],
+            r["touch_us"], r["touch_type"], r["n_touches"], r["touch_rank"],
+            r["first_touch_bp"], r["last_touch_bp"], r["linear_bp"],
+            r["position_bp"],
+        )
+        for r in out
+    ]
+    con = duckdb.connect()
+    want = con.execute(f"""
+      WITH events AS (
+        SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')
+      ),
+      pairs AS (
+        SELECT c.event_id AS conv_id, c.user_id AS usr,
+               epoch_us(c.ts) AS conv_us, t.event_id AS touch_id,
+               epoch_us(t.ts) AS touch_us, t.event_type AS touch_type
+        FROM events c JOIN events t ON t.user_id = c.user_id
+        WHERE c.event_type = 'purchase'
+          AND t.event_type IN ('click', 'view')
+          AND epoch_us(t.ts) < epoch_us(c.ts)
+          AND epoch_us(t.ts) >= epoch_us(c.ts) - 86400000000
+      ),
+      ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_us, touch_id) AS rk,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM pairs
+      )
+      SELECT conv_id, usr, conv_us, touch_id, touch_us, touch_type,
+             n, rk,
+             CASE WHEN rk = 1 THEN 10000 ELSE 0 END,
+             CASE WHEN rk = n THEN 10000 ELSE 0 END,
+             10000 // n,
+             CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+                  WHEN rk = 1 OR rk = n THEN 4000
+                  ELSE 2000 // (n - 2) END
+      FROM ranked ORDER BY conv_id, rk
+    """).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want]
+
+
+def test_bad_args_rejected(spark):
+    df = _ev(spark, [(0, 1, "click"), (1, 1, "purchase")])
+    with pytest.raises(ValueError):
+        attribute_conversions(df, lookback_s=0)
+    with pytest.raises(ValueError):
+        attribute_conversions(df, max_touches_per_conversion=0)
