@@ -282,6 +282,17 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window: running aggregate + lag (SURVEY.md §2.5) per customer order
 # history. Running sums accumulate in integer cents so frame-order
 # summation is exact on both engines.
+#
+# Round 5: RANGE (value-based) frames join the slot — trailing-30-day
+# spend/count per customer, the time-windowed rolling aggregate every
+# activity dashboard needs. RANGE differs from ROWS exactly where it
+# matters: same-day peer orders all land in each other's frame, and the
+# window spans calendar distance, not row count. Ordered by integer
+# epoch DAYS (both engines), frame = 29 PRECEDING .. CURRENT ROW; sums
+# stay in integer cents so peer-order summation is exact. Same single
+# hashpartitioning(o_custkey) exchange serves every window in the
+# relation — adding the RANGE frames costs zero extra shuffles (two
+# sort specs share one cluster key).
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "customer_order_history_window",
@@ -298,7 +309,17 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS prev_orderkey,
            CAST(ROW_NUMBER() OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS INTEGER) AS order_seq
+           ) AS INTEGER) AS order_seq,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing30_spend_c,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing30_n
     FROM orders
     WHERE o_custkey % 10 = 0
     """,
@@ -306,6 +327,10 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.expr("unix_timestamp(o_orderdate) div 86400")
+    w30 = (
+        Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -316,6 +341,8 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("running_spend_c"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.row_number().over(w).alias("order_seq"),
+        F.sum(cents("o_totalprice")).over(w30).alias("trailing30_spend_c"),
+        F.count(F.lit(1)).over(w30).alias("trailing30_n"),
     )
 
 
