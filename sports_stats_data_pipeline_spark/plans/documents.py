@@ -773,6 +773,13 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
 # fixed-point rank (mass SCALE = 10^12) — the composite schema is shared
 # across families, per-family column meaning documented here. Oracle:
 # the operator's own unrolled-CTE twin spliced in under a `pg` prefix.
+#
+# Fourth family, 'triangles': operators.triangles per-node triangle
+# participation over the same verified pair graph — triangle-dense
+# clusters are true duplicate cliques, triangle-free stars are one
+# template touching many near-misses (different cleanup actions).
+# `n_members` carries the triangle count; `keep` is NULL (not a
+# survivorship family). Oracle: the three-way canonical-edge self-join.
 # --------------------------------------------------------------------------
 _SEM_DIM = 64
 _SEM_K = 4
@@ -898,6 +905,27 @@ _SQL_PG_BLOCK = ",\n".join(_PG_PARTS)
                   ORDER BY p.rank DESC, p.node) = 1
                 THEN 1 ELSE 0 END AS INTEGER)
     FROM {_PG_FINAL} p JOIN lab l ON l.doc_id = p.node
+    UNION ALL
+    SELECT 'triangles', n.node, CAST(NULL AS INTEGER), l.cluster_id,
+           COALESCE(t.n, 0), CAST(NULL AS INTEGER)
+    FROM (SELECT doc_a AS node FROM pairs
+          UNION SELECT doc_b FROM pairs) n
+    JOIN lab l ON l.doc_id = n.node
+    LEFT JOIN (
+      SELECT node, COUNT(*) AS n FROM (
+        SELECT e1.doc_a AS node
+        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        UNION ALL
+        SELECT e1.doc_b
+        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        UNION ALL
+        SELECT e2.doc_b
+        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+      ) GROUP BY node
+    ) t ON t.node = n.node
     """,
 )
 def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,7 +1021,27 @@ def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(wr) == 1).cast("int").alias("keep"),
         )
     )
-    return minhash_rows.unionByName(sem_rows).unionByName(pr_rows)
+
+    from ..operators.triangles import triangle_counts
+
+    tri_rows = (
+        triangle_counts(pairs, src="doc_a", dst="doc_b")
+        .withColumnRenamed("node", "doc_id")
+        .join(labels, "doc_id")
+        .select(
+            F.lit("triangles").alias("family"),
+            "doc_id",
+            F.lit(None).cast("int").alias("cell"),
+            "cluster_id",
+            F.col("n_triangles").alias("n_members"),
+            F.lit(None).cast("int").alias("keep"),
+        )
+    )
+    return (
+        minhash_rows.unionByName(sem_rows)
+        .unionByName(pr_rows)
+        .unionByName(tri_rows)
+    )
 
 
 # --------------------------------------------------------------------------
