@@ -233,6 +233,43 @@ _ORACLE = f"""
         SELECT 'o_totalprice' FROM j WHERE in_l AND in_r AND c_tp
       ) GROUP BY 2
     ) d
+    UNION ALL
+    SELECT 'outliers', z.o_orderpriority, 'mad_robust_z',
+           CAST(NULL AS INTEGER), CAST(z.med AS BIGINT),
+           CAST(z.mad AS BIGINT), CAST(z.v AS BIGINT),
+           CAST(z.n AS BIGINT), CAST(z.v * 100 < z.n AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH ov AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders WHERE o_totalprice IS NOT NULL
+      ), omed AS (
+        SELECT o_orderpriority, MIN(price_c) AS med FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY price_c) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM ov
+        ) WHERE rn = (n + 1) // 2 GROUP BY o_orderpriority
+      ), odev AS (
+        SELECT ov.o_orderpriority, omed.med,
+               ABS(ov.price_c - omed.med) AS dev
+        FROM ov JOIN omed USING (o_orderpriority)
+      ), omad AS (
+        SELECT o_orderpriority, MIN(dev) AS mad FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY dev) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM odev
+        ) WHERE rn = (n + 1) // 2 GROUP BY o_orderpriority
+      )
+      SELECT d.o_orderpriority, MIN(d.med) AS med, MIN(m.mad) AS mad,
+             SUM(CASE WHEN 6745 * d.dev > 35000 * m.mad
+                      THEN 1 ELSE 0 END) AS v,
+             COUNT(*) AS n
+      FROM odev d JOIN omad m USING (o_orderpriority)
+      GROUP BY d.o_orderpriority
+    ) z
 """
 
 
@@ -371,9 +408,47 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("passed"),
         null_l.alias("psi_milli"),
     )
+    # 'outliers' family (round 5): operators.outliers robust MAD gate —
+    # per-priority med/mad over price cents, passed = outlier share
+    # under 1%. ref_n carries the median, cur_n the MAD (column reuse
+    # per the composite convention).
+    from ..operators.outliers import mad_outliers
+
+    oz = mad_outliers(
+        orders.filter(F.col("o_totalprice").isNotNull()).select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_c"),
+        ),
+        "price_c",
+        group_by=["o_orderpriority"],
+    )
+    out_rows = (
+        oz.groupBy("o_orderpriority")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum("is_outlier").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("outliers").alias("family"),
+            F.col("o_orderpriority").alias("name"),
+            F.lit("mad_robust_z").alias("kind"),
+            null_i.alias("bin"),
+            F.col("med").alias("ref_n"),
+            F.col("mad").alias("cur_n"),
+            F.col("v").cast("long").alias("violations"),
+            F.col("n").alias("total"),
+            (F.col("v") * 100 < F.col("n")).cast("int").alias("passed"),
+            null_l.alias("psi_milli"),
+        )
+    )
     return (
         rep.unionByName(bins)
         .unionByName(total)
         .unionByName(hh)
         .unionByName(rec)
+        .unionByName(out_rows)
     )
