@@ -50,6 +50,10 @@ from pyspark.sql.types import StringType, StructField, StructType
 __all__ = [
     "read_jsonl",
     "write_jsonl",
+    "read_csv",
+    "write_csv",
+    "read_orc",
+    "write_orc",
     "read_text_docs",
     "corrupt_line_report",
 ]
@@ -111,6 +115,129 @@ def write_jsonl(
     """
     out = df.repartition(shards) if shards else df
     out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+    sep: str = ",",
+    multi_line: bool = False,
+) -> DataFrame:
+    """Read CSV with an explicit schema and the JSONL module's
+    malformed-row contract (reference parity: the reference's own sink
+    format IS CSV — fighters.csv / fights.csv, reference
+    fighters_scraper.py — so round-tripping it cannot be an
+    afterthought).
+
+    Same dials as :func:`read_jsonl`: PERMISSIVE routes unparseable
+    rows into ``corrupt_col`` (raw line text, declared columns NULL),
+    DROPMALFORMED discards, FAILFAST raises.
+
+    The newline trade, stated plainly: CSV has no line-safe escape for
+    embedded newlines — writers (Spark's included) emit them as literal
+    newlines inside quoted fields, so a record can SPAN lines. With the
+    default ``multi_line=False`` the scan stays splittable (JSONL's
+    contract) but a quoted-newline record parses as corrupt. If your
+    text columns may embed newlines, either pass ``multi_line=True``
+    and accept file-per-task parallelism, or ship such corpora as JSONL
+    (which escapes ``\\n`` by construction) — the better format for
+    free-text payloads.
+
+    DROPMALFORMED caveat (an upstream Spark quirk, not this module's):
+    ``df.count()`` short-circuits the parser and counts RAW records, so
+    it still includes the rows the mode will drop; any query that
+    touches a column sees the dropped rows gone. Count clean rows via
+    an aggregate over a column — or use PERMISSIVE +
+    :func:`corrupt_line_report`, which exists for exactly this.
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if not isinstance(schema, StructType) or not schema.fields:
+        raise ValueError("read_csv requires a non-empty explicit schema")
+    reader_schema = schema
+    if mode == "PERMISSIVE":
+        if corrupt_col in schema.fieldNames():
+            raise ValueError(
+                f"corrupt_col {corrupt_col!r} collides with a schema field"
+            )
+        reader_schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    return (
+        spark.read.schema(reader_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("multiLine", str(multi_line).lower())
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "gzip",
+    shards: int | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> None:
+    """Write CSV shards in the RFC-4180 dialect (quotes doubled via
+    ``escape='"'`` — the convention DuckDB/pandas/excel all read
+    without configuration). Embedded newlines are quoted, NOT removed:
+    read such shards back with ``multi_line=True`` (see
+    :func:`read_csv` for the splittability trade). Same ``shards``
+    semantics as :func:`write_jsonl`."""
+    out = df.repartition(shards) if shards else df
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read ORC (the other columnar lakehouse format — Hive-ecosystem
+    drops arrive in it). Columnar + footer statistics means predicate
+    pushdown and column pruning work exactly as for parquet; pass
+    ``schema`` to pin the expected shape (extra/missing columns fail
+    loudly at analysis instead of silently drifting downstream)."""
+    df = spark.read.orc(path)
+    if schema is not None:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            raise ValueError(
+                f"ORC schema mismatch at {path}: expected {want}, got {got}"
+            )
+        df = df.select(*[f.name for f in schema.fields])
+    return df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zstd",
+    shards: int | None = None,
+) -> None:
+    """Write ORC shards (zstd default — splittable container regardless
+    of codec, unlike gzipped text). Same ``shards`` semantics as
+    :func:`write_jsonl`."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").option("compression", compression).orc(path)
 
 
 def read_text_docs(
