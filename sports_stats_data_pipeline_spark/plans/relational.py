@@ -293,6 +293,14 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashpartitioning(o_custkey) exchange serves every window in the
 # relation — adding the RANGE frames costs zero extra shuffles (two
 # sort specs share one cluster key).
+#
+# Also round 5, the rest of the ranking family: RANK/DENSE_RANK over a
+# tie-BEARING order (o_orderdate alone — same-day orders tie, which is
+# the whole point; both functions are deterministic under ties, unlike
+# row_number), NTILE(4) over the total order, and PERCENT_RANK /
+# CUME_DIST re-derived as integer basis points from (seq, n) with floor
+# division — the engine-native functions return doubles whose rounding
+# convention differs at .5 between engines, the integer formula cannot.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "customer_order_history_window",
@@ -319,7 +327,27 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY o_custkey
              ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS trailing30_n
+           ) AS BIGINT) AS trailing30_n,
+           CAST(RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+           ) AS INTEGER) AS date_rank,
+           CAST(DENSE_RANK() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+           ) AS INTEGER) AS date_dense_rank,
+           CAST(NTILE(4) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS quartile,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey) > 1
+                THEN ((ROW_NUMBER() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) - 1) * 10000)
+                     // (COUNT(*) OVER (PARTITION BY o_custkey) - 1)
+                ELSE 0 END AS BIGINT) AS pr_bp,
+           CAST((ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) * 10000)
+                // COUNT(*) OVER (PARTITION BY o_custkey)
+             AS BIGINT) AS cd_bp
     FROM orders
     WHERE o_custkey % 10 = 0
     """,
@@ -327,6 +355,8 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wp = Window.partitionBy("o_custkey")
     day = F.expr("unix_timestamp(o_orderdate) div 86400")
     w30 = (
         Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
@@ -343,6 +373,27 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
         F.row_number().over(w).alias("order_seq"),
         F.sum(cents("o_totalprice")).over(w30).alias("trailing30_spend_c"),
         F.count(F.lit(1)).over(w30).alias("trailing30_n"),
+        F.rank().over(wd).cast("int").alias("date_rank"),
+        F.dense_rank().over(wd).cast("int").alias("date_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.when(
+            F.count(F.lit(1)).over(wp) > 1,
+            F.expr(
+                "((row_number() over (partition by o_custkey "
+                "order by o_orderdate, o_orderkey) - 1) * 10000) div "
+                "(count(1) over (partition by o_custkey) - 1)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr_bp"),
+        F.expr(
+            "(row_number() over (partition by o_custkey "
+            "order by o_orderdate, o_orderkey) * 10000) div "
+            "count(1) over (partition by o_custkey)"
+        )
+        .cast("long")
+        .alias("cd_bp"),
     )
 
 
