@@ -301,6 +301,16 @@ _EXPR_VALUES = ", ".join(
 # share a slot. The 1-row profile cross-joins onto the 5-row literal
 # relation — each conditional row carries the (identical) profile
 # columns, so both operator families are value-gated by one oracle.
+#
+# Round 5: correlation MOMENTS join the profile — the decomposable form
+# of corr/cov (n, Σx, Σy, Σx², Σy², Σxy over lineitem quantity ×
+# whole-unit price). Emitting the final corr would hash-diverge (the
+# engines' one-pass corr kernels sum in different orders — last-ulp
+# float drift); the integer moments are EXACT, map-side-combinable
+# (the O(Δ) incremental-mart story applies verbatim), and corr is one
+# client-side formula away. Whole currency units keep Σy² under 2^63
+# through sf1; a 100 TB run carries these sums as DECIMAL(38,0).
+# DuckDB sums BIGINT into HUGEINT — the oracle casts back.
 @REGISTRY.register(
     "expression_profile_orders",
     oracle=f"""
@@ -316,7 +326,7 @@ _EXPR_VALUES = ", ".join(
       CASE WHEN a IS NULL AND b IS NULL THEN 'both-null'
            WHEN a IS NULL OR b IS NULL THEN 'one-null'
            WHEN a = b THEN 'equal' ELSE 'differ' END AS shape,
-      p.*
+      p.*, m.*
     FROM (VALUES {_EXPR_VALUES}) AS t(id, a, b)
     CROSS JOIN (
       SELECT COUNT(*) AS n_rows,
@@ -330,6 +340,19 @@ _EXPR_VALUES = ", ".join(
              COUNT(DISTINCT o_orderpriority) AS n_priorities
       FROM orders
     ) p
+    CROSS JOIN (
+      SELECT COUNT(*) AS corr_n,
+             CAST(SUM(qty) AS BIGINT) AS sum_qty,
+             CAST(SUM(price_u) AS BIGINT) AS sum_price_u,
+             CAST(SUM(qty * qty) AS BIGINT) AS sum_qty_sq,
+             CAST(SUM(price_u * price_u) AS BIGINT) AS sum_price_u_sq,
+             CAST(SUM(qty * price_u) AS BIGINT) AS sum_qty_price_u
+      FROM (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice) AS BIGINT) AS price_u
+        FROM lineitem
+      )
+    ) m
     """,
 )
 def expression_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +390,27 @@ def expression_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
-    return cond.crossJoin(F.broadcast(profile))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_u = F.round(F.col("l_extendedprice")).cast("long")
+    moments = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(qty.alias("qty"), price_u.alias("price_u"))
+        .agg(
+            F.count(F.lit(1)).alias("corr_n"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_u").alias("sum_price_u"),
+            F.sum(F.col("qty") * F.col("qty")).alias("sum_qty_sq"),
+            F.sum(F.col("price_u") * F.col("price_u")).alias(
+                "sum_price_u_sq"
+            ),
+            F.sum(F.col("qty") * F.col("price_u")).alias(
+                "sum_qty_price_u"
+            ),
+        )
+    )
+    return cond.crossJoin(F.broadcast(profile)).crossJoin(
+        F.broadcast(moments)
+    )
 
 
 # --------------------------------------------------------------------------
