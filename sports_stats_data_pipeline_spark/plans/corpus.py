@@ -75,10 +75,12 @@ def _sql_bucket(salt: str) -> str:
     """
 
 
-@REGISTRY.register(
-    "corpus_quality_filter",
-    oracle=f"""
-    WITH g AS (
+#: the en-trained trigram char-LM + per-doc nll_3 scoring as a CTE
+#: chain (ends with relation ``lm``: doc_id, n_grams, nll_3). Shared by
+#: the corpus_quality_filter oracle and the streaming-quality family of
+#: streaming_tumbling_hourly (plans/events.py) — the batch and
+#: streaming gates score against ONE oracle text so they cannot drift.
+SQL_LM_NLL3_BLOCK = """g AS (
       SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram
       FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
       WHERE length(text) >= 3
@@ -105,7 +107,13 @@ def _sql_bucket(salt: str) -> str:
       LEFT JOIN cc ON substr(g.gram, 1, 2) = cc.ctx
       CROSS JOIN v
       GROUP BY g.doc_id
-    ),
+    )"""
+
+
+@REGISTRY.register(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH {SQL_LM_NLL3_BLOCK},
     toks AS (
       SELECT doc_id, length(text) AS n_chars,
              string_split_regex(text, '\\s+') AS toks

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from . import QueryRegistry
+from .corpus import SQL_LM_NLL3_BLOCK
 from .relational import cents
 
 REGISTRY = QueryRegistry()
@@ -118,6 +119,15 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   flush (streaming/pipeline.streaming_user_sessions_exact) — oracle
 #   branch is the same gaps-and-islands construction that verifies the
 #   batch events_user_sessions query.
+# - 'quality' (round 5): the train-once / stream-score perplexity gate
+#   (streaming/quality.streaming_quality_scores_table) — the corpus
+#   lands as parquet file-batches and each micro-batch is scored
+#   against the persisted char-LM in foreachBatch. Scoring is
+#   STATELESS per batch, so the streamed result is independent of the
+#   batch split and the batch LM oracle (plans/corpus.SQL_LM_NLL3_BLOCK
+#   — the same text corpus_quality_filter verifies against) applies
+#   unchanged. value_c carries nll as integer milli-nats
+#   (round(nll_3 * 1000) — nll_3 is the already-pinned 3-dp double).
 # --------------------------------------------------------------------------
 # The gaps-and-islands session construction — the SINGLE oracle text
 # shared by the batch events_user_sessions gate and the streaming
@@ -188,6 +198,14 @@ _SESSIONS_SQL = """
       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       session_start_us, session_end_us
     FROM ({_SESSIONS_SQL})
+    UNION ALL
+    SELECT 'quality', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      q.n_grams, CAST(ROUND(q.nll_3 * 1000) AS BIGINT),
+      CAST(NULL AS BIGINT), q.doc_id, CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (WITH {SQL_LM_NLL3_BLOCK}
+          SELECT doc_id, n_grams, nll_3 FROM lm) q
     """,
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +260,36 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start_us",
         "session_end_us",
     )
-    return tumbling.unionByName(sjoin).unionByName(sessions)
+    # 'quality' family (round 5): the stream-scored perplexity gate.
+    # Docs short of one trigram produce no gram rows — the oracle's lm
+    # relation omits them, so filter the streamed zeros symmetrically.
+    from ..streaming.quality import streaming_quality_scores_table
+
+    quality = (
+        streaming_quality_scores_table(spark, sf_dir)
+        .filter(F.col("n_grams") > 0)
+        .select(
+            F.lit("quality").alias("family"),
+            null_l.alias("bucket_s"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("n_grams").alias("n_events"),
+            F.round(F.round("nll", 3) * 1000)
+            .cast("long")
+            .alias("value_c"),
+            null_l.alias("purchase_id"),
+            F.col("doc_id").alias("user_id"),
+            null_l.alias("purchase_epoch_s"),
+            null_l.alias("click_id"),
+            null_l.alias("gap_s"),
+            null_l.alias("session_start_us"),
+            null_l.alias("session_end_us"),
+        )
+    )
+    return (
+        tumbling.unionByName(sjoin)
+        .unionByName(sessions)
+        .unionByName(quality)
+    )
 
 
 # --------------------------------------------------------------------------

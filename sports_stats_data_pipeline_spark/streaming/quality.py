@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from ..operators.lm import CharLM, score_perplexity, train_char_lm
 
-__all__ = ["save_char_lm", "load_char_lm", "run_streaming_quality"]
+__all__ = [
+    "save_char_lm",
+    "load_char_lm",
+    "run_streaming_quality",
+    "streaming_quality_scores_table",
+]
 
 
 def save_char_lm(lm: CharLM, path: str) -> None:
@@ -126,3 +131,48 @@ def run_streaming_quality(
     # partition discovery surfaces batch= as a column; it's sink
     # bookkeeping, not part of the scoring contract
     return spark.read.parquet(sink_path).drop("batch")
+
+
+def streaming_quality_scores_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full train-once / stream-score cycle run to completion over
+    the documents corpus, for the driver gate (plans/events.py
+    'quality' family): train the en trigram char-LM (the
+    corpus_quality_filter configuration exactly), persist it, land the
+    corpus as parquet file-batches, drain run_streaming_quality, and
+    return the scored rows eagerly checkpointed (the temp model/landing/
+    sink dirs are deleted before returning — the relation must not
+    depend on them).
+
+    Scoring is stateless per batch, so the result is independent of the
+    file/batch split — which is what makes an order-insensitive value
+    oracle possible for a streaming run."""
+    import shutil
+    import tempfile
+
+    from ..operators.lm import train_char_lm
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_squality_")
+    try:
+        lm = train_char_lm(
+            docs.filter(F.col("lang") == "en"), "text", n=3, add_k=1.0
+        )
+        model = os.path.join(tmp, "model")
+        save_char_lm(lm, model)
+        landing = os.path.join(tmp, "landing")
+        docs.select("doc_id", "text").repartition(4).write.parquet(landing)
+        scored = run_streaming_quality(
+            spark,
+            landing,
+            model,
+            os.path.join(tmp, "sink"),
+            nll_keep_max=float("inf"),
+        )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
