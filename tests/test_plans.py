@@ -178,7 +178,7 @@ def test_bm25_topk_is_take_ordered_with_broadcast_idf(spark):
 
 
 def test_data_quality_report_plan_shape(spark):
-    """The governance composite (four families since round 5): the FK
+    """The governance composite (five families since round 5): the FK
     dim must broadcast, the expectations row-level block must NOT
     rescan orders per constraint, and no row-wise Python anywhere
     (heavy hitters runs through Arrow mapInPandas, never
@@ -194,10 +194,13 @@ def test_data_quality_report_plan_shape(spark):
     # count: expectations row-level agg (1) + unique (1) + FK probe (1)
     # + FK customer (1) + two PSI sides (2) + heavy-hitters summary and
     # exact passes over events (2, the two-scan contract) + reconcile's
-    # old/new snapshot sides (2, both derived from orders) + plan-reuse
-    # artifacts = 12 on Spark 4.1; a jump past this means some family
-    # started rescanning per constraint.
-    assert plan.count("Location: InMemoryFileIndex") <= 12
+    # old/new snapshot sides (2, both derived from orders) + the MAD
+    # outlier family's median/deviation branches (2 in the STATIC plan;
+    # at runtime AQE collapses them into one ReusedExchange stage —
+    # pinned in test_outliers) + plan-reuse artifacts = 14 on Spark
+    # 4.1; a jump past this means some family started rescanning per
+    # constraint.
+    assert plan.count("Location: InMemoryFileIndex") <= 14
 
 
 def test_streaming_join_batch_twin_is_shuffle_bounded(spark):
@@ -273,3 +276,42 @@ def test_interval_overlap_binned_leg_is_equi_join(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), "no equi-join found for the binned leg"
+
+
+def test_attribution_is_equi_join_no_cartesian(spark):
+    """The touch<->conversion pairing must plan as a real equi-join on
+    the user key with the time range as a residual filter — never a
+    cartesian/broadcast-nested-loop over the event log."""
+    from sports_stats_data_pipeline_spark.operators.attribution import (
+        attribute_conversions,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    plan = _plan(
+        attribute_conversions(load_table(spark, SF, "events"))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_triangles_wedge_and_closure_are_equi_joins(spark):
+    """Wedge generation (self-join on the center node) and closure (the
+    (t1, t2) pair lookup) must both be equi-joins; degree orientation
+    exists precisely so no stage is quadratic in a hub's degree."""
+    from sports_stats_data_pipeline_spark.operators.triangles import (
+        triangles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    plan = _plan(triangles(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
