@@ -427,6 +427,18 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(NULL AS BIGINT) AS measure_c
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    -- explicit GROUPING SETS (round 5): the two marginal breakdowns
+    -- WITHOUT the cross terms or grand total a CUBE would compute —
+    -- the dashboard shape (one query, several independent groupings,
+    -- one scan)
+    SELECT 'order_marginals_sets', o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER),
+           CAST(GROUPING(o_orderpriority) AS INTEGER),
+           COUNT(*),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
 )
 def rollup_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +483,31 @@ def rollup_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("measure_c"),
         )
     )
-    return geo.unionByName(status)
+    # explicit GROUPING SETS (Spark 4 DataFrame API): the two marginal
+    # breakdowns only — no cross terms, no grand total
+    marginals = (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("f1"),
+            F.grouping("o_orderpriority").cast("int").alias("f2"),
+            F.count("*").alias("n"),
+            F.sum(cents("o_totalprice")).alias("measure_c"),
+        )
+        .select(
+            F.lit("order_marginals_sets").alias("scope"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "f1",
+            "f2",
+            "n",
+            "measure_c",
+        )
+    )
+    return geo.unionByName(status).unionByName(marginals)
 
 
 # --------------------------------------------------------------------------
