@@ -447,6 +447,20 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              (10000 * a.au) // s.cs AS bp
       FROM active a JOIN sizes s ON a.cp = s.cp
     ) c
+    UNION ALL
+    -- melt family (round 5): the 'day' matrix unpivoted back to long
+    -- form (DataFrame.unpivot on the Spark side) — every (day, type)
+    -- cell incl. zeros, keyed "<day>|<type>"
+    SELECT 'melt', dd.d || '|' || tt.t, COALESCE(c.n, 0),
+           CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL, NULL
+    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events) dd
+    CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                       ('view')) tt(t)
+    LEFT JOIN (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type AS t,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ) c ON c.d = dd.d AND c.t = tt.t
     """,
 )
 def events_props_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,7 +534,25 @@ def events_props_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention_bp").alias("metric"),
         *[F.lit(None).cast("long").alias(t) for t in _EVENT_TYPES],
     )
-    return props.unionByName(days).unionByName(cohorts)
+    # 'melt' family (round 5): §2.9's restructuring inverse — the day ×
+    # type matrix back to long form via the native unpivot operator
+    # (Expand node: one pass, no join, fan-out = n_value_columns)
+    melted = (
+        days.select("prop_key", *_EVENT_TYPES)
+        .unpivot("prop_key", list(_EVENT_TYPES), "etype", "cnt")
+        .select(
+            F.lit("melt").alias("kind"),
+            F.concat_ws("|", "prop_key", "etype").alias("prop_key"),
+            F.col("cnt").alias("n_events"),
+            F.lit(None).cast("long").alias("metric"),
+            *[F.lit(None).cast("long").alias(t) for t in _EVENT_TYPES],
+        )
+    )
+    return (
+        props.unionByName(days)
+        .unionByName(cohorts)
+        .unionByName(melted)
+    )
 
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
