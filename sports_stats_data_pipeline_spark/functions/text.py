@@ -311,13 +311,6 @@ def simhash_int_from_hashes(hashes: Column, n_bits: int = 32) -> Column:
     return out
 
 
-def _hex_digit_val_at(h: Column, pos: Column) -> Column:
-    """Value 0-15 of the 1-based hex nibble at (column) position ``pos``
-    of a lowercase hex digest column."""
-    a = F.ascii(F.substr(h, pos, F.lit(1)))
-    return F.when(a <= 57, a - 48).otherwise(a - 87)
-
-
 def simhash64_from_hashes(hashes: Column) -> Column:
     """64-bit SimHash packed into a signed BIGINT from a precomputed
     md5-per-token array.
@@ -333,28 +326,30 @@ def simhash64_from_hashes(hashes: Column) -> Column:
 
     Single-pass shape: one aggregate() over the token array carrying a
     64-element vote-counter array (zip_with add), with each token's ±1
-    contributions derived once (16 nibble decodes per token). The naive
-    per-bit form — 64 independent aggregates, each re-decoding hex per
-    token — is ~4× slower and was the hot spot of the near-dup bench.
+    contributions derived once per token. The naive per-bit form — 64
+    independent aggregates, each re-decoding hex per token — is ~4×
+    slower and was the hot spot of the near-dup bench. Per-token votes
+    come from a 16-entry literal map (hex char → its 4-vote array):
+    one element_at per nibble instead of an ascii decode + 4
+    conditionals — measured ~14% off the signature stage vs the
+    decode-and-branch form (round 5; equality verified before the
+    swap).
     """
+    vote_entries: list[Column] = []
+    for ch in "0123456789abcdef":
+        v = int(ch, 16)
+        vote_entries.append(F.lit(ch))
+        vote_entries.append(
+            F.array(
+                *[F.lit(1 if (v >> s) & 1 else -1) for s in (3, 2, 1, 0)]
+            )
+        )
+    votes_by_nibble = F.create_map(*vote_entries)
 
     def token_votes(h: Column) -> Column:
-        nibs = F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda p: _hex_digit_val_at(h, p),
-        )
+        chars = F.split(F.substring(h, 1, 16), "")
         return F.flatten(
-            F.transform(
-                nibs,
-                lambda n: F.array(
-                    *[
-                        F.when(
-                            F.shiftright(n, s).bitwiseAND(F.lit(1)) == 1, 1
-                        ).otherwise(-1)
-                        for s in (3, 2, 1, 0)
-                    ]
-                ),
-            )
+            F.transform(chars, lambda c: F.element_at(votes_by_nibble, c))
         )
 
     counters = F.aggregate(
