@@ -22,15 +22,24 @@ from sports_stats_data_pipeline_spark.plans.documents import (
     dedup_exact_docs,
     embedding_cosine_topk,
 )
+from sports_stats_data_pipeline_spark.plans.events import (
+    fixed_windows_tumbling_sliding,
+)
+from sports_stats_data_pipeline_spark.plans.relational import (
+    order_history_window_base,
+)
 from sports_stats_data_pipeline_spark.session import get_spark
 
-#: Round 5 merged several driver slots (registry is capped at 50), but
-#: bench keeps timing the ORIGINAL per-path callables so per-query
-#: numbers stay comparable across rounds.
+#: Rounds 5-6 merged several driver slots and grew others with new
+#: families/columns (registry is capped at 50), but bench keeps timing
+#: the ORIGINAL per-path callables so per-query numbers stay comparable
+#: across rounds.
 DIRECT = {
     "dedup_exact_docs": dedup_exact_docs,
     "embedding_cosine_topk": embedding_cosine_topk,
     "ann_topk_fast": ann_topk_fast,
+    "events_fixed_windows": fixed_windows_tumbling_sliding,
+    "customer_order_history_window": order_history_window_base,
 }
 
 #: headline set: the scan/join/agg/window/dedup/similarity spine.

@@ -278,6 +278,31 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_segment.unionByName(global_topn)
 
 
+def order_history_window_base(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The original running-sum/lag/row_number relation (round-2 shape),
+    kept standalone so bench.py keeps timing it round-over-round (the
+    DIRECT-map convention) while the registry slot below carries the
+    round-5 RANGE-frame and ranking columns too."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch_s"),
+        cents("o_totalprice").alias("price_c"),
+        F.sum(cents("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_spend_c"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+
 # --------------------------------------------------------------------------
 # Window: running aggregate + lag (SURVEY.md §2.5) per customer order
 # history. Running sums accumulate in integer cents so frame-order
