@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from . import QueryRegistry
 from .corpus import SQL_LM_NLL3_BLOCK
+from .documents import (
+    _NEARDUP_DOCS_SQL,
+    _SQL_SH_HASHES,
+    _SQL_SHINGLES,
+    _sql_minhash,
+)
 from .relational import cents
 
 REGISTRY = QueryRegistry()
@@ -258,6 +264,56 @@ _SESSIONS_SQL = """
       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM (WITH {SQL_LM_NLL3_BLOCK}
           SELECT doc_id, n_grams, nll_3 FROM lm) q
+    UNION ALL
+    -- sneardup family: single-batch streaming LSH admission. The rule
+    -- the stream applies with one batch: dup iff a SMALLER doc shares
+    -- an uncapped (prior-side) band bucket and verifies at Jaccard
+    -- >= 0.6. n_events carries admitted (0/1), user_id the doc id.
+    SELECT 'sneardup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      s.admitted, CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), s.doc_id, CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH sdocs AS MATERIALIZED ({_NEARDUP_DOCS_SQL}),
+      ssh AS MATERIALIZED (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM sdocs
+      ),
+      shash AS (
+        SELECT doc_id, {_SQL_SH_HASHES} AS sh_h FROM ssh
+      ),
+      ssig AS (
+        SELECT doc_id, {", ".join(_sql_minhash(j) for j in range(8))}
+        FROM shash
+      ),
+      sban AS MATERIALIZED (
+        SELECT doc_id, unnest([
+          '0|' || CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR),
+          '1|' || CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR),
+          '2|' || CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR),
+          '3|' || CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)
+        ]) AS band_key
+        FROM ssig
+      ),
+      shot AS (
+        SELECT band_key FROM sban GROUP BY band_key HAVING COUNT(*) > 64
+      ),
+      sdup AS (
+        SELECT DISTINCT n.doc_id
+        FROM sban n
+        JOIN sban p ON p.band_key = n.band_key AND p.doc_id < n.doc_id
+        JOIN ssh sa ON sa.doc_id = n.doc_id
+        JOIN ssh sb ON sb.doc_id = p.doc_id
+        WHERE p.band_key NOT IN (SELECT band_key FROM shot)
+          AND 10 * len(list_intersect(sa.shingles, sb.shingles))
+              >= 6 * (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)))
+      )
+      SELECT d.doc_id,
+             CAST(CASE WHEN u.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS admitted
+      FROM sdocs d LEFT JOIN sdup u ON u.doc_id = d.doc_id
+    ) s
     """,
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,10 +393,30 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_l.alias("session_end_us"),
         )
     )
+    # 'sneardup' family (round 5): single-batch streaming LSH admission
+    # — a fifth real streaming execution; see the wrapper's docstring
+    # for why one batch makes an exact value oracle possible.
+    from ..streaming.dedup_lsh import streaming_neardup_admissions_table
+
+    sneardup = streaming_neardup_admissions_table(spark, sf_dir).select(
+        F.lit("sneardup").alias("family"),
+        null_l.alias("bucket_s"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("admitted").cast("long").alias("n_events"),
+        null_l.alias("value_c"),
+        null_l.alias("purchase_id"),
+        F.col("doc_id").alias("user_id"),
+        null_l.alias("purchase_epoch_s"),
+        null_l.alias("click_id"),
+        null_l.alias("gap_s"),
+        null_l.alias("session_start_us"),
+        null_l.alias("session_end_us"),
+    )
     return (
         tumbling.unionByName(sjoin)
         .unionByName(sessions)
         .unionByName(quality)
+        .unionByName(sneardup)
     )
 
 

@@ -246,3 +246,60 @@ def run_streaming_neardup_dedup(
             f"{doc_schema}, shingles array<string>, bands array<string>",
         )
     return spark.read.parquet(store_path)
+
+
+def streaming_neardup_admissions_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-gate wrapper ('sneardup' family of
+    plans/events.streaming_tumbling_hourly): the corpus plus
+    deterministic synthesized near-dups (doc_id % 7 -> +1000000 with the
+    tail marker — the _NEARDUP_DOCS_SQL recipe) lands as ONE parquet
+    file-batch and runs through :func:`run_streaming_neardup_dedup`;
+    returns (doc_id, admitted INT).
+
+    Single-batch ON PURPOSE: with one batch the admission rule
+    degenerates to "dup iff some smaller doc shares an uncapped
+    (prior-side) band bucket and verifies at Jaccard >= 0.6" — an
+    order-free predicate a SQL oracle states exactly. Multi-batch
+    admission is GREEDY (a doc dropped against the store cannot veto
+    later arrivals), which no order-insensitive oracle can express —
+    that behavior is pinned by test_streaming_neardup's batch-parity
+    tests instead. The temp landing/store dirs are deleted before
+    returning (result eagerly checkpointed first)."""
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail marker")).alias(
+            "text"
+        ),
+    )
+    docs = base.unionByName(synth)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_sneardup_")
+    try:
+        landing = os.path.join(tmp, "landing")
+        docs.coalesce(1).write.parquet(landing)
+        store = os.path.join(tmp, "store")
+        admitted = run_streaming_neardup_dedup(spark, landing, store)
+        out = (
+            docs.select("doc_id")
+            .join(
+                admitted.select(
+                    "doc_id", F.lit(1).alias("admitted")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("admitted"), F.lit(0)).alias("admitted"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
