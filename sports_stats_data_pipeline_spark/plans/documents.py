@@ -218,6 +218,26 @@ _SQL_KEPT_BLOCKS = f"""
       FROM scored
     ), bp AS (
       SELECT *, {_SQL_KEPT_BLOCKS} AS kept_blocks FROM finger
+    ), fh_sparse AS (
+      SELECT doc_id, bucket, SUM(w) AS weight FROM (
+        SELECT doc_id,
+               list_aggregate(list_transform(range(1, 15), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(tok), CAST(i AS INT), 1)) - 1)
+                 * CAST(pow(16, 14 - i) AS BIGINT)), 'sum') % 512
+                 AS bucket,
+               CASE WHEN substr(md5(tok), 15, 1) >= '8'
+                    THEN 1 ELSE -1 END AS w
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+          FROM documents
+        ) WHERE tok <> ''
+      ) GROUP BY doc_id, bucket HAVING SUM(w) <> 0
+    ), fh AS (
+      SELECT doc_id, COUNT(*) AS fh_nnz,
+             CAST(SUM(ABS(weight)) AS BIGINT) AS fh_l1,
+             CAST(SUM(bucket * weight) AS BIGINT) AS fh_checksum
+      FROM fh_sparse GROUP BY doc_id
     )
     SELECT doc_id, lang, n_chars, n_tokens, n_stopwords,
            CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
@@ -255,8 +275,11 @@ _SQL_KEPT_BLOCKS = f"""
              AS main_n_chars,
            CAST(length({sql_normalize_text('text')}) AS INTEGER)
              AS norm_n_chars,
-           CAST(len(kept_blocks) AS INTEGER) AS n_content_blocks
-    FROM bp
+           CAST(len(kept_blocks) AS INTEGER) AS n_content_blocks,
+           CAST(COALESCE(fh.fh_nnz, 0) AS BIGINT) AS fh_nnz,
+           CAST(COALESCE(fh.fh_l1, 0) AS BIGINT) AS fh_l1,
+           CAST(COALESCE(fh.fh_checksum, 0) AS BIGINT) AS fh_checksum
+    FROM bp LEFT JOIN fh USING (doc_id)
     """,
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +307,10 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct over split lines for the duplicate-line fraction in
     integer basis points."""
     from ..functions.text import tokens
+    from ..operators.featurehash import (
+        hashed_feature_stats,
+        hashed_features,
+    )
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -382,6 +409,25 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(extract_main_text(html_aug)).alias("main_n_chars"),
         F.length(normalize_text("text")).alias("norm_n_chars"),
         F.size(main_text_blocks(html_aug)).alias("n_content_blocks"),
+    ).join(
+        # fh_* columns (round 5): operators.featurehash digest — the
+        # hashing-trick vectorizer's per-doc (nnz, l1, checksum) pins
+        # the whole signed sparse vector cross-engine without shipping
+        # it. A doc whose tokens all cancel keeps 0s via the left join.
+        hashed_feature_stats(
+            hashed_features(docs, "text", dim=512), id_col="doc_id"
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "*",
+    ).withColumn(
+        "fh_nnz", F.coalesce(F.col("fh_nnz"), F.lit(0)).cast("long")
+    ).withColumn(
+        "fh_l1", F.coalesce(F.col("fh_l1"), F.lit(0)).cast("long")
+    ).withColumn(
+        "fh_checksum",
+        F.coalesce(F.col("fh_checksum"), F.lit(0)).cast("long"),
     )
 
 
