@@ -96,7 +96,16 @@ def _prepare(edges: DataFrame, src: str, dst: str):
     return nodes, contrib_edges, n
 
 
-def _loop(nodes, contrib_edges, n, iterations, *, fixed: bool, damping: float):
+def _loop(
+    nodes,
+    contrib_edges,
+    n,
+    iterations,
+    *,
+    fixed: bool,
+    damping: float,
+    init_ranks=None,
+):
     if n == 0:  # empty edge list: no nodes, typed empty result
         out = nodes.select(
             "node",
@@ -114,7 +123,27 @@ def _loop(nodes, contrib_edges, n, iterations, *, fixed: bool, damping: float):
         base = F.lit((1.0 - damping) / n)
         init = F.lit(1.0 / n)
         rank_t = "double"
-    ranks = nodes.select("node", "dangling", init.cast(rank_t).alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select(
+            "node", "dangling", init.cast(rank_t).alias("rank")
+        )
+    else:
+        ranks = (
+            nodes.join(
+                init_ranks.select(
+                    F.col("node"), F.col("rank").alias("__init")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                "dangling",
+                F.coalesce(
+                    F.col("__init").cast(rank_t), F.lit(0).cast(rank_t)
+                ).alias("rank"),
+            )
+        )
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         dang = ranks.filter("dangling").agg(
@@ -167,12 +196,30 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
-    """Double-precision PageRank; returns (node, rank DOUBLE)."""
+    """Double-precision PageRank; returns (node, rank DOUBLE).
+
+    ``init_ranks`` (node, rank) warm-starts the iteration — pass a
+    previous run's output to RESUME a long job after k rounds instead
+    of restarting: ``pagerank(e, iterations=a+b)`` equals
+    ``pagerank(e, iterations=b, init_ranks=pagerank(e, iterations=a))``
+    exactly in fixed-point mode and to float associativity in double
+    mode. Nodes missing from ``init_ranks`` start at 0 (they received
+    no mass yet); extra nodes in it are ignored.
+    """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     nodes, contrib_edges, n = _prepare(edges, src, dst)
-    return _loop(nodes, contrib_edges, n, iterations, fixed=False, damping=damping)
+    return _loop(
+        nodes,
+        contrib_edges,
+        n,
+        iterations,
+        fixed=False,
+        damping=damping,
+        init_ranks=init_ranks,
+    )
 
 
 def pagerank_fixedpoint(
@@ -181,14 +228,26 @@ def pagerank_fixedpoint(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic BIGINT PageRank (damping 85/100, mass ``SCALE``);
     returns (node, rank BIGINT) bit-identical across engines and
-    partitionings. Pair with :func:`pagerank_fixedpoint_sql`."""
+    partitionings. Pair with :func:`pagerank_fixedpoint_sql`.
+    ``init_ranks`` resumes from a previous run's output (see
+    :func:`pagerank`) — bit-exact: k1+k2 rounds == k2 rounds warm-
+    started from k1 rounds' ranks."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     nodes, contrib_edges, n = _prepare(edges, src, dst)
-    return _loop(nodes, contrib_edges, n, iterations, fixed=True, damping=0.85)
+    return _loop(
+        nodes,
+        contrib_edges,
+        n,
+        iterations,
+        fixed=True,
+        damping=0.85,
+        init_ranks=init_ranks,
+    )
 
 
 def pagerank_fixedpoint_cte_parts(

@@ -122,3 +122,18 @@ def test_bad_iterations_rejected(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank_fixedpoint_sql("SELECT 1 AS src, 2 AS dst", 0)
+
+
+def test_warm_start_resumes_bit_exact(spark):
+    """k1+k2 rounds in one run == k2 rounds warm-started from k1
+    rounds' output — the restartability contract for long jobs."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    full = sorted(map(tuple, pagerank_fixedpoint(df, iterations=5).collect()))
+    first = pagerank_fixedpoint(df, iterations=2)
+    resumed = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(df, iterations=3, init_ranks=first).collect(),
+        )
+    )
+    assert resumed == full
