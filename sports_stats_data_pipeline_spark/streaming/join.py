@@ -52,7 +52,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import EVENTS_RAW_SCHEMA
+from .pipeline import EVENTS_RAW_SCHEMA, stage_parquet
 
 
 def _stage_with_typed_flush(spark: SparkSession, sf_dir: str) -> str:
@@ -60,10 +60,7 @@ def _stage_with_typed_flush(spark: SparkSession, sf_dir: str) -> str:
     sentinel (see module docstring for why the untyped ``__flush__``
     row cannot advance a stream-stream join's watermark)."""
     staging = tempfile.mkdtemp(prefix="events_join_flush_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(staging, "events.parquet"),
-    )
+    stage_parquet(os.path.join(sf_dir, "events.parquet"), staging)
     flush_ts = datetime.datetime(2100, 1, 1)
     spark.createDataFrame(
         [

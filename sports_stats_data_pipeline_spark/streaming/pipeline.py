@@ -65,6 +65,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLUSH_TYPE = "__flush__"
 
 
+def stage_parquet(src: str, staging: str) -> None:
+    """Copy a parquet table into a staging dir, accepting BOTH shapes:
+    a single file (the driver testdata) or a Spark-written DIRECTORY of
+    part files (every real corpus). Directory mode stages the data
+    files only — _SUCCESS/.crc bookkeeping would read as zero-row
+    parquet and the file stream errors on them."""
+    import shutil
+
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(staging, f))
+    else:
+        shutil.copy(src, os.path.join(staging, os.path.basename(src)))
+
+
 def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events file plus one far-future sentinel event.
 
@@ -77,10 +93,7 @@ def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     staging = tempfile.mkdtemp(prefix="events_flush_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(staging, "events.parquet"),
-    )
+    stage_parquet(os.path.join(sf_dir, "events.parquet"), staging)
     # 2100-01-01 — beyond any corpus event time. Naive datetime into an
     # LTZ column = wall clock in the session TZ (pinned UTC).
     import datetime
