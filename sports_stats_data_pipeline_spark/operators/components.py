@@ -73,6 +73,12 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
     ).persist()
+    # plain DataFrame.unpersist is a silent no-op on localCheckpoint
+    # state (operators/iterutil.py) — each round frees the previous
+    # round's blocks through the explicit handle instead.
+    from .iterutil import eager_checkpoint
+
+    free_labels = labels.unpersist
 
     try:
         for _ in range(max_rounds):
@@ -80,11 +86,10 @@ def connected_components(
             prop = sym.join(
                 labels.withColumnRenamed("id", "u"), "u"
             ).select(F.col("v").alias("id"), "lbl")
-            new_labels = (
+            new_labels, free_new = eager_checkpoint(
                 labels.unionByName(prop)
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -93,13 +98,16 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
+            free_labels()
             labels = new_labels
+            free_labels = free_new
             if changed == 0:
+                # the final round's blocks stay pinned: the returned
+                # relation reads them
                 return labels.select(
                     F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
                 )
-        labels.unpersist()
+        free_labels()
         raise RuntimeError(
             f"connected_components: no fixpoint within {max_rounds} rounds "
             "(component diameter too deep — use small-star/large-star)"
@@ -144,8 +152,10 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    from .iterutil import eager_checkpoint
+
+    E, free_e = eager_checkpoint(E)
     for _ in range(max_rounds):
         # ---- large-star: emit (v, m(u)) for every v ∈ Γ(u), v > u
         sym = E.unionByName(
@@ -170,13 +180,12 @@ def connected_components_star(
             .distinct()
         )
         m2 = down.groupBy("u").agg(F.min("v").alias("m"))
-        new_e = (
+        new_e, free_new = eager_checkpoint(
             down.join(m2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # fixpoint = edge set unchanged (both canonical downward
         # sets; two existence probes, LIMIT 1 each, not full counts)
@@ -185,10 +194,12 @@ def connected_components_star(
             and E.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
         )
         # new_e is materialized — safe to drop the previous round's
-        # blocks. The FINAL E must stay cached: the returned DataFrame
-        # reads its checkpointed blocks (no lineage to recompute from).
-        E.unpersist()
+        # blocks (explicit handle; DataFrame.unpersist would silently
+        # no-op on checkpoint state). The FINAL E must stay cached: the
+        # returned DataFrame reads its checkpointed blocks.
+        free_e()
         E = new_e
+        free_e = free_new
         if stable:
             roots = E.groupBy("u").agg(F.min("v").alias("cluster_id"))
             return (
@@ -201,7 +212,7 @@ def connected_components_star(
                     ),
                 )
             )
-    E.unpersist()
+    free_e()
     raise RuntimeError(
         f"connected_components_star: no fixpoint within {max_rounds} "
         "rounds (should be ~log² n — check for pathological input)"

@@ -77,6 +77,13 @@ def mad_outliers(
             f"value column {value!r} must be integral, got {t}; convert "
             "to integer units (cents/micros) first"
         )
+    clash = {"med", "dev", "mad", "is_outlier"} & set(df.columns)
+    if clash:
+        # the join-back would otherwise raise AMBIGUOUS_REFERENCE (or
+        # silently shadow) — fail with a nameable cause instead
+        raise ValueError(
+            f"mad_outliers output columns collide with input: {sorted(clash)}"
+        )
     keys = list(group_by)
     if not keys:
         df = df.withColumn("__g", F.lit(1))
@@ -150,6 +157,11 @@ def winsorize(
     if t not in ("int", "bigint", "smallint", "tinyint"):
         raise ValueError(
             f"value column {value!r} must be integral, got {t}"
+        )
+    clash = {"lo", "hi", f"{value}_w"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"winsorize output columns collide with input: {sorted(clash)}"
         )
     keys = list(group_by)
     if not keys:

@@ -39,6 +39,10 @@ Scale design (100 TB graph):
   plan growing linearly with rounds, and ~10 rounds of join+agg lineage
   is enough to stall the optimizer. Lost-executor recovery restarts the
   job from the last checkpoint, the documented trade for iterative ops.
+  Each round explicitly releases the previous round's checkpoint blocks
+  through operators/iterutil.eager_checkpoint — a plain
+  ``DataFrame.unpersist()`` is a silent no-op on localCheckpoint state,
+  which would pin k copies of the rank relation over k rounds.
 """
 
 from __future__ import annotations
@@ -144,7 +148,9 @@ def _loop(
                 ).alias("rank"),
             )
         )
-    ranks = ranks.localCheckpoint(eager=True)
+    from .iterutil import eager_checkpoint
+
+    ranks, free_prev = eager_checkpoint(ranks)
     for _ in range(iterations):
         dang = ranks.filter("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("s")
@@ -180,9 +186,13 @@ def _loop(
                 .alias("rank"),
             )
         )
-        prev = ranks
-        ranks = new_ranks.localCheckpoint(eager=True)
-        prev.unpersist()
+        ranks, free_new = eager_checkpoint(new_ranks)
+        # really release the previous round's checkpoint blocks —
+        # DataFrame.unpersist() is a no-op on localCheckpoint state
+        # (operators/iterutil.py); the FINAL round's blocks stay pinned
+        # because the returned relation reads them.
+        free_prev()
+        free_prev = free_new
     out = ranks.select("node", "rank")
     nodes.unpersist()
     contrib_edges.unpersist()

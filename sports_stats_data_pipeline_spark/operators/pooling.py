@@ -38,12 +38,18 @@ def mean_pool_micro(
     *,
     scale: int = 1_000_000,
 ) -> DataFrame:
-    """(group, n_vecs, sum_micro ARRAY<LONG>, mean ARRAY<DOUBLE>).
+    """(group, n_vecs, ragged INT, sum_micro ARRAY<LONG>,
+    mean ARRAY<DOUBLE>).
 
     ``sum_micro`` is the exact integer component sum (the cross-engine
-    verifiable artifact); ``mean`` = sum_micro / (n_vecs * scale)
-    componentwise — one division per component on agreed integers.
-    Vectors must share one dimension per group; NULL vectors are
+    verifiable artifact); ``mean`` divides EACH component by its own
+    observation count — for equal-dim groups that is the ordinary
+    vector mean, and for ragged input (mixed dims, NULL components)
+    every component is still the true mean of the values that exist
+    rather than a silently deflated number. ``ragged`` = 1 flags such
+    groups (``n_vecs`` is the max per-component count) so callers that
+    REQUIRE rectangular input can assert ``ragged == 0`` instead of
+    consuming plausible-but-unintended numbers. NULL vectors are
     skipped (rows with no surviving vector emit nothing).
     """
     if scale < 1:
@@ -63,28 +69,31 @@ def mean_pool_micro(
         )
     )
     per_idx = exploded.groupBy("grp", "idx").agg(
-        F.sum("micro").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum("micro").alias("s"),
+        # count only values that EXIST at this component (NULL array
+        # elements are skipped by sum but would inflate count(1))
+        F.count("micro").alias("n"),
     )
     return (
         per_idx.groupBy("grp")
         .agg(
-            # every component sees every vector, so any idx's count is
-            # the group's vector count; min = deterministic pick
-            F.min("n").alias("n_vecs"),
+            F.max("n").alias("n_vecs"),
+            (F.min("n") != F.max("n")).cast("int").alias("ragged"),
             F.array_sort(
-                F.collect_list(F.struct("idx", "s"))
+                F.collect_list(F.struct("idx", "s", "n"))
             ).alias("pairs"),
         )
         .select(
             F.col("grp").alias(group_by),
             "n_vecs",
+            "ragged",
             F.transform(F.col("pairs"), lambda p: p["s"]).alias(
                 "sum_micro"
             ),
+            # per-component division by that component's own count
             F.transform(
                 F.col("pairs"),
-                lambda p: p["s"].cast("double")
-                / (F.col("n_vecs") * F.lit(scale)),
+                lambda p: p["s"].cast("double") / (p["n"] * F.lit(scale)),
             ).alias("mean"),
         )
     )

@@ -108,6 +108,17 @@ def write_snapshot(
     prev_count = 0
     if mode == "append" and vs:
         prev = _load_manifest(table, vs[-1])
+        if prev["schema_ddl"] != df.schema.simpleString():
+            # a mixed-schema version would read back with columns
+            # resolved from whichever file's footer wins — refuse
+            # loudly (schema evolution is operators/schema_evolution's
+            # job: conform the batch first, then append)
+            shutil.rmtree(data_dir)
+            raise ValueError(
+                f"append schema mismatch at {table}: v{vs[-1]} has "
+                f"{prev['schema_ddl']}, batch has "
+                f"{df.schema.simpleString()}"
+            )
         prev_files = prev["files"]
         prev_count = prev["count"]
     # count the WRITTEN files, not df: re-counting df would re-run its

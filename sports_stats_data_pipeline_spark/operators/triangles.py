@@ -44,7 +44,13 @@ def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFr
     """All triangles of the undirected simple graph, one row each, as
     (x, y, z) with x < y < z. Self-loops and edge direction/multiplicity
     are ignored."""
-    und = _normalized(edges, src, dst)
+    return _triangles_from_und(_normalized(edges, src, dst))
+
+
+def _triangles_from_und(und: DataFrame) -> DataFrame:
+    """Triangle enumeration over an already-normalized (u < v, distinct)
+    edge relation — shared with triangle_counts so the |E|-sized
+    normalization shuffle runs once, not once per consumer."""
     deg = (
         und.select(F.col("u").alias("n"))
         .union(und.select(F.col("v").alias("n")))
@@ -106,7 +112,7 @@ def triangle_counts(
         .union(und.select(F.col("v").alias("node")))
         .distinct()
     )
-    tri = triangles(edges, src=src, dst=dst)
+    tri = _triangles_from_und(und)
     member = (
         tri.select(F.col("x").alias("node"))
         .union(tri.select(F.col("y").alias("node")))

@@ -413,13 +413,12 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under 1%. ref_n carries the median, cur_n the MAD (column reuse
     # per the composite convention).
     from ..operators.outliers import mad_outliers
+    from .relational import cents
 
     oz = mad_outliers(
         orders.filter(F.col("o_totalprice").isNotNull()).select(
             "o_orderpriority",
-            F.round(F.col("o_totalprice") * 100)
-            .cast("long")
-            .alias("price_c"),
+            cents("o_totalprice").alias("price_c"),
         ),
         "price_c",
         group_by=["o_orderpriority"],

@@ -270,16 +270,12 @@ def streaming_neardup_admissions_table(
     import shutil
     import tempfile
 
-    from ..sources.tables import load_table
+    # the synthesized near-dup recipe lives in ONE place — it must stay
+    # byte-identical to _NEARDUP_DOCS_SQL for the oracle to hold (lazy
+    # import: plans already imports this module's sibling wrappers)
+    from ..plans.documents import _neardup_docs
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    synth = base.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" near dup tail marker")).alias(
-            "text"
-        ),
-    )
-    docs = base.unionByName(synth)
+    docs = _neardup_docs(spark, sf_dir).select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="spark_graft_sneardup_")
     try:
         landing = os.path.join(tmp, "landing")

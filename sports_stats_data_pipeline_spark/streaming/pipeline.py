@@ -74,9 +74,21 @@ def stage_parquet(src: str, staging: str) -> None:
     import shutil
 
     if os.path.isdir(src):
+        staged = 0
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 shutil.copy(os.path.join(src, f), os.path.join(staging, f))
+                staged += 1
+        if staged == 0:
+            # a partitionBy-written table keeps its data under
+            # key=value SUBdirectories whose pathnames carry column
+            # values — blind recursion would lose those columns, so
+            # fail loudly instead of streaming only the flush sentinel
+            raise ValueError(
+                f"stage_parquet: no top-level part files in {src} — "
+                "partitioned layouts are not stageable as-is; read and "
+                "rewrite unpartitioned first"
+            )
     else:
         shutil.copy(src, os.path.join(staging, os.path.basename(src)))
 

@@ -137,3 +137,17 @@ def test_warm_start_resumes_bit_exact(spark):
         )
     )
     assert resumed == full
+
+
+def test_checkpoint_blocks_released_per_round(spark):
+    """DataFrame.unpersist is a no-op on localCheckpoint state; the loop
+    must use the explicit release handle (operators/iterutil.py) so a
+    k-round run does NOT pin k rank relations."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    pagerank_fixedpoint(df, iterations=6).collect()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    # at most the FINAL round's checkpoint lingers (plus nothing from
+    # the 5 freed rounds; the nodes/edges persists were unpersisted)
+    assert len(after - before) <= 1, sorted(after - before)

@@ -85,7 +85,7 @@ def test_duckdb_twin_on_embeddings(spark):
         SELECT g, idx, SUM(micro) AS s, COUNT(*) AS n
         FROM x GROUP BY g, idx
       )
-      SELECT g, MIN(n) AS n_vecs,
+      SELECT g, MAX(n) AS n_vecs,
              list_transform(
                list_sort(list(struct_pack(idx := idx, s := s))),
                p -> p.s) AS sum_micro
@@ -100,3 +100,27 @@ def test_bad_scale_rejected(spark):
     df = spark.createDataFrame([("a", [1.0])], "g string, v array<double>")
     with pytest.raises(ValueError):
         mean_pool_micro(df, "v", "g", scale=0)
+
+
+def test_ragged_groups_flagged_and_per_component_exact(spark):
+    from sports_stats_data_pipeline_spark.operators.pooling import (
+        mean_pool_micro,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, 4.0, 5.0]),  # extra component
+            ("b", [1.0, None]),      # NULL component
+            ("b", [3.0, 4.0]),
+        ],
+        "g string, v array<double>",
+    )
+    got = {r["g"]: r for r in mean_pool_micro(df, "v", "g").collect()}
+    a = got["a"]
+    assert a["ragged"] == 1 and a["n_vecs"] == 2
+    # idx 0,1 average over 2 vectors; idx 2 over the 1 that has it
+    assert a["mean"] == [2.0, 3.0, 5.0]
+    b = got["b"]
+    assert b["ragged"] == 1
+    assert b["mean"] == [2.0, 4.0]  # NULL component excluded, not zeroed

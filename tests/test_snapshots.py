@@ -108,3 +108,15 @@ def test_writer_race_guard_and_bad_args(spark, tmp_path):
         vacuum_snapshots(t, keep_last=0)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_orders(spark, 0, 100), t)
+    other = _orders(spark, 100, 200).withColumnRenamed(
+        "o_totalprice", "price"
+    )
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        write_snapshot(other, t, mode="append")
+    # the refused batch's data dir was cleaned up; v1 still reads
+    assert [m["version"] for m in list_snapshots(t)] == [1]
+    assert read_snapshot(spark, t).count() == _orders(spark, 0, 100).count()
