@@ -4,7 +4,7 @@ The reference has no streaming runtime, but its incremental design maps to
 micro-batch semantics (SURVEY.md §2.10); these queries are the *batch*
 expression of the windowed operators, with exact DuckDB oracles. The
 ``streaming`` package runs the same logical windows under Structured
-Streaming with watermarks; three of those runs are driver-gated to
+Streaming with watermarks; five of those runs are driver-gated to
 completion against full value oracles in the streaming_tumbling_hourly
 composite (SURVEY.md §5.2).
 
@@ -159,8 +159,8 @@ def events_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# THREE real Structured Streaming executions under one driver slot
-# (family-tagged composite, round 4):
+# FIVE real Structured Streaming executions under one driver slot
+# (family-tagged composite; three in round 4, two more in round 5):
 # - 'tumbling': the 1-hour tumbling aggregation as a file stream
 #   (availableNow, append mode + watermark + end-of-stream flush →
 #   memory sink). Output contract — and oracle branch — identical to
