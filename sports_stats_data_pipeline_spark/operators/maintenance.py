@@ -40,3 +40,56 @@ def parquet_file_count(path: str) -> int:
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def small_file_report(
+    path: str, *, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Compaction advisor: size stats for a parquet table's data files.
+
+    The operational question behind every OPTIMIZE schedule is "has
+    this table fragmented enough to bother?" — at 100 TB, compacting on
+    a timer wastes IO rewriting healthy tables, while never compacting
+    drowns the scheduler in file-open overhead (each file is at least
+    one task and one footer read). Returns::
+
+        {"n_files", "total_bytes", "p50_bytes", "max_bytes",
+         "n_small", "small_fraction_bp", "recommend_compaction"}
+
+    where ``n_small`` counts files under half the ``target_bytes``
+    (Spark's maxPartitionBytes-shaped default, 128 MiB) and the
+    recommendation fires when more than a quarter of files are small —
+    thresholds are starting points, not laws; wire the report into the
+    same batch cadence as operators/expectations and alert on drift.
+
+    Driver-side os.walk, not a Spark job: file metadata for one table
+    is KBs. On object stores, swap in the store's list API.
+    """
+    sizes = sorted(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if not sizes:
+        return {
+            "n_files": 0,
+            "total_bytes": 0,
+            "p50_bytes": 0,
+            "max_bytes": 0,
+            "n_small": 0,
+            "small_fraction_bp": 0,
+            "recommend_compaction": False,
+        }
+    n = len(sizes)
+    n_small = sum(1 for s in sizes if s < target_bytes // 2)
+    frac_bp = (10_000 * n_small) // n
+    return {
+        "n_files": n,
+        "total_bytes": sum(sizes),
+        "p50_bytes": sizes[(n - 1) // 2],
+        "max_bytes": sizes[-1],
+        "n_small": n_small,
+        "small_fraction_bp": frac_bp,
+        "recommend_compaction": frac_bp > 2_500 and n > 1,
+    }
