@@ -64,12 +64,18 @@ def url_hostport(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host with any ``:port`` removed (``www.`` kept —
-    stripping it is a normalization choice, see :func:`normalize_url`).
-    NULL when the URL has no parseable ``scheme://authority`` — an
-    empty-string host would otherwise collect every malformed URL into
-    one per-domain stats bucket."""
-    h = F.lower(F.regexp_replace(url_hostport(url), ":[0-9]+$", ""))
+    """Lowercased host with any leading ``userinfo@`` and trailing
+    ``:port`` removed (``www.`` kept — stripping it is a normalization
+    choice, see :func:`normalize_url`). The userinfo strip keeps
+    ``https://user@example.com/x`` in the same origin bucket as
+    ``https://example.com/x`` — without it, per-domain stats and
+    canonical-URL dedup would split one origin into two. The pattern
+    ``^[^/@?#]*@`` is in the Java-regex/RE2 common subset. NULL when
+    the URL has no parseable ``scheme://authority`` — an empty-string
+    host would otherwise collect every malformed URL into one
+    per-domain stats bucket."""
+    auth = F.regexp_replace(url_hostport(url), "^[^/@?#]*@", "")
+    h = F.lower(F.regexp_replace(auth, ":[0-9]+$", ""))
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 

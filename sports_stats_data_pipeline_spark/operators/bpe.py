@@ -152,9 +152,18 @@ def encode_words_pandas(
     Arrow batches, with a per-task word cache so repeated words cost a
     dict hit (Zipf makes that the common case).
 
-    Exactly equivalent to :func:`encode_words` — both replay merges in
-    rank order with left-to-right non-overlapping application — pinned
-    in tests/test_bpe.py.
+    Exactly equivalent to :func:`encode_words` BY CONSTRUCTION: both
+    replay merges in strictly increasing rank order, one left-to-right
+    non-overlapping pass per merge, never revisiting an earlier rank.
+    (A plain rank-greedy-with-restart loop — re-scan for the global
+    min-rank pair after every merge — is NOT equivalent when a later
+    merge recreates an earlier-rank pair, which can happen when two
+    distinct rules produce the same token string, e.g. ('a','bc') and
+    ('ab','c'); the rank floor below removes that divergence.) The
+    skip-ahead is still O(present pairs), not O(len(merges)), per word:
+    ranks in [floor, best) are provably absent when best is the minimum
+    present rank, so skipping them matches sequential replay's no-op
+    passes. Pinned in tests/test_bpe.py.
     """
     from collections.abc import Iterator
 
@@ -167,16 +176,20 @@ def encode_words_pandas(
 
     def encode_one(word: str) -> list[str]:
         syms = list(word)
+        floor = 0  # never re-apply a rank sequential replay has passed
         while len(syms) > 1:
-            # best-ranked adjacent pair
+            # best-ranked adjacent pair not yet replayed
             best = None
             for i in range(len(syms) - 1):
                 r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best[0]):
+                if r is not None and r >= floor and (
+                    best is None or r < best[0]
+                ):
                     best = (r, syms[i], syms[i + 1])
             if best is None:
                 break
-            _, a, b = best
+            rbest, a, b = best
+            floor = rbest + 1
             # left-to-right non-overlapping replacement of (a, b)
             out, i = [], 0
             while i < len(syms):

@@ -72,6 +72,16 @@ def _versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _resolve(table: str, path: str) -> str:
+    """Manifest paths are stored relative to the table root, so the
+    manifest stays valid when the table is addressed via a different
+    spelling or working directory (a relative ``table`` used to bake
+    the caller's cwd into the manifest, which could mislead a later
+    ``vacuum_snapshots`` into removing live data). Absolute entries
+    (pre-round-6 manifests) resolve as-is."""
+    return path if os.path.isabs(path) else os.path.join(table, path)
+
+
 def _load_manifest(table: str, version: int) -> dict:
     p = os.path.join(_manifest_dir(table), f"v{version}.json")
     if not os.path.exists(p):
@@ -100,7 +110,7 @@ def write_snapshot(
     data_dir = os.path.join(table, "data", f"v{version}")
     df.write.mode("errorifexists").parquet(data_dir)
     files = sorted(
-        os.path.join(data_dir, f)
+        os.path.join("data", f"v{version}", f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
@@ -155,7 +165,7 @@ def read_snapshot(
         raise FileNotFoundError(f"no snapshots at {table}")
     v = vs[-1] if version is None else version
     m = _load_manifest(table, v)
-    return spark.read.parquet(*m["files"])
+    return spark.read.parquet(*(_resolve(table, f) for f in m["files"]))
 
 
 def list_snapshots(table: str) -> list[dict]:
@@ -186,7 +196,7 @@ def vacuum_snapshots(table: str, *, keep_last: int = 1) -> dict:
     referenced: set[str] = set()
     for v in keep:
         for f in _load_manifest(table, v)["files"]:
-            referenced.add(os.path.dirname(os.path.abspath(f)))
+            referenced.add(os.path.dirname(os.path.abspath(_resolve(table, f))))
     removed = []
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):

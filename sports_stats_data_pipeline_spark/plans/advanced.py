@@ -671,6 +671,11 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emit as ISO strings, is_current as 0/1 BIGINT per plans/__init__.py
 # conventions.
 # --------------------------------------------------------------------------
+#: previous invocation's persisted SCD2 history — unpersisted on the
+#: next call so repeated invocations never accumulate cache entries.
+_SCD2_HIST_CACHE: list[DataFrame] = []
+
+
 @REGISTRY.register(
     "scd2_dimension_history",
     oracle="""
@@ -722,7 +727,11 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vs letting groupBy shuffle on (k, d) and the window re-shuffle
     # on k). hist is persisted: both the output and the point-in-time
     # branch consume it, and without the boundary each consumer
-    # re-executes the full chain (verified: 6 exchanges -> 3).
+    # re-executes the full chain (verified: 6 exchanges -> 3). The
+    # persist is bounded, not orphaned: each invocation unpersists the
+    # previous one's hist (below), so the app holds at most ONE pinned
+    # entry regardless of call count. Unpersisting is correctness-safe
+    # — a straggler consumer of a prior plan recomputes from lineage.
     changes = (
         orders.select(
             F.col("o_custkey").alias("k"),
@@ -734,7 +743,10 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "d")
         .agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
     )
+    while _SCD2_HIST_CACHE:
+        _SCD2_HIST_CACHE.pop().unpersist(blocking=False)
     hist = scd2_build(changes, ["k"], ["priority"], "d").persist()
+    _SCD2_HIST_CACHE.append(hist)
     facts = orders.select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts")
     )

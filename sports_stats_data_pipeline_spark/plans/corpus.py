@@ -663,7 +663,10 @@ _DOMAIN_SQL = """
       FROM raw
     ), comp AS (
       SELECT doc_id, url, scheme,
-        lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+        -- userinfo strip mirrors functions/url.url_host (no-op on this
+        -- synthesized corpus, kept for contract parity)
+        lower(regexp_replace(regexp_replace(hostport, '^[^/@?#]*@', ''),
+                             ':[0-9]+$', '')) AS host,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         regexp_extract(pathq, '^([^?]*)', 1) AS path,
         regexp_extract(pathq, '\\?(.*)$', 1) AS query

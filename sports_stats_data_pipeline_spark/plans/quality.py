@@ -176,13 +176,19 @@ _ORACLE = f"""
            CAST(10000 * hh.n // ht.total < 2000 AS INTEGER),
            CAST(NULL AS BIGINT)
     FROM (
+      -- mirror the operator contract exactly: heavy_hitters counts and
+      -- totals NON-NULL values only (NULL markers are dropped before
+      -- the partition summaries), so both sides filter user_id IS NOT
+      -- NULL — equal by construction even if a regenerated corpus
+      -- introduces NULL user_ids.
       SELECT value, COUNT(*) AS n FROM (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'hot_even'
                     WHEN user_id % 3 = 0 THEN 'hot_three'
                     ELSE 'u' || CAST(user_id AS VARCHAR) END AS value
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
       ) GROUP BY value
-    ) hh, (SELECT COUNT(*) AS total FROM events) ht
+    ) hh, (SELECT COUNT(*) AS total FROM events
+           WHERE user_id IS NOT NULL) ht
     WHERE hh.n * 100 > ht.total
     UNION ALL
     SELECT 'reconcile', d.name, d.kind,

@@ -146,3 +146,28 @@ def test_pandas_encoder_null_word_yields_null(spark):
     assert {k: (v if v is None else list(v)) for k, v in expr.items()} == {
         k: (v if v is None else list(v)) for k, v in arrow.items()
     }
+
+
+def test_pandas_encoder_rank_floor_no_restart(spark):
+    """The Arrow encoder must replay merges in strictly increasing rank
+    order (one pass each), NOT restart-greedy. Adversarial merge table:
+    rank 0 ('ab','cd') is recreated by ranks 1-2 on the word 'abcd' —
+    a restart-greedy loop would then apply it ([abcd]); sequential
+    replay (= encode_words by construction) must not ([ab, cd])."""
+    from sports_stats_data_pipeline_spark.operators.bpe import (
+        encode_words,
+        encode_words_pandas,
+    )
+
+    merges = [("ab", "cd"), ("a", "b"), ("c", "d")]
+    words = spark.createDataFrame([("abcd",), ("ababcd",)], "word string")
+    expr = {
+        r["word"]: list(r["bpe_tokens"])
+        for r in encode_words(words, merges).collect()
+    }
+    arrow = {
+        r["word"]: list(r["bpe_tokens"])
+        for r in encode_words_pandas(words, merges).collect()
+    }
+    assert expr["abcd"] == ["ab", "cd"]
+    assert expr == arrow

@@ -271,3 +271,43 @@ def test_url_domain_curation_hostile_source_values(spark, tmp_path):
     # hosts derived from hostile sources are still valid-looking labels
     assert spark_pdf["host"].str.match(r"^[a-z0-9.:-]+$").all()
     assert_frames_match(spark_pdf, oracle_pdf, "url_domain_curation_hostile")
+
+
+def test_userinfo_stripped_from_host_and_normalization(spark):
+    """A userinfo component must not split an origin: url_host drops a
+    leading 'user[:pw]@' from the authority, so per-domain stats and
+    canonical-URL dedup bucket 'https://user@example.com/x' with
+    'https://example.com/x' (round-6 ADVICE fix). Port parsing is
+    unaffected (the port regex anchors at the authority's end)."""
+    rows = [
+        ("https://user@Example.com/x", "example.com", "https://example.com/x"),
+        ("http://u:pw@WWW.example.com:80/a", "www.example.com",
+         "http://example.com/a"),  # url_host keeps www.; normalize strips
+        ("https://u@sub.host.co.uk:8443/p?a=1", "sub.host.co.uk",
+         "https://sub.host.co.uk:8443/p?a=1"),
+        ("https://example.com/has@sign", "example.com",
+         "https://example.com/has@sign"),  # '@' in path is NOT userinfo
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(rows)], "i long, u string"
+    )
+    got = {
+        r["i"]: (r["h"], r["n"], r["d"])
+        for r in df.select(
+            "i",
+            url_host("u").alias("h"),
+            normalize_url("u").alias("n"),
+            registered_domain(url_host("u")).alias("d"),
+        ).collect()
+    }
+    for i, (u, host, norm) in enumerate(rows):
+        assert got[i][0] == host, (u, got[i])
+        assert got[i][1] == norm, (u, got[i])
+    assert got[0][2] == "example.com"
+    # port survives userinfo: u@host:8443 -> 8443
+    p = (
+        spark.createDataFrame([("https://u@h.org:8443/",)], "u string")
+        .select(url_port("u").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert p == "8443"
