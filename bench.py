@@ -58,6 +58,37 @@ HEADLINE = (
     "simhash_neardup_pairs",
 )
 
+#: extended tier (round 6): every round-4/5 operator family that had no
+#: recorded time budget — graph analytics (PageRank/triangles inside
+#: neardup_doc_clusters), attribution (asof_join_purchase_click),
+#: cohort retention (events_props_pivot), SCD2, interval join, the
+#: quality report (expectations/drift/heavy-hitters/reconcile/outliers),
+#: skew join, gap-fill, grouping sets, text/corpus pipelines, BM25,
+#: sketch marts, sharding, span dedup. Totaled SEPARATELY so the
+#: 12-query headline series stays comparable across rounds; timed with
+#: one warmup + one measured pass (regression detection, not
+#: steady-state estimation — a real regression dwarfs scheduler noise).
+EXTENDED = (
+    "neardup_doc_clusters",
+    "asof_join_purchase_click",
+    "events_props_pivot",
+    "scd2_dimension_history",
+    "orders_by_period_rangejoin",
+    "data_quality_report",
+    "customers_above_nation_avg",
+    "rollup_cube_grouping",
+    "events_resample_ffill",
+    "outer_join_family",
+    "set_ops_semi_anti",
+    "url_domain_curation",
+    "doc_text_profile",
+    "corpus_quality_filter",
+    "lexical_search_bm25",
+    "incremental_mart_maintenance",
+    "corpus_mix_split_shards",
+    "span_redaction_stats",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +129,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # extended tier: one warmup + one timed pass per query (see EXTENDED
+    # doc comment). Runs AFTER the headline timings so its load never
+    # pollutes the comparable series.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = reg.queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
     print(
         json.dumps(
             {
@@ -105,6 +150,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
             }
         )
