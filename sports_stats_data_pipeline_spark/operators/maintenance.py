@@ -15,7 +15,13 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: a file under half the target size counts as "small"; compaction is
+#: recommended when more than this fraction (basis points) of a table's
+#: files are small. Shared by the directory-walk and relation variants.
+SMALL_FRACTION_GATE_BP = 2_500
 
 
 def compact_parquet(
@@ -91,5 +97,66 @@ def small_file_report(
         "max_bytes": sizes[-1],
         "n_small": n_small,
         "small_fraction_bp": frac_bp,
-        "recommend_compaction": frac_bp > 2_500 and n > 1,
+        "recommend_compaction": frac_bp > SMALL_FRACTION_GATE_BP and n > 1,
     }
+
+
+def small_file_report_df(
+    files: DataFrame,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    size_col: str = "bytes",
+) -> DataFrame:
+    """:func:`small_file_report`'s decision logic over a ``(file,
+    bytes)`` RELATION instead of a local directory walk — the form the
+    advisor takes at 100 TB, where the inventory is itself a table
+    (S3 Inventory exports, Iceberg/Delta manifests, the snapshots
+    module's file lists) rather than something the driver can os.walk.
+
+    One row: ``n_files, total_bytes, p50_bytes, max_bytes, n_small,
+    small_fraction_bp, recommend_compaction`` (all BIGINT; the
+    recommendation as 0/1), bit-identical to the dict variant on the
+    same sizes. ``p50_bytes`` is the lower median (``sizes[(n-1)//2]``)
+    — rank-based, so it needs one sort of the INVENTORY (metadata
+    scale: ~1 row per data file, KBs per million files), never of the
+    data. Empty inventory -> empty relation (callers branch on it).
+    """
+    half = target_bytes // 2
+    sizes = files.select(F.col(size_col).cast("long").alias("b"))
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("b").alias("total_bytes"),
+        F.max("b").alias("max_bytes"),
+        F.sum((F.col("b") < half).cast("long")).alias("n_small"),
+    )
+    ranked = sizes.select(
+        "b",
+        F.row_number().over(Window.orderBy("b")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p50 = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("b").alias("p50_bytes"))
+    frac_bp = F.floor(
+        F.lit(10_000) * F.col("n_small") / F.col("n_files")
+    ).cast("long")
+    return (
+        stats.crossJoin(F.broadcast(p50))
+        .withColumn("small_fraction_bp", frac_bp)
+        .withColumn(
+            "recommend_compaction",
+            (
+                (F.col("small_fraction_bp") > SMALL_FRACTION_GATE_BP)
+                & (F.col("n_files") > 1)
+            ).cast("long"),
+        )
+        .select(
+            "n_files",
+            "total_bytes",
+            "p50_bytes",
+            "max_bytes",
+            "n_small",
+            "small_fraction_bp",
+            "recommend_compaction",
+        )
+    )

@@ -10,14 +10,33 @@ round-trip differently through the two engines' pandas bridges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_PRIME
 from ..sources.tables import load_table
 from . import QueryRegistry
 from .relational import cents
 
 REGISTRY = QueryRegistry()
+
+#: CMS leg of expression_profile_orders (width × depth; small enough
+#: that the oracle's SQL twin stays cheap, wide enough that the five
+#: priority values rarely collide — and when they do, BOTH engines
+#: over-count identically, so the hash still matches).
+_CMS_W, _CMS_D = 64, 4
+
+
+def _cms_cells_sql(value_expr: str) -> str:
+    """DuckDB fragment: the depth flattened counter indices of
+    ``value_expr`` under operators/cms.py's md5 + Carter-Wegman hash
+    family — textually mirrors cms._cell."""
+    base = f"(('0x' || substr(md5({value_expr}), 1, 8))::BIGINT)"
+    return ", ".join(
+        f"({r} * {_CMS_W} + (({MINHASH_A[r]} * {base} + {MINHASH_B[r]})"
+        f" % {MINHASH_PRIME}) % {_CMS_W})"
+        for r in range(_CMS_D)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -314,6 +333,12 @@ _EXPR_VALUES = ", ".join(
 @REGISTRY.register(
     "expression_profile_orders",
     oracle=f"""
+    WITH cms_agg AS MATERIALIZED (
+      SELECT cell, COUNT(*) AS cnt FROM (
+        SELECT unnest([{_cms_cells_sql("o_orderpriority")}]) AS cell
+        FROM orders WHERE o_orderpriority IS NOT NULL
+      ) GROUP BY cell
+    )
     SELECT id,
       (a IS NOT DISTINCT FROM b) AS null_safe_eq,
       -- three-valued logic surfaced as ints: NULL booleans round-trip as
@@ -326,7 +351,7 @@ _EXPR_VALUES = ", ".join(
       CASE WHEN a IS NULL AND b IS NULL THEN 'both-null'
            WHEN a IS NULL OR b IS NULL THEN 'one-null'
            WHEN a = b THEN 'equal' ELSE 'differ' END AS shape,
-      p.*, m.*
+      p.*, m.*, c.*
     FROM (VALUES {_EXPR_VALUES}) AS t(id, a, b)
     CROSS JOIN (
       SELECT COUNT(*) AS n_rows,
@@ -353,13 +378,39 @@ _EXPR_VALUES = ", ".join(
         FROM lineitem
       )
     ) m
+    CROSS JOIN (
+      -- CMS lifecycle twin: estimates = min over the depth rows'
+      -- counters at the value's cells (0 when the cell was never hit);
+      -- merge bit-exactness is arithmetic identity on the oracle side
+      -- (elementwise half sums == whole), emitted as the contract
+      -- constant the Spark side must COMPUTE its way to.
+      SELECT
+        MIN(CASE WHEN v = '1-URGENT' THEN e END) AS cms_est_urgent,
+        MIN(CASE WHEN v = '5-LOW' THEN e END) AS cms_est_low,
+        MIN(CASE WHEN v = '9-ABSENT' THEN e END) AS cms_est_absent,
+        CAST(1 AS INTEGER) AS cms_merge_bit_exact,
+        (SELECT COUNT(o_orderpriority) FROM orders) AS cms_row0_total
+      FROM (
+        SELECT v, MIN(COALESCE(a2.cnt, 0)) AS e
+        FROM (
+          SELECT v, unnest([{_cms_cells_sql("v")}]) AS cell
+          FROM (SELECT unnest(['1-URGENT', '5-LOW', '9-ABSENT']) AS v)
+        ) q LEFT JOIN cms_agg a2 USING (cell)
+        GROUP BY v
+      )
+    ) c
     """,
 )
 def expression_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two demos, one slot: §2.8 conditionals over literals + the
+    """Three demos, one slot: §2.8 conditionals over literals + the
     one-pass column profile (data-quality operator every large pipeline
     runs before training — null counts, min/max, distincts in a single
-    aggregate, no per-column passes)."""
+    aggregate, no per-column passes) + the Count-Min sketch lifecycle
+    (round 6: build over o_orderpriority, split-by-parity halves merged
+    bit-exactly back to the whole — THE property that makes the mart
+    incremental — and point estimates for two present values and one
+    absent value, all mirrored in the oracle via the cross-engine md5
+    hash family of operators/cms.py)."""
     df = spark.createDataFrame(_EXPR_ROWS, schema="id int, a int, b int")
     a, b = F.col("a"), F.col("b")
     cond = df.select(
@@ -408,8 +459,60 @@ def expression_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return cond.crossJoin(F.broadcast(profile)).crossJoin(
-        F.broadcast(moments)
+    from ..operators.cms import cms_build, cms_estimate, cms_merge
+
+    keyed = orders.select(
+        F.lit(1).alias("g"),
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    whole = cms_build(
+        keyed, ["g"], "o_orderpriority", width=_CMS_W, depth=_CMS_D
+    )
+    h0 = cms_build(
+        keyed.filter(F.col("half") == 0),
+        ["g"],
+        "o_orderpriority",
+        width=_CMS_W,
+        depth=_CMS_D,
+    ).withColumnRenamed("cms", "c0")
+    h1 = cms_build(
+        keyed.filter(F.col("half") == 1),
+        ["g"],
+        "o_orderpriority",
+        width=_CMS_W,
+        depth=_CMS_D,
+    ).withColumnRenamed("cms", "c1")
+
+    def est(v: str) -> Column:
+        return cms_estimate(
+            F.col("cms"), F.lit(v), width=_CMS_W, depth=_CMS_D
+        )
+
+    cms_row = (
+        whole.join(h0, "g")
+        .join(h1, "g")
+        .select(
+            est("1-URGENT").alias("cms_est_urgent"),
+            est("5-LOW").alias("cms_est_low"),
+            est("9-ABSENT").alias("cms_est_absent"),
+            # bit-exact mergeability, computed (not assumed) on the
+            # Spark side; the oracle emits the contract constant 1
+            (F.col("cms") == cms_merge(F.col("c0"), F.col("c1")))
+            .cast("int")
+            .alias("cms_merge_bit_exact"),
+            # row-0 counter total == #non-null inputs (build invariant)
+            F.aggregate(
+                F.slice("cms", 1, _CMS_W),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("cms_row0_total"),
+        )
+    )
+    return (
+        cond.crossJoin(F.broadcast(profile))
+        .crossJoin(F.broadcast(moments))
+        .crossJoin(F.broadcast(cms_row))
     )
 
 

@@ -276,6 +276,54 @@ _ORACLE = f"""
       FROM odev d JOIN omad m USING (o_orderpriority)
       GROUP BY d.o_orderpriority
     ) z
+    UNION ALL
+    SELECT 'small_files', m2.name, 'compaction_advisor',
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(m2.v AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CASE WHEN m2.name = 'recommend_compaction'
+                THEN CAST(m2.v = 0 AS INTEGER)
+                ELSE CAST(NULL AS INTEGER) END,
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH inv AS (
+        SELECT CASE WHEN doc_id % 3 = 0
+                    THEN 'solo_' || CAST(doc_id AS VARCHAR)
+                    ELSE 'pack_' || CAST(doc_id % 16 AS VARCHAR) END
+                 AS file,
+               SUM(length(text)) AS bytes
+        FROM documents WHERE doc_id IS NOT NULL
+        GROUP BY 1
+      ), ranked AS (
+        SELECT bytes, ROW_NUMBER() OVER (ORDER BY bytes) AS rn,
+               COUNT(*) OVER () AS n
+        FROM inv
+      ), s AS (
+        SELECT COUNT(*) AS n_files, SUM(bytes) AS total_bytes,
+               MAX(bytes) AS max_bytes,
+               SUM(CASE WHEN bytes < 2048 THEN 1 ELSE 0 END) AS n_small
+        FROM inv
+      ), med AS (
+        SELECT MIN(bytes) AS p50_bytes FROM ranked
+        WHERE rn = (n + 1) // 2
+      ), rep2 AS (
+        SELECT s.n_files, s.total_bytes, med.p50_bytes, s.max_bytes,
+               s.n_small,
+               (10000 * s.n_small) // s.n_files AS small_fraction_bp,
+               CASE WHEN (10000 * s.n_small) // s.n_files > 2500
+                         AND s.n_files > 1
+                    THEN 1 ELSE 0 END AS recommend_compaction
+        FROM s, med
+      )
+      SELECT 'n_files' AS name, n_files AS v FROM rep2
+      UNION ALL SELECT 'total_bytes', total_bytes FROM rep2
+      UNION ALL SELECT 'p50_bytes', p50_bytes FROM rep2
+      UNION ALL SELECT 'max_bytes', max_bytes FROM rep2
+      UNION ALL SELECT 'n_small', n_small FROM rep2
+      UNION ALL SELECT 'small_fraction_bp', small_fraction_bp FROM rep2
+      UNION ALL SELECT 'recommend_compaction', recommend_compaction
+      FROM rep2
+    ) m2
 """
 
 
@@ -450,10 +498,73 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_l.alias("psi_milli"),
         )
     )
+    # 'small_files' family (round 6): operators.maintenance
+    # small_file_report_df — the compaction advisor's decision logic
+    # over a synthesized file inventory derived from documents (every
+    # 3rd doc is its own "solo" file, the rest pool into 16 "pack"
+    # files), so small AND large files exist at every SF and both
+    # advisor branches execute. target_bytes=4096: solos (~300 B) fall
+    # under the 2 KiB small line, packs (~6 KiB) don't.
+    from ..operators.maintenance import small_file_report_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("solo_"), F.col("doc_id").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("pack_"), (F.col("doc_id") % 16).cast("string")
+                )
+            )
+            .alias("file"),
+            F.length("text").alias("len"),
+        )
+        .groupBy("file")
+        .agg(F.sum("len").alias("bytes"))
+    )
+    adv = small_file_report_df(inv, target_bytes=4096)
+    metric_cols = [
+        "n_files",
+        "total_bytes",
+        "p50_bytes",
+        "max_bytes",
+        "n_small",
+        "small_fraction_bp",
+        "recommend_compaction",
+    ]
+    sf_rows = adv.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in metric_cols]),
+                F.array(*[F.col(c).cast("long") for c in metric_cols]),
+            )
+        ).alias("name", "v")
+    ).select(
+        F.lit("small_files").alias("family"),
+        "name",
+        F.lit("compaction_advisor").alias("kind"),
+        null_i.alias("bin"),
+        null_l.alias("ref_n"),
+        F.col("v").alias("cur_n"),
+        null_l.alias("violations"),
+        null_l.alias("total"),
+        F.when(
+            F.col("name") == "recommend_compaction",
+            (F.col("v") == 0).cast("int"),
+        )
+        .otherwise(null_i)
+        .alias("passed"),
+        null_l.alias("psi_milli"),
+    )
     return (
         rep.unionByName(bins)
         .unionByName(total)
         .unionByName(hh)
         .unionByName(rec)
         .unionByName(out_rows)
+        .unionByName(sf_rows)
     )
