@@ -43,7 +43,13 @@ __all__ = [
 #: measure kind -> (delta aggregator, state combiner). The combiner re-
 #: aggregates the unioned partials; sum/count combine by sum, min/max
 #: by min/max (idempotent under re-combination of disjoint partials);
-#: approx_distinct carries an HLL sketch and combines by sketch union.
+#: approx_distinct carries an HLL sketch and combines by sketch union;
+#: quantile_sketch carries a bottom-k entry sample (source column must
+#: be a struct<h, v> built with operators.quantiles.qsketch_entry) and
+#: combines by bottom-k of the union — serve it at read time with
+#: qsketch_quantile. Like approx_distinct it is replay-IDEMPOTENT: a
+#: replayed delta re-offers the same (h, v) entries, which the
+#: set-semantic bottom-k keeps once.
 AGG_COMBINERS = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
@@ -51,6 +57,15 @@ AGG_COMBINERS = {
     "max": (F.max, F.max),
     "approx_distinct": (F.hll_sketch_agg, F.hll_union_agg),
 }
+
+
+def _register_quantile_kind() -> None:
+    from .quantiles import qsketch_agg, qsketch_combine
+
+    AGG_COMBINERS["quantile_sketch"] = (qsketch_agg, qsketch_combine)
+
+
+_register_quantile_kind()
 
 
 def aggregate_delta(

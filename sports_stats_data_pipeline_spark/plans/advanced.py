@@ -687,10 +687,35 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    HLL is exact at this cardinality (≤ ~84 distinct months per
 #    customer, far under the sketch's dense-mode promotion), so the
 #    estimate must hash-match the exact count.
+# 5. the quantile_sketch measure kind (round 6, operators.quantiles):
+#    the bottom-k entry sample rides the same lifecycle and serves
+#    p50/p90 price at read time; exact regime (group << k) makes the
+#    oracle the exact lower-interpolation rank statistic.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "incremental_mart_maintenance",
     oracle="""
+    WITH pq AS (
+      -- exact lower-interpolation quantiles per customer: the sketch
+      -- keeps ALL rows while the group fits in k=1024 (TPC-H is ~10-25
+      -- orders per customer at EVERY sf), so the mart's served
+      -- percentiles must equal the exact rank statistic
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = (1 * (cnt - 1)) // 2 + 1
+                      THEN price_c END) AS p50_price_c,
+             MIN(CASE WHEN rn = (9 * (cnt - 1)) // 10 + 1
+                      THEN price_c END) AS p90_price_c
+      FROM (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders
+      ) GROUP BY 1
+    )
     SELECT o.o_custkey,
            c.c_mktsegment,
            COUNT(*) AS n_orders,
@@ -698,9 +723,12 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS volume_c,
            CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_price_c,
            CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
-             AS n_active_months
+             AS n_active_months,
+           MIN(pq.p50_price_c) AS p50_price_c,
+           MIN(pq.p90_price_c) AS p90_price_c
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN pq ON pq.o_custkey = o.o_custkey
     GROUP BY 1, 2
     """,
 )
@@ -710,11 +738,20 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bucketing import bucketed_join, write_bucketed
     from ..operators.incremental import aggregate_delta, merge_aggregate_state
     from ..operators.maintenance import compact_parquet
+    from ..operators.quantiles import qsketch_entry, qsketch_quantile
 
     orders = (
         load_table(spark, sf_dir, "orders")
         .withColumn("price_c", cents("o_totalprice"))
         .withColumn("ts_month", F.date_format("o_orderdate", "yyyy-MM"))
+        # percentile leg (round 6): bottom-k quantile sketch keyed by
+        # the unique order key — exact regime at every TPC-H sf (~10-25
+        # orders per customer << k), so the oracle is the exact rank
+        # statistic. The sketch column rides the WHOLE lifecycle below:
+        # delta combine, parquet write, compaction, bucketed join.
+        .withColumn(
+            "price_q", qsketch_entry(F.col("o_orderkey"), F.col("price_c"))
+        )
     )
     cut = F.lit("1997-01-01").cast("timestamp")
     measures = {
@@ -722,6 +759,7 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume_c": ("sum", "price_c"),
         "max_price_c": ("max", "price_c"),
         "n_active_months": ("approx_distinct", "ts_month"),
+        "price_sample": ("quantile_sketch", "price_q"),
     }
     state = aggregate_delta(
         orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
@@ -752,6 +790,8 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume_c",
         "max_price_c",
         F.hll_sketch_estimate("n_active_months").alias("n_active_months"),
+        qsketch_quantile("price_sample", 1, 2).alias("p50_price_c"),
+        qsketch_quantile("price_sample", 9, 10).alias("p90_price_c"),
     )
 
 
