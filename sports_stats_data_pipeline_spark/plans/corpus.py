@@ -779,6 +779,22 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", url.alias("url"))
     )
     host = url_host("url")
+    # LOUD oracle-regime contract (NOTES watch list -> named assert):
+    # every synthesized URL must parse to a host — the sanitize above
+    # makes that true for any source value, and this check keeps it
+    # true by NAME if a regenerated corpus finds a hole in it (a NULL
+    # host would silently merge rows into the '' domain bucket on both
+    # sides and shift quota ranks).
+    from .contracts import require
+
+    require(
+        docs.select(host.alias("h"), "doc_id"),
+        F.count(F.lit(1)) == F.count("h"),
+        "url_synth_hosts_parse",
+        "a synthesized URL produced a NULL host (hostname-unsafe "
+        "source survived the sanitizer)",
+        (F.count(F.lit(1)) - F.count("h")).alias("null_hosts"),
+    )
     host_nw = F.regexp_replace(host, "^(www\\.)+", "")
     norm = docs.select(
         "doc_id",

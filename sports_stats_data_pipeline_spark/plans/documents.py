@@ -488,7 +488,27 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scalar columns only: array-typed results (e.g. percentile_approx
     with a literal list) break canonicalization downstream, so p50/p95
     are emitted as separate scalar columns."""
+    from .contracts import require
+
     e = load_table(spark, sf_dir, "events")
+    # LOUD oracle-regime contract (NOTES watch list -> named assert):
+    # the exact-COUNT(DISTINCT) / quantile_disc oracle is valid only
+    # while every group sits inside both sketches' exact regimes —
+    # HLL lgConfigK=21 pre-dense (~5e5 distinct, generous margin) and
+    # Greenwald-Khanna accuracy=1e5 (exact while rows <= accuracy).
+    regimes = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    require(
+        regimes,
+        (F.max("nd") <= 400_000) & (F.max("n") <= 100_000),
+        "sketch_exact_regime_cardinality",
+        "a group left the HLL/GK exact regime; the exact-value oracle "
+        "no longer applies — switch it to a tolerance gate",
+        F.max("nd").alias("max_distinct_users"),
+        F.max("n").alias("max_rows_per_type"),
+    )
     return e.groupBy("event_type").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(21))
@@ -1021,6 +1041,24 @@ def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _SEM_BASE)
         .select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+    )
+    # LOUD oracle-regime contract (NOTES watch list -> named assert):
+    # the nudged near-dups' cosine margins vs threshold_micro=950000
+    # were derived for UNIT-NORM base embeddings; a regenerated corpus
+    # with unnormalized vectors must fail here by name, not as an
+    # opaque hash flip on keep/drop decisions near the threshold.
+    from .contracts import require
+
+    norm2 = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    require(
+        emb.select(norm2.alias("n2")),
+        (F.min("n2") > 0.98) & (F.max("n2") < 1.02),
+        "semdedup_unit_norm_embeddings",
+        "semdedup's nudge margin analysis assumes unit-norm embeddings",
+        F.min("n2").alias("min_norm2"),
+        F.max("n2").alias("max_norm2"),
     )
 
     def _nudged(mod: int, offset: int, delta: float) -> DataFrame:
