@@ -86,6 +86,23 @@ def get_spark(
         # reader rejects; read as int64 nanos and convert in the loader
         # (sources.tables) — matches DuckDB's ns->us truncation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming state store: RocksDB (disk-backed, off-heap working
+        # set, changelog + snapshot checkpointing) instead of the
+        # default HDFSBackedStateStoreProvider, which keeps EVERY
+        # store's full contents as JVM-heap hashmaps — the one
+        # streaming component that cannot survive 100 TB-scale state
+        # (stream-stream join + dedup state grows with the watermark
+        # horizon, not the batch). RocksDB bounds heap by spilling to
+        # local SSD and is the production-documented choice for large
+        # state. Overridable per deployment via env.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_GRAFT_STATE_STORE",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            ),
+        )
         # managed-table location for bucketed materializations (static
         # conf — must be set before the session exists).
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
