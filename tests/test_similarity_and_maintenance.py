@@ -228,3 +228,118 @@ def test_ivf_compaction_restores_pruning_layout(spark, tmp_path):
     assert spans
     for lo, hi in spans:
         assert hi - lo <= 3, spans
+
+
+def test_ivf_index_lifecycle_drift_rebuild_recall(spark, tmp_path):
+    """The full frozen-quantizer lifecycle as ONE executed sequence
+    (round 6): build → drifted append → PSI breach on the cell
+    histogram → retrain → recall restored.
+
+    Geometry: the drifted batch is a tight cluster sitting just on one
+    side of the Voronoi boundary between the index's two farthest
+    centroids; the query points sit just on the OTHER side. Under the
+    frozen quantizer each query's nearest centroid (its n_probe=1 cell)
+    is then provably not the cluster's cell, so recall against the
+    brute-force cosine truth collapses to 0 — the canonical IVF failure
+    mode drift monitoring exists to catch. Retraining over the union
+    gives the (now dominant) cluster its own centroid(s) and restores
+    recall to 1.
+    """
+    import numpy as np
+
+    from sports_stats_data_pipeline_spark.operators.drift import psi
+    from sports_stats_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", "embedding")
+    )
+    path, path2 = str(tmp_path / "idx"), str(tmp_path / "idx2")
+    build_ivf_index(base, path, n_cells=8, kmeans_iters=2)
+    # reference cell histogram, MATERIALIZED before the append (a lazy
+    # read here would silently observe the post-append files)
+    ref_cells = [
+        r["cell"]
+        for r in spark.read.parquet(f"{path}/cells").select("cell").collect()
+    ]
+
+    cents = {
+        r["cell"]: np.array(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    pair = max(
+        (
+            (np.linalg.norm(cents[i] - cents[j]), (i, j))
+            for i in cents
+            for j in cents
+            if i < j
+        )
+    )[1]
+    a_c, b_c = cents[pair[0]], cents[pair[1]]
+    mid, axis = (a_c + b_c) / 2, a_c - b_c
+    axis = axis / np.linalg.norm(axis)
+
+    rows = [
+        (
+            10000 + i,
+            [
+                float(x)
+                for x in mid - 0.03 * axis + 0.002 * np.cos(np.arange(64) * (i + 1))
+            ],
+        )
+        for i in range(200)
+    ]
+    for j in range(5):
+        e = np.zeros(64)
+        e[7 * (j + 1)] = 0.2
+        rows.append((20000 + j, [float(x) for x in mid + 0.03 * axis + e]))
+    new = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    append_to_ivf_index(spark, path, new, cell_partitions=2)
+
+    # drift signal: PSI of the cell histogram crosses the repo's 0.25
+    # action threshold — the rebuild trigger
+    ref_df = spark.createDataFrame([(c,) for c in ref_cells], "cell int")
+    cur = spark.read.parquet(f"{path}/cells").select("cell")
+    breach = psi(ref_df, cur, "cell", n_bins=8, bounds=(0.0, 9.0))
+    assert breach > 0.25, breach
+
+    union = (
+        spark.read.parquet(f"{path}/cells")
+        .select("vec_id", F.col("v").alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    rr = union.collect()
+    ids = np.array([r["vec_id"] for r in rr])
+    V = np.array([r["embedding"] for r in rr])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    truth = {}
+    for qi, qid in enumerate(ids):
+        if qid < 20000:
+            continue
+        s = Vn @ Vn[qi]
+        order = np.lexsort((ids, -s))
+        truth[int(qid)] = set(
+            [int(ids[j]) for j in order if ids[j] != qid][:3]
+        )
+
+    def recall(index_path):
+        got = {}
+        for r in ivf_topk_indexed(
+            spark, index_path, F.col("vec_id") >= 20000, k=3, n_probe=1
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & t) / 3 for q, t in truth.items()
+        ) / len(truth)
+
+    before = recall(path)
+    assert before <= 0.2, before  # mis-probing: queries probe the wrong cell
+    build_ivf_index(union, path2, n_cells=8, kmeans_iters=3)
+    after = recall(path2)
+    assert after >= 0.9, after  # retrain co-locates the cluster: restored
