@@ -1,0 +1,125 @@
+"""Env-gated scale/skew re-validation suite (round 6 — the /tmp
+harness behind the NOTES.md 100-TB claims, committed and reproducible).
+
+Derive the corpora first (tools/derive_scale_corpus.py), then::
+
+    SPARK_GRAFT_SCALE_DIR=/tmp/scale10 python -m pytest \
+        tests/test_scale_replica.py -q
+    SPARK_GRAFT_SKEW_DIR=/tmp/skewed python -m pytest \
+        tests/test_scale_replica.py -q
+
+Each test runs the registered Spark query AND its DuckDB oracle on the
+SAME derived corpus and requires the full rows+schema+value-hash match
+— the driver's check, on data 10x bigger or adversarially skewed.
+Skipped (not passed) when the env var is absent, so the default suite
+stays fast; CI or a pre-handoff sweep opts in.
+
+Query sets mirror the recorded green validations:
+- replica: the rounds-5/6 10x set (windows + RANGE frames, corr
+  moments + CMS, attribution/as-of, the five-family quality report,
+  q3's join-agg-topk spine).
+- skew: the rounds-4/6 adversarial set (salted skew join, hot-user
+  sessions/windows, hot-customer history, as-of fan-out, top-k).
+
+The LSH/doc-clusters composites are in the HEAVY tier
+(SPARK_GRAFT_SCALE_HEAVY=1) — ~1-2 min Spark + oracle each at 10x.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from sports_stats_data_pipeline_spark.plans import all_registries
+from sports_stats_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+from ._compare import assert_frames_match
+
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+SKEW_DIR = os.environ.get("SPARK_GRAFT_SKEW_DIR")
+HEAVY = os.environ.get("SPARK_GRAFT_SCALE_HEAVY") == "1"
+
+REG = all_registries()
+
+REPLICA_QUERIES = [
+    "q3_shipping_priority",
+    "customer_order_history_window",
+    "expression_profile_orders",
+    "asof_join_purchase_click",
+    "data_quality_report",
+    "incremental_mart_maintenance",
+]
+REPLICA_HEAVY = [
+    "neardup_minhash_pairs",
+    "simhash_neardup_pairs",
+    "neardup_doc_clusters",
+    "streaming_tumbling_hourly",
+]
+SKEW_QUERIES = [
+    "customers_above_nation_avg",
+    "events_user_sessions",
+    "events_fixed_windows",
+    "customer_order_history_window",
+    "asof_join_purchase_click",
+    "topk_orders_per_segment",
+    "events_props_pivot",
+]
+
+
+def _oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _check(spark, sf_dir: str, name: str) -> None:
+    con = _oracle(sf_dir)
+    try:
+        spark_pdf = REG.queries[name](spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(REG.oracles[name]).df()
+        assert_frames_match(spark_pdf, oracle_pdf, name)
+        assert len(spark_pdf) > 0, f"{name}: empty result on {sf_dir}"
+    finally:
+        con.close()
+
+
+@pytest.mark.skipif(
+    not SCALE_DIR, reason="set SPARK_GRAFT_SCALE_DIR to a derived replica"
+)
+@pytest.mark.parametrize(
+    "name", REPLICA_QUERIES + (REPLICA_HEAVY if HEAVY else [])
+)
+def test_replica_parity(spark, name):
+    _check(spark, SCALE_DIR, name)
+
+
+@pytest.mark.skipif(
+    not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
+)
+@pytest.mark.parametrize("name", SKEW_QUERIES)
+def test_skew_parity(spark, name):
+    _check(spark, SKEW_DIR, name)
+
+
+@pytest.mark.skipif(
+    not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
+)
+def test_skew_corpus_actually_skewed(spark):
+    """Guard the harness itself: the derived corpus must carry the hot
+    keys, or the 'validations' above would be testing nothing."""
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SKEW_DIR, "events")
+    hot = ev.filter(F.col("user_id") == 7).count()
+    assert hot * 100 >= ev.count() * 30  # ~40% remapped
+    cust = load_table(spark, SKEW_DIR, "customer")
+    hot_n = cust.filter(F.col("c_nationkey") == 7).count()
+    assert hot_n * 100 >= cust.count() * 50  # ~60% remapped
