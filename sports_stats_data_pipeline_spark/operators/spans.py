@@ -23,6 +23,38 @@ Recall/precision contract: a repeat shorter than ``k`` tokens is not
 flagged (by design — short n-gram matches are ubiquitous); hash
 collisions could over-flag (xxhash64 at 64 bits makes that ~2⁻⁶⁴ per
 pair, and the tests verify on exact text).
+
+Equivalence to suffix-array ExactSubstr (the round-6 cost model,
+boundary-pinned in tests/test_spans.py):
+
+**Theorem.** Modulo 64-bit hash collisions, the flagged token set
+equals the union of all maximal CROSS-DOCUMENT repeats of length >= k
+tokens, with TOKEN-EXACT boundaries — i.e. this is not a fuzzy
+approximation of ExactSubstr-with-min-match-k, it is the same answer:
+
+- *Completeness + exact boundaries:* a cross-doc repeat occupying
+  token range ``[s, s+t)``, ``t >= k``, shares every k-window at
+  positions ``s .. s+t-k``; gap-and-islands merges that run into
+  exactly ``[s, s+t)`` (consecutive window starts differ by 1 <= k).
+- *Soundness:* a flagged window IS a k-token cross-doc repeat, so no
+  token outside a >= k repeat is ever redacted. Two distinct repeats
+  never over-merge: with an unflagged gap ``g >= 1`` between them, the
+  window-start jump is ``k + g > k`` — a new island by the predicate.
+- *The only loss* is the k-floor: repeats of ``< k`` tokens are
+  invisible — which is ExactSubstr's own min-match-length knob (Lee et
+  al. 2022 use 50 BPE tokens), not an extra approximation.
+
+Cost at 100 TB, vs the suffix-array formulation: the suffix array is
+O(n) construction but single-address-space (Lee et al. shard by suffix
+prefix and run per-machine; cross-shard repeats need care at shard
+boundaries), while this pipeline is three data-parallel primitives —
+hash-agg on shingle hash (shuffle bounded by DISTINCT shingles, with
+map-side combine collapsing within-partition repeats), a semi-join of
+shingle occurrences against the >=2-doc hashes, and a per-doc window.
+The price is the exploded shingle relation (~8 bytes x n_tokens rows);
+the win is that every stage is an ordinary bounded shuffle with no
+global structure, no boundary stitching, and skew limited to hot
+shingles (already collapsed to (hash, count) by the aggregate).
 """
 
 from __future__ import annotations

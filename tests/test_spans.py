@@ -77,3 +77,88 @@ def test_span_stats_coverage_math(spark):
     assert stats[0] == (7, 1, 5, 10000 * 5 // 7)
     assert stats[1] == (7, 1, 5, 10000 * 5 // 7)
     assert stats[2] == (5, 0, 0, 0)  # span-free doc still gets a row
+
+
+# ---------------------------------------------------------------------------
+# Round 6: adversarial boundary-error pins for the ExactSubstr
+# equivalence theorem (spans.py module docstring) — the flagged token
+# set must equal the union of cross-doc repeats >= k with TOKEN-EXACT
+# boundaries; the only permitted loss is the k-floor.
+# ---------------------------------------------------------------------------
+
+
+def _brute_truth(texts, k):
+    """Reference ExactSubstr-with-min-match-k: for every doc, the exact
+    set of token positions covered by a k-gram that appears in some
+    OTHER doc (= union of cross-doc repeats >= k, by the window-cover
+    identity). O(n²) and character-exact — the oracle the distributed
+    operator must match."""
+    toks = [t.split() for t in texts]
+    grams = [
+        {tuple(tt[i : i + k]) for i in range(len(tt) - k + 1)}
+        for tt in toks
+    ]
+    covered = {}
+    for d, tt in enumerate(toks):
+        other = set().union(
+            *[g for j, g in enumerate(grams) if j != d]
+        ) if len(texts) > 1 else set()
+        pos = set()
+        for i in range(len(tt) - k + 1):
+            if tuple(tt[i : i + k]) in other:
+                pos.update(range(i, i + k))
+        covered[d] = pos
+    return covered
+
+
+def _flagged_positions(spans_by_doc):
+    out = {}
+    for d, spans in spans_by_doc.items():
+        pos = set()
+        for s, e, _ in spans:
+            pos.update(range(s, e))
+        out[d] = pos
+    return out
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        # overlapping repeats sharing tokens (chained islands)
+        ("a b c d e f g h", "x a b c d y", "z c d e f g w"),
+        # adjacent repeats, gap exactly 0 (must fuse) and gap 1 (must split)
+        ("p q r s t u v p q r", "p q r X s t u", "s t u Y p q r"),
+        # repeat exactly at doc start and doc end
+        ("m n o tail tail2", "head m n o", "m n o"),
+        # periodic text: self-overlapping k-grams across docs
+        ("a a a a a a", "b a a a a c", "a a a"),
+        # exactly-k repeat (flag) next to a (k-1)-repeat (k-floor: miss)
+        ("one two three four XX five six", "one two three ZZ five six"),
+        # everything duplicated (whole-doc span)
+        ("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5"),
+    ],
+)
+def test_boundary_error_is_zero_vs_brute_force(spark, texts):
+    got = _flagged_positions(_spans(spark, *texts))
+    want = _brute_truth(list(texts), K)
+    for d in range(len(texts)):
+        assert got.get(d, set()) == want[d], (
+            d,
+            texts[d],
+            sorted(got.get(d, set())),
+            sorted(want[d]),
+        )
+
+
+def test_spans_are_maximal_islands_not_fragments(spark):
+    """Beyond position-set equality: the emitted spans must be MAXIMAL
+    (no two adjacent/overlapping spans for one doc) — fragment spans
+    would inflate n_spans stats even with the right coverage."""
+    got = _spans(
+        spark,
+        "a b c d e f g h i j",
+        "a b c d e Q f g h i j",
+    )
+    for d, spans in got.items():
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert s2 > e1, (d, spans)  # strictly separated islands
