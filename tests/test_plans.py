@@ -197,10 +197,12 @@ def test_data_quality_report_plan_shape(spark):
     # old/new snapshot sides (2, both derived from orders) + the MAD
     # outlier family's median/deviation branches (2 in the STATIC plan;
     # at runtime AQE collapses them into one ReusedExchange stage —
-    # pinned in test_outliers) + plan-reuse artifacts = 14 on Spark
-    # 4.1; a jump past this means some family started rescanning per
-    # constraint.
-    assert plan.count("Location: InMemoryFileIndex") <= 14
+    # pinned in test_outliers) + the round-6 small_files advisor's
+    # stats/median branches over the synthesized inventory (2, both
+    # from documents — same AQE-reuse story) + plan-reuse artifacts
+    # = 16 on Spark 4.1; a jump past this means some family started
+    # rescanning per constraint.
+    assert plan.count("Location: InMemoryFileIndex") <= 16
 
 
 def test_streaming_join_batch_twin_is_shuffle_bounded(spark):
