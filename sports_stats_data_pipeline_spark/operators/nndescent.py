@@ -61,7 +61,12 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, cosine
 from .iterutil import eager_checkpoint
 
-__all__ = ["knn_graph_nndescent", "graph_search"]
+__all__ = [
+    "knn_graph_nndescent",
+    "graph_search",
+    "build_knn_graph_index",
+    "graph_search_indexed",
+]
 
 
 def _vectors(
@@ -329,4 +334,71 @@ def graph_search(
             "rank",
             F.round("sim", 4).alias("score_r4"),
         )
+    )
+
+
+def build_knn_graph_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 10,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the graph index at ``path`` — the persisted form of
+    the build, mirroring build_ivf_index / build_bm25_index:
+
+    - ``graph/``   — ``(src, dst, sim, rank)``, hash-partitioned and
+      sorted by ``src`` so a query batch's frontier join prunes row
+      groups on the src min/max stats;
+    - ``vectors/`` — ``(id_col, v array<double>)``, the scoring side.
+
+    Build once (the expensive NN-Descent rounds), then every query
+    batch is :func:`graph_search_indexed` — joins against the stored
+    relations, zero descent work at query time. Refresh cadence is the
+    IVF story: appends degrade graph recall gradually; rebuild on the
+    drift signal (operators/drift over the degree histogram is the
+    natural monitor)."""
+    graph = knn_graph_nndescent(
+        emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    (
+        graph.repartition("src")
+        .sortWithinPartitions("src")
+        .write.mode("overwrite")
+        .parquet(f"{path}/graph")
+    )
+    _vectors(emb, id_col, vec_col).select(
+        F.col("__id").alias(id_col), F.col("__v").alias("v")
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def graph_search_indexed(
+    spark,
+    path: str,
+    query_filter,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`graph_search` served from a :func:`build_knn_graph_index`
+    layout — identical output contract, no descent at query time.
+    ``query_filter`` is a Column predicate over the vectors relation
+    ``(id_col, v)``, typically an id predicate (the ivf_topk_indexed
+    convention)."""
+    graph = spark.read.parquet(f"{path}/graph")
+    vectors = spark.read.parquet(f"{path}/vectors").select(
+        F.col(id_col), F.col("v").alias("embedding")
+    )
+    queries = vectors.filter(query_filter).select(id_col)
+    return graph_search(
+        graph,
+        vectors,
+        queries,
+        k=k,
+        beam=beam,
+        hops=hops,
+        id_col=id_col,
+        vec_col="embedding",
     )

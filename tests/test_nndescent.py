@@ -159,3 +159,33 @@ def test_validation_errors(spark):
         knn_graph_nndescent(emb, k=0)
     with pytest.raises(ValueError):
         knn_graph_nndescent(emb, k=5, rounds=-1)
+
+
+def test_persisted_index_serves_identical_results(spark, tmp_path):
+    """build_knn_graph_index -> graph_search_indexed must return the
+    SAME rows as the direct build+search (the IVF indexed==direct
+    contract), with zero descent work at query time."""
+    from sports_stats_data_pipeline_spark.operators.nndescent import (
+        build_knn_graph_index,
+        graph_search,
+        graph_search_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "gidx")
+    build_knn_graph_index(emb, path, k=8, rounds=2)
+    direct_graph = knn_graph_nndescent(emb, k=8, rounds=2)
+    queries = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score_r4"])
+        for r in graph_search(
+            direct_graph, emb, queries, k=3, beam=12, hops=3
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score_r4"])
+        for r in graph_search_indexed(
+            spark, path, F.col("vec_id") < 10, k=3, beam=12, hops=3
+        ).collect()
+    )
+    assert got == want and len(got) == 30
