@@ -59,7 +59,8 @@ def url_scheme(url: Column | str) -> Column:
 
 
 def url_hostport(url: Column | str) -> Column:
-    """Raw ``host[:port]`` authority component (original case)."""
+    """Raw authority component (original case) — may still carry a
+    leading ``userinfo@``; :func:`url_host` strips it."""
     return F.regexp_extract(_c(url), _HOSTPORT_RE, 1)
 
 

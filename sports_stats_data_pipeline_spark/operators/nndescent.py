@@ -29,7 +29,10 @@ Spark shape (all built-ins, deterministic):
   result is independent of partitioning and join order).
 - **lineage**: each round ends in an eager checkpoint whose blocks are
   REALLY released next round (operators/iterutil — unpersist is a
-  no-op on localCheckpoint state).
+  no-op on localCheckpoint state); the FINAL graph's blocks are
+  released by the next build (bounded: at most one pinned graph per
+  app — hold the previous graph across a rebuild only after
+  persisting or writing it).
 
 Scale: a round shuffles O(n·k²) candidate rows (k=20 → 400 rows per
 node — independent of dimension; the vectors travel only through the
@@ -119,6 +122,15 @@ def _undirected(edges: DataFrame) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
+
+
+#: the returned graph is an eager checkpoint; its blocks are released
+#: on the NEXT build (bounded: at most one pinned graph per app — the
+#: scd2_dimension_history pattern). Releasing is correctness-safe only
+#: because localCheckpoint state is NOT recomputable — so we release
+#: strictly on the next build, never eagerly, and a caller holding the
+#: previous graph across a new build must persist it first.
+_LAST_BUILD_FREE: list = []
 
 
 def knn_graph_nndescent(
@@ -252,6 +264,9 @@ def knn_graph_nndescent(
         new_edges, new_free = eager_checkpoint(best)
         free()
         edges, free = new_edges, new_free
+    while _LAST_BUILD_FREE:
+        _LAST_BUILD_FREE.pop()()
+    _LAST_BUILD_FREE.append(free)
     return edges
 
 
