@@ -70,12 +70,16 @@ def url_host(url: Column | str) -> Column:
     choice, see :func:`normalize_url`). The userinfo strip keeps
     ``https://user@example.com/x`` in the same origin bucket as
     ``https://example.com/x`` — without it, per-domain stats and
-    canonical-URL dedup would split one origin into two. The pattern
-    ``^[^/@?#]*@`` is in the Java-regex/RE2 common subset. NULL when
+    canonical-URL dedup would split one origin into two. The strip
+    cuts at the LAST ``@`` (the WHATWG rule: ``user:p@ss@host`` hosts
+    at ``host`` — an unencoded ``@`` in the password is the common
+    real-world shape), which the greedy ``^[^/?#]*@`` gives since the
+    authority already contains no ``/?#``; the pattern is in the
+    Java-regex/RE2 common subset. NULL when
     the URL has no parseable ``scheme://authority`` — an empty-string
     host would otherwise collect every malformed URL into one
     per-domain stats bucket."""
-    auth = F.regexp_replace(url_hostport(url), "^[^/@?#]*@", "")
+    auth = F.regexp_replace(url_hostport(url), "^[^/?#]*@", "")
     h = F.lower(F.regexp_replace(auth, ":[0-9]+$", ""))
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 

@@ -137,8 +137,12 @@ def small_file_report_df(
     p50 = ranked.filter(
         F.col("rn") == F.floor((F.col("n") + 1) / 2)
     ).select(F.col("b").alias("p50_bytes"))
-    frac_bp = F.floor(
-        F.lit(10_000) * F.col("n_small") / F.col("n_files")
+    # exact integer floor-division ((x - x%n)/n — the division is of an
+    # exact multiple), matching the dict variant's `//` bit-for-bit;
+    # floor(double division) drifts at ulp-adjacent quotients
+    bp_num = F.lit(10_000) * F.col("n_small")
+    frac_bp = (
+        (bp_num - bp_num % F.col("n_files")) / F.col("n_files")
     ).cast("long")
     return (
         stats.crossJoin(F.broadcast(p50))

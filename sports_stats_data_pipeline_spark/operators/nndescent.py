@@ -29,10 +29,10 @@ Spark shape (all built-ins, deterministic):
   result is independent of partitioning and join order).
 - **lineage**: each round ends in an eager checkpoint whose blocks are
   REALLY released next round (operators/iterutil — unpersist is a
-  no-op on localCheckpoint state); the FINAL graph's blocks are
-  released by the next build (bounded: at most one pinned graph per
-  app — hold the previous graph across a rebuild only after
-  persisting or writing it).
+  no-op on localCheckpoint state); the FINAL graph carries its own
+  release handle — call :func:`release_knn_graph` once it is
+  consumed (written/collected/superseded). Two live graphs in one
+  app never interfere.
 
 Scale: a round shuffles O(n·k²) candidate rows (k=20 → 400 rows per
 node — independent of dimension; the vectors travel only through the
@@ -69,6 +69,7 @@ __all__ = [
     "graph_search",
     "build_knn_graph_index",
     "graph_search_indexed",
+    "release_knn_graph",
 ]
 
 
@@ -124,13 +125,19 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-#: the returned graph is an eager checkpoint; its blocks are released
-#: on the NEXT build (bounded: at most one pinned graph per app — the
-#: scd2_dimension_history pattern). Releasing is correctness-safe only
-#: because localCheckpoint state is NOT recomputable — so we release
-#: strictly on the next build, never eagerly, and a caller holding the
-#: previous graph across a new build must persist it first.
-_LAST_BUILD_FREE: list = []
+def release_knn_graph(graph: DataFrame) -> None:
+    """Release a built graph's checkpoint blocks. The returned graph of
+    :func:`knn_graph_nndescent` is an eager localCheckpoint, and
+    ``DataFrame.unpersist()`` is a silent no-op on checkpoint state
+    (the operators/iterutil finding) — so the build attaches its real
+    release handle and this function invokes it. Call it once the
+    graph is consumed (written, collected, or superseded); afterwards
+    the frame is UNREADABLE (checkpoint lineage is not recomputable).
+    No hidden global state: two live graphs in one app never interfere
+    — each carries its own handle."""
+    free = getattr(graph, "_graft_release", None)
+    if free is not None:
+        free()
 
 
 def knn_graph_nndescent(
@@ -144,7 +151,11 @@ def knn_graph_nndescent(
     (module docstring). ``rank`` is 1-based by similarity per src."""
     if k < 1 or rounds < 0:
         raise ValueError("need k >= 1, rounds >= 0")
-    vecs = _vectors(emb, id_col, vec_col)
+    # the vector table is read by every round's two scoring joins plus
+    # the init — persist it once (recomputable lineage, so plain
+    # persist, not checkpoint; released before returning)
+    vecs = _vectors(emb, id_col, vec_col).persist()
+    n_vectors = vecs.count()
 
     # LSH-warmed deterministic init (module docstring): bucket by the
     # sign pattern against 8 corpus-sampled hyperplanes, then take the
@@ -180,26 +191,49 @@ def knn_graph_nndescent(
         .groupBy("__id", "__h")
         .agg(F.sum("__bit").alias("__bucket"))
     )
+    # row_number PARTITIONED by bucket (≤256 RP buckets): adjacency is
+    # within-bucket only — an unpartitioned Window would funnel the
+    # whole corpus through one task, the exact single-task bottleneck
+    # this module exists to avoid. Boundary ids just start with fewer
+    # guesses; the descent rounds fill in.
     pos = buckets.select(
         "__id",
+        "__bucket",
         F.row_number()
-        .over(Window.orderBy("__bucket", "__h"))
+        .over(Window.partitionBy("__bucket").orderBy("__h"))
         .alias("__p"),
     )
     offsets = F.array(
         *[F.lit(o) for o in range(-half, half + 1) if o != 0]
     )
     init_cand = (
-        pos.select("__id", F.explode(offsets).alias("__o"), "__p")
-        .select(F.col("__id").alias("src"), (F.col("__p") + F.col("__o")).alias("__q"))
+        pos.select(
+            "__id",
+            "__bucket",
+            F.explode(offsets).alias("__o"),
+            "__p",
+        )
+        .select(
+            F.col("__id").alias("src"),
+            "__bucket",
+            (F.col("__p") + F.col("__o")).alias("__q"),
+        )
         .join(
-            pos.select(F.col("__id").alias("dst"), F.col("__p").alias("__q")),
-            "__q",
+            pos.select(
+                F.col("__id").alias("dst"),
+                "__bucket",
+                F.col("__p").alias("__q"),
+            ),
+            ["__bucket", "__q"],
         )
         .select("src", "dst")
     )
     edges = _topk(_score(init_cand, vecs), k)
     edges, free = eager_checkpoint(edges)
+
+    # exploration-permutation bucket count: expected ~32 ids per bucket
+    # keeps the per-bucket row_number partitions tiny at any n
+    expl_buckets = max(1, n_vectors // 32)
 
     for rnd in range(rounds):
         und = _undirected(edges)
@@ -214,41 +248,52 @@ def knn_graph_nndescent(
             .select(F.col("src"), F.col("nn").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
-        # exploration candidates: ±2 adjacency in a PER-ROUND md5
-        # permutation (md5(id || round)). Pure neighbor-of-neighbor
-        # descent has local minima — a node whose whole list landed in
-        # the wrong cluster can never see out of it (its 2-hop
-        # neighborhood IS that cluster); a trickle of fresh random
-        # pairs per round is the classic NN-Descent escape hatch and
-        # keeps the build deterministic.
+        # exploration candidates: ±2 adjacency inside per-round random
+        # buckets (pmod(xxhash64(id, round), ~n/32) then a PARTITIONED
+        # row_number). Pure neighbor-of-neighbor descent has local
+        # minima — a node whose whole list landed in the wrong cluster
+        # can never see out of it (its 2-hop neighborhood IS that
+        # cluster); a trickle of fresh random pairs per round is the
+        # classic NN-Descent escape hatch, deterministic here, and the
+        # bucketed shape keeps every window partition ~32 rows at any
+        # corpus size (a global-order row_number would serialize the
+        # corpus through one task per round).
         rpos = vecs.select(
             "__id",
+            F.pmod(
+                F.xxhash64(F.col("__id"), F.lit(rnd)), F.lit(expl_buckets)
+            ).alias("__b"),
+            F.md5(
+                F.concat(F.col("__id").cast("string"), F.lit(f"#r{rnd}"))
+            ).alias("__rh"),
+        ).select(
+            "__id",
+            "__b",
             F.row_number()
-            .over(
-                Window.orderBy(
-                    F.md5(
-                        F.concat(
-                            F.col("__id").cast("string"),
-                            F.lit(f"#r{rnd}"),
-                        )
-                    )
-                )
-            )
+            .over(Window.partitionBy("__b").orderBy("__rh"))
             .alias("__p"),
         )
         expl = (
             rpos.select(
-                "__id", F.explode(F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))).alias("__o"), "__p"
+                "__id",
+                "__b",
+                F.explode(
+                    F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
+                ).alias("__o"),
+                "__p",
             )
             .select(
                 F.col("__id").alias("src"),
+                "__b",
                 (F.col("__p") + F.col("__o")).alias("__q"),
             )
             .join(
                 rpos.select(
-                    F.col("__id").alias("dst"), F.col("__p").alias("__q")
+                    F.col("__id").alias("dst"),
+                    "__b",
+                    F.col("__p").alias("__q"),
                 ),
-                "__q",
+                ["__b", "__q"],
             )
             .select("src", "dst")
         )
@@ -264,9 +309,8 @@ def knn_graph_nndescent(
         new_edges, new_free = eager_checkpoint(best)
         free()
         edges, free = new_edges, new_free
-    while _LAST_BUILD_FREE:
-        _LAST_BUILD_FREE.pop()()
-    _LAST_BUILD_FREE.append(free)
+    vecs.unpersist()
+    edges._graft_release = free  # see release_knn_graph
     return edges
 
 
@@ -386,6 +430,7 @@ def build_knn_graph_index(
     _vectors(emb, id_col, vec_col).select(
         F.col("__id").alias(id_col), F.col("__v").alias("v")
     ).write.mode("overwrite").parquet(f"{path}/vectors")
+    release_knn_graph(graph)  # persisted — the checkpoint is done
 
 
 def graph_search_indexed(
@@ -403,10 +448,11 @@ def graph_search_indexed(
     ``(id_col, v)``, typically an id predicate (the ivf_topk_indexed
     convention)."""
     graph = spark.read.parquet(f"{path}/graph")
-    vectors = spark.read.parquet(f"{path}/vectors").select(
-        F.col(id_col), F.col("v").alias("embedding")
-    )
-    queries = vectors.filter(query_filter).select(id_col)
+    stored = spark.read.parquet(f"{path}/vectors")
+    # apply the filter on the documented (id_col, v) relation BEFORE
+    # any rename, so predicates over `v` resolve
+    queries = stored.filter(query_filter).select(id_col)
+    vectors = stored.select(F.col(id_col), F.col("v").alias("embedding"))
     return graph_search(
         graph,
         vectors,

@@ -120,7 +120,9 @@ def qsketch_build(
     by an entry hash, bottom-k per shard, then combine — identical to
     the single-stage sketch (merge is split-invariant), but no buffer
     ever holds more than ~group/shards entries."""
-    shard = (F.abs(F.hash(entry)) % shards).alias("__shard")
+    # pmod(xxhash64), not abs(hash)%: abs(Integer.MIN_VALUE) throws
+    # under ANSI mode — the repo's standard shard idiom (bloom/skewjoin)
+    shard = F.pmod(F.xxhash64(entry), F.lit(shards)).alias("__shard")
     partial = (
         df.select(*keys, entry.alias("__e"), shard)
         .groupBy(*keys, "__shard")

@@ -665,7 +665,7 @@ _DOMAIN_SQL = """
       SELECT doc_id, url, scheme,
         -- userinfo strip mirrors functions/url.url_host (no-op on this
         -- synthesized corpus, kept for contract parity)
-        lower(regexp_replace(regexp_replace(hostport, '^[^/@?#]*@', ''),
+        lower(regexp_replace(regexp_replace(hostport, '^[^/?#]*@', ''),
                              ':[0-9]+$', '')) AS host,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         regexp_extract(pathq, '^([^?]*)', 1) AS path,

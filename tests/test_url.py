@@ -287,6 +287,9 @@ def test_userinfo_stripped_from_host_and_normalization(spark):
          "https://sub.host.co.uk:8443/p?a=1"),
         ("https://example.com/has@sign", "example.com",
          "https://example.com/has@sign"),  # '@' in path is NOT userinfo
+        # unencoded '@' in the password: WHATWG splits at the LAST '@'
+        ("http://user:p@ss@example.com/a", "example.com",
+         "http://example.com/a"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(rows)], "i long, u string"
