@@ -152,17 +152,28 @@ def _loop(
 
     ranks, free_prev = eager_checkpoint(ranks)
     for _ in range(iterations):
-        dang = ranks.filter("dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("s")
-        ).collect()[0]["s"]
+        # dangling mass rides the plan as a broadcast 1-row aggregate
+        # (round 6: it used to be a .collect() — one extra driver-sync
+        # job per iteration on top of the checkpoint's; folding it in
+        # halves the per-round job count). The arithmetic is kept
+        # IDENTICAL to the collected form: fixed mode computes
+        # (s * d_num) div (d_den * n) on BIGINTs (floor == truncate for
+        # the non-negative mass), float mode damping * s / n in the
+        # same IEEE op order — so fixed-point results stay bit-exact
+        # and the cross-engine oracle equality holds unchanged.
+        dang_df = ranks.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("__dang")
+        )
         if fixed:
-            dang_share = F.lit((int(dang) * d_num) // (d_den * n))
+            dang_share = F.expr(
+                f"(__dang * {d_num}) div ({d_den} * {n}L)"
+            )
             # `div`, not `/`: BIGINT `/` is DOUBLE division in Spark and
             # floor(double) stops being exact past 2^53 — the whole
             # point of this variant is order/engine-independent integers.
             contrib = F.expr(f"(rank * {d_num}) div ({d_den} * out_deg)")
         else:
-            dang_share = F.lit(damping * float(dang) / n)
+            dang_share = F.lit(damping) * F.col("__dang") / F.lit(n)
             contrib = F.col("rank") * damping / F.col("out_deg")
         sums = (
             contrib_edges.join(
@@ -174,6 +185,7 @@ def _loop(
         )
         new_ranks = (
             nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 "node",
                 "dangling",
