@@ -273,29 +273,18 @@ def streaming_neardup_admissions_table(
     # the synthesized near-dup recipe lives in ONE place — it must stay
     # byte-identical to _NEARDUP_DOCS_SQL for the oracle to hold (lazy
     # import: plans already imports this module's sibling wrappers)
-    from ..plans.contracts import require
     from ..plans.documents import _neardup_docs
 
     docs = _neardup_docs(spark, sf_dir).select("doc_id", "text")
-    # LOUD oracle-regime contract (NOTES watch list -> named assert):
-    # the stream caps only the PRIOR side of the band join while the
-    # oracle joins uncapped — they agree only while no band bucket
-    # exceeds BUCKET_CAP on this corpus. A regenerated corpus that
-    # grows a super-bucket must fail HERE by name, not as a hash flip.
-    buckets = (
-        _signed(docs)
-        .select(F.explode("bands").alias("band_key"))
-        .groupBy("band_key")
-        .agg(F.count("*").alias("n"))
-    )
-    require(
-        buckets,
-        F.max("n") <= BUCKET_CAP,
-        "sneardup_band_bucket_cap",
-        f"a band bucket exceeds BUCKET_CAP={BUCKET_CAP}; the capped "
-        "stream and the uncapped oracle would diverge",
-        F.max("n").alias("max_bucket"),
-    )
+    # NO bucket-cap contract here, deliberately (round 6): the watch
+    # list suspected oracle divergence above BUCKET_CAP, but the
+    # oracle MIRRORS the prior-side cap by construction (its hot list
+    # filters the p side exactly as _drop_hot_buckets does), so parity
+    # holds at any bucket size — proven by the 10x replica validation
+    # (max bucket 124 >> 64, 1.3M rows hash-matched; a draft contract
+    # asserting max <= BUCKET_CAP failed that run and was removed as
+    # guarding a non-assumption). The real regime requirement is the
+    # SINGLE-batch landing, which this wrapper constructs itself.
     tmp = tempfile.mkdtemp(prefix="spark_graft_sneardup_")
     try:
         landing = os.path.join(tmp, "landing")
