@@ -61,3 +61,97 @@ def user_profile_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the
+# arbitrary-stateful API that SUPERSEDES applyInPandasWithState
+# (SPARK-46815): named state VARIABLES instead of one state tuple,
+# timers, TTL, and a RocksDB-backed store (it REQUIRES the RocksDB
+# provider — which session.py pins). Kept alongside the legacy form so
+# the two APIs' semantics can be pinned equal on identical batches
+# (tests/test_stateful_streaming.py) — the migration a production user
+# of the old API performs next.
+#
+# Environment gate (the Delta/requests pattern): the API's Python
+# state-server protocol is protobuf-based; without the `protobuf`
+# package the streaming worker crashes with an opaque
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE mid-query.
+# user_profile_stream_tws therefore fails FAST with a named ImportError
+# instead; the parity test runs the real twin where protobuf exists
+# and pins the named guard where it doesn't.
+# ---------------------------------------------------------------------------
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+def _has_protobuf() -> bool:
+    import importlib.util
+
+    try:  # find_spec raises when even the parent `google` is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _require_protobuf() -> None:
+    if not _has_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(its Python<->state-server protocol is protobuf-encoded); "
+            "without it the streaming worker crashes mid-query with "
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. Install "
+            "protobuf, or use the applyInPandasWithState form "
+            "(user_profile_stream)."
+        )
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user running profile as a ValueState variable. Same exact
+    integer-cents accumulation as :func:`_update_user_profile`."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._profile.exists():
+            n_events, value_c, last_event_id = self._profile.get()
+        else:
+            n_events, value_c, last_event_id = 0, 0, -1
+        for pdf in rows:
+            n_events += len(pdf)
+            value_c += int(round(pdf["value"].mul(100).round().sum()))
+            if len(pdf):
+                last_event_id = int(pdf["event_id"].max())
+        self._profile.update((n_events, value_c, last_event_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "value_c": [value_c],
+                "last_event_id": [last_event_id],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """:func:`user_profile_stream` on the transformWithState API —
+    identical output contract, RocksDB-native state variables. Raises
+    a named ImportError without the protobuf package (see gate
+    comment)."""
+    _require_protobuf()
+    return (
+        events_stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
