@@ -126,3 +126,20 @@ def test_timezone_sensitive_values_in_hostile_session():
 
 def test_all_queries_run_in_hostile_session():
     _run_subprocess(SWEEP_SCRIPT, "DRIVER_SWEEP_OK", 560)
+
+
+def test_bench_tier_names_resolve_in_registry():
+    """bench.py's HEADLINE/EXTENDED names must all resolve (DIRECT-map
+    callables or registry slots) — a slot rename would otherwise crash
+    the driver's per-round bench run instead of failing a test."""
+    import bench
+
+    from sports_stats_data_pipeline_spark.plans import all_registries
+
+    reg = all_registries()
+    for name in bench.HEADLINE:
+        assert name in bench.DIRECT or name in reg.queries, name
+    for name in bench.EXTENDED:
+        assert name in reg.queries, name
+    # every DIRECT override must be a headline slot, never dangle
+    assert set(bench.DIRECT) <= set(bench.HEADLINE)
