@@ -1,0 +1,209 @@
+"""Atomic multi-table snapshots: ONE commit covering N tables.
+
+operators/snapshots.py gives a single table versioned, manifest-
+published time travel. But the unit of consistency in a training-data
+pipeline is usually a GROUP of tables: documents + their embeddings +
+the ANN index built from them, or a mart + its dimension. Publishing
+them with N independent commits leaves windows where a reader sees
+documents@v7 joined to embeddings@v6 — the cross-table skew that
+poisons a training run silently.
+
+This module is the snapshots idea with the manifest widened to a
+table GROUP:
+
+    <root>/
+      <table>/data/v<k>/part-*.parquet   per-table immutable data
+      _snapshots/v<k>.json               THE commit: per-table file
+                                         lists + schemas + counts
+
+One version number spans all tables; visibility is still exactly one
+atomic manifest rename, so every reader observes a CONSISTENT version
+of the whole group or none of it (the Iceberg/Delta multi-table
+transaction question, answered the same way both answer single-table:
+the manifest IS the transaction log entry).
+
+Same contracts as snapshots.py: manifest file lists (no directory
+LISTs — object-store-safe), paths stored relative to the root,
+single-writer (concurrent committers race the version and the loser
+raises), vacuum removes unreferenced data dirs including orphans from
+pre-publish crashes. ``mode='append'`` appends per table — a table
+absent from the batch carries forward unchanged, so an O(Δ)
+incremental publish touches only the tables that changed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "write_group_snapshot",
+    "read_group_table",
+    "list_group_snapshots",
+    "vacuum_group_snapshots",
+]
+
+_MANIFEST_DIR = "_snapshots"
+
+
+def _mdir(root: str) -> str:
+    return os.path.join(root, _MANIFEST_DIR)
+
+
+def _versions(root: str) -> list[int]:
+    d = _mdir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load(root: str, version: int) -> dict:
+    p = os.path.join(_mdir(root), f"v{version}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"group snapshot v{version} does not exist at {root} "
+            f"(have: {_versions(root)})"
+        )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_group_snapshot(
+    tables: dict[str, DataFrame], root: str, *, mode: str = "overwrite"
+) -> int:
+    """Commit ``tables`` as ONE new version of the group; returns the
+    version number. All tables' data is fully written BEFORE the single
+    manifest rename makes any of it visible — a crash mid-write leaves
+    only invisible garbage (vacuum's job).
+
+    ``mode='overwrite'``: the version contains exactly the given
+    tables. ``mode='append'``: given tables append to their previous
+    file lists; tables NOT in ``tables`` carry forward unchanged —
+    the incremental multi-table publish.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if not tables:
+        raise ValueError("empty table group")
+    vs = _versions(root)
+    version = (vs[-1] + 1) if vs else 1
+    prev = _load(root, vs[-1]) if (mode == "append" and vs) else {"tables": {}}
+
+    entries: dict[str, dict] = {}
+    spark = next(iter(tables.values())).sparkSession
+    for name, df in tables.items():
+        data_dir = os.path.join(root, name, "data", f"v{version}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        files = sorted(
+            os.path.join(name, "data", f"v{version}", f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        prev_entry = prev["tables"].get(name)
+        if prev_entry is not None:
+            if prev_entry["schema_ddl"] != df.schema.simpleString():
+                shutil.rmtree(data_dir)
+                raise ValueError(
+                    f"append schema mismatch for table {name!r}: "
+                    f"{prev_entry['schema_ddl']} vs "
+                    f"{df.schema.simpleString()}"
+                )
+            files = prev_entry["files"] + files
+        count = spark.read.parquet(data_dir).count() + (
+            prev_entry["count"] if prev_entry else 0
+        )
+        entries[name] = {
+            "files": files,
+            "schema_ddl": df.schema.simpleString(),
+            "count": count,
+        }
+    # untouched tables carry forward (append mode only)
+    for name, entry in prev["tables"].items():
+        entries.setdefault(name, entry)
+
+    manifest = {"version": version, "mode": mode, "tables": entries}
+    os.makedirs(_mdir(root), exist_ok=True)
+    tmp = os.path.join(_mdir(root), f".v{version}.json.tmp")
+    final = os.path.join(_mdir(root), f"v{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):  # concurrent-writer race — refuse loudly
+        os.remove(tmp)
+        raise FileExistsError(f"group snapshot v{version} already committed")
+    os.rename(tmp, final)  # THE commit: all tables become visible at once
+    return version
+
+
+def read_group_table(
+    spark: SparkSession, root: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Read one table of a committed group version (default: latest).
+    Every table read at the same ``version`` is guaranteed to come from
+    the same atomic commit — the cross-table consistency contract."""
+    vs = _versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no group snapshots at {root}")
+    v = vs[-1] if version is None else version
+    m = _load(root, v)
+    if table not in m["tables"]:
+        raise KeyError(
+            f"table {table!r} not in group v{v} "
+            f"(has: {sorted(m['tables'])})"
+        )
+    return spark.read.parquet(
+        *(os.path.join(root, f) for f in m["tables"][table]["files"])
+    )
+
+
+def list_group_snapshots(root: str) -> list[dict]:
+    return [
+        {
+            "version": v,
+            "mode": (m := _load(root, v))["mode"],
+            "tables": {
+                name: {"count": e["count"], "n_files": len(e["files"])}
+                for name, e in m["tables"].items()
+            },
+        }
+        for v in _versions(root)
+    ]
+
+
+def vacuum_group_snapshots(root: str, *, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` versions; delete every
+    data directory no retained manifest references (incl. orphans from
+    crashes before manifest publish)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(root)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        for e in _load(root, v)["tables"].values():
+            for f in e["files"]:
+                referenced.add(
+                    os.path.dirname(os.path.abspath(os.path.join(root, f)))
+                )
+    removed = []
+    for entry in sorted(os.listdir(root)):
+        data_root = os.path.join(root, entry, "data")
+        if entry == _MANIFEST_DIR or not os.path.isdir(data_root):
+            continue
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.abspath(os.path.join(data_root, d))
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed.append(os.path.join(entry, "data", d))
+    for v in drop:
+        os.remove(os.path.join(_mdir(root), f"v{v}.json"))
+    return {"dropped_versions": drop, "removed_dirs": removed}

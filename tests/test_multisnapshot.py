@@ -1,0 +1,100 @@
+"""operators.multisnapshot — one atomic commit across N tables:
+cross-table consistency, incremental append with carry-forward,
+crash-invisibility, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_stats_data_pipeline_spark.operators.multisnapshot import (
+    list_group_snapshots,
+    read_group_table,
+    vacuum_group_snapshots,
+    write_group_snapshot,
+)
+
+
+def _docs(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(tag).alias("body")
+    )
+
+
+def _embs(spark, n, scale):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id") * scale, F.lit(scale)).alias("vec"),
+    )
+
+
+def test_cross_table_consistency_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "grp")
+    v1 = write_group_snapshot(
+        {"docs": _docs(spark, 10, "a"), "embs": _embs(spark, 10, 1)}, root
+    )
+    v2 = write_group_snapshot(
+        {"docs": _docs(spark, 20, "b"), "embs": _embs(spark, 20, 2)}, root
+    )
+    assert (v1, v2) == (1, 2)
+    # a version is ONE consistent cut across tables
+    assert read_group_table(spark, root, "docs", 1).count() == 10
+    assert read_group_table(spark, root, "embs", 1).count() == 10
+    assert read_group_table(spark, root, "docs").count() == 20  # latest
+    rows = read_group_table(spark, root, "docs", 1).collect()
+    assert all(r["body"] == "a" for r in rows)
+
+
+def test_append_carries_untouched_tables_forward(spark, tmp_path):
+    root = str(tmp_path / "grp")
+    write_group_snapshot(
+        {"docs": _docs(spark, 10, "a"), "embs": _embs(spark, 10, 1)}, root
+    )
+    # incremental publish touches ONLY docs; embs must carry forward
+    v2 = write_group_snapshot(
+        {"docs": _docs(spark, 5, "delta")}, root, mode="append"
+    )
+    assert read_group_table(spark, root, "docs", v2).count() == 15
+    assert read_group_table(spark, root, "embs", v2).count() == 10
+    meta = list_group_snapshots(root)
+    assert meta[-1]["tables"]["docs"]["count"] == 15
+    assert meta[-1]["tables"]["embs"]["count"] == 10
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    root = str(tmp_path / "grp")
+    write_group_snapshot({"docs": _docs(spark, 4, "a")}, root)
+    bad = spark.range(2).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_group_snapshot({"docs": bad}, root, mode="append")
+    # the refused batch left no new committed version
+    assert [m["version"] for m in list_group_snapshots(root)] == [1]
+
+
+def test_uncommitted_data_invisible_and_vacuumed(spark, tmp_path):
+    root = str(tmp_path / "grp")
+    write_group_snapshot(
+        {"docs": _docs(spark, 6, "a"), "embs": _embs(spark, 6, 1)}, root
+    )
+    # simulate a crash AFTER data write, BEFORE manifest publish
+    orphan = os.path.join(root, "docs", "data", "v9")
+    _docs(spark, 3, "crash").write.parquet(orphan)
+    assert read_group_table(spark, root, "docs").count() == 6  # invisible
+    rep = vacuum_group_snapshots(root, keep_last=1)
+    assert os.path.join("docs", "data", "v9") in rep["removed_dirs"]
+    assert not os.path.exists(orphan)
+    # live version untouched
+    assert read_group_table(spark, root, "docs").count() == 6
+
+
+def test_vacuum_keeps_referenced_versions(spark, tmp_path):
+    root = str(tmp_path / "grp")
+    for tag in ("a", "b", "c"):
+        write_group_snapshot({"docs": _docs(spark, 4, tag)}, root)
+    rep = vacuum_group_snapshots(root, keep_last=2)
+    assert rep["dropped_versions"] == [1]
+    assert read_group_table(spark, root, "docs", 2).count() == 4
+    with pytest.raises(FileNotFoundError):
+        read_group_table(spark, root, "docs", 1)
