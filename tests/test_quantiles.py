@@ -202,3 +202,106 @@ def test_incremental_measure_kind(spark):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the sketch's algebraic contracts over
+# randomized multisets and arbitrary splits — hand anchors cover few
+# shapes of the merge lattice.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_sketch(rows, k):
+    """Pure-python reference: bottom-k DISTINCT (md5-hash, value)."""
+    import hashlib
+
+    entries = sorted(
+        {
+            (
+                int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16),
+                v,
+            )
+            for rid, v in rows
+        }
+    )
+    return entries[:k]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    cut=st.integers(min_value=0, max_value=79),
+    k=st.sampled_from([1, 4, 16]),
+)
+def test_property_split_merge_and_python_reference(spark, rows, cut, k):
+    """For ANY multiset, ANY split point, ANY k: (1) the Spark sketch
+    equals the pure-python bottom-k reference; (2) merging the two
+    split halves' sketches equals the whole's, bit-exactly."""
+    df = spark.createDataFrame(
+        [("g", rid, v) for rid, v in rows], "k string, rid long, v long"
+    )
+    entry = qsketch_entry("rid", "v")
+    whole = df.groupBy("k").agg(qsketch_agg(entry, k).alias("qsk")).collect()[
+        0
+    ]["qsk"]
+    assert [(e["h"], e["v"]) for e in whole] == _py_sketch(rows, k)
+    cut = min(cut, len(rows) - 1)
+    a = df.limit(0).unionByName(
+        spark.createDataFrame(
+            [("g", rid, v) for rid, v in rows[:cut]] or [],
+            "k string, rid long, v long",
+        )
+    )
+    b = spark.createDataFrame(
+        [("g", rid, v) for rid, v in rows[cut:]],
+        "k string, rid long, v long",
+    )
+    halves = a.groupBy("k").agg(
+        qsketch_agg(entry, k).alias("qsk")
+    ).unionByName(b.groupBy("k").agg(qsketch_agg(entry, k).alias("qsk")))
+    merged = halves.groupBy("k").agg(
+        qsketch_combine("qsk", k).alias("qsk")
+    ).collect()[0]["qsk"]
+    assert merged == whole
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([(0, 1), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1)]),
+)
+def test_property_exact_regime_rank_statistic(spark, values, q):
+    """In the exact regime (k >= n) every quantile equals the lower-
+    interpolation rank statistic over the raw values."""
+    num, den = q
+    rows = [("g", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, rid long, v long")
+    got = (
+        df.groupBy("k")
+        .agg(qsketch_agg(qsketch_entry("rid", "v"), 64).alias("qsk"))
+        .select(qsketch_quantile("qsk", num, den).alias("p"))
+        .collect()[0]["p"]
+    )
+    want = sorted(values)[(num * (len(values) - 1)) // den]
+    assert got == want
