@@ -52,9 +52,12 @@ def requests_transport(cfg: FetchConfig | None = None) -> Transport:
     timeout and a branded User-Agent; retry/backoff live in
     :func:`safe_fetch`, not here).
 
-    Import-guarded: the test environment has no network and may lack
-    ``requests``; tests inject fixture transports instead. A production
-    deployment passes ``requests_transport(cfg)`` anywhere a
+    Import-guarded against a missing ``requests``; most tests inject
+    fixture transports for hermeticity, and tests/test_live_transport.py
+    exercises THIS transport over a real loopback socket (header on the
+    wire, 503 retry, exhaustion drop, and the mapInPandas worker
+    crossing with the pickled Session) — no external egress needed. A
+    production deployment passes ``requests_transport(cfg)`` anywhere a
     ``Transport`` is accepted.
     """
     cfg = cfg or FetchConfig()
