@@ -99,49 +99,70 @@ def write_group_snapshot(
     version = (vs[-1] + 1) if vs else 1
     prev = _load(root, vs[-1]) if (mode == "append" and vs) else {"tables": {}}
 
-    entries: dict[str, dict] = {}
-    spark = next(iter(tables.values())).sparkSession
-    for name, df in tables.items():
-        data_dir = os.path.join(root, name, "data", f"v{version}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        files = sorted(
-            os.path.join(name, "data", f"v{version}", f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        )
-        prev_entry = prev["tables"].get(name)
-        if prev_entry is not None:
-            if prev_entry["schema_ddl"] != df.schema.simpleString():
-                shutil.rmtree(data_dir)
-                raise ValueError(
-                    f"append schema mismatch for table {name!r}: "
-                    f"{prev_entry['schema_ddl']} vs "
-                    f"{df.schema.simpleString()}"
-                )
-            files = prev_entry["files"] + files
-        count = spark.read.parquet(data_dir).count() + (
-            prev_entry["count"] if prev_entry else 0
-        )
-        entries[name] = {
-            "files": files,
-            "schema_ddl": df.schema.simpleString(),
-            "count": count,
-        }
-    # untouched tables carry forward (append mode only)
-    for name, entry in prev["tables"].items():
-        entries.setdefault(name, entry)
+    # every data dir THIS commit successfully wrote — removed together
+    # on ANY failure (a mid-commit error on table 3 must not leave
+    # tables 1-2's v<k> dirs as orphans-until-vacuum). Appended only
+    # AFTER the errorifexists write succeeds, so a dir that already
+    # existed (a racing writer's data) is never in the list and never
+    # deleted here.
+    written_dirs: list[str] = []
+    try:
+        entries: dict[str, dict] = {}
+        spark = next(iter(tables.values())).sparkSession
+        for name, df in tables.items():
+            data_dir = os.path.join(root, name, "data", f"v{version}")
+            df.write.mode("errorifexists").parquet(data_dir)
+            written_dirs.append(data_dir)
+            files = sorted(
+                os.path.join(name, "data", f"v{version}", f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+            prev_entry = prev["tables"].get(name)
+            if prev_entry is not None:
+                if prev_entry["schema_ddl"] != df.schema.simpleString():
+                    raise ValueError(
+                        f"append schema mismatch for table {name!r}: "
+                        f"{prev_entry['schema_ddl']} vs "
+                        f"{df.schema.simpleString()}"
+                    )
+                files = prev_entry["files"] + files
+            count = spark.read.parquet(data_dir).count() + (
+                prev_entry["count"] if prev_entry else 0
+            )
+            entries[name] = {
+                "files": files,
+                "schema_ddl": df.schema.simpleString(),
+                "count": count,
+            }
+        # untouched tables carry forward (append mode only)
+        for name, entry in prev["tables"].items():
+            entries.setdefault(name, entry)
 
-    manifest = {"version": version, "mode": mode, "tables": entries}
-    os.makedirs(_mdir(root), exist_ok=True)
-    tmp = os.path.join(_mdir(root), f".v{version}.json.tmp")
-    final = os.path.join(_mdir(root), f"v{version}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    if os.path.exists(final):  # concurrent-writer race — refuse loudly
-        os.remove(tmp)
-        raise FileExistsError(f"group snapshot v{version} already committed")
-    os.rename(tmp, final)  # THE commit: all tables become visible at once
-    return version
+        manifest = {"version": version, "mode": mode, "tables": entries}
+        os.makedirs(_mdir(root), exist_ok=True)
+        tmp = os.path.join(_mdir(root), f".v{version}.json.tmp.{os.getpid()}")
+        final = os.path.join(_mdir(root), f"v{version}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # THE commit: one atomic link — all tables become visible at
+            # once, and a concurrent committer racing the same version
+            # LOSES ATOMICALLY (link raises FileExistsError; no
+            # check-then-rename window where both could "win")
+            os.link(tmp, final)
+        except FileExistsError:
+            raise FileExistsError(
+                f"group snapshot v{version} already committed by a "
+                "concurrent writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return version
+    except Exception:
+        for d in written_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
 
 
 def read_group_table(

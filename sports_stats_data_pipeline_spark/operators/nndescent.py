@@ -134,10 +134,23 @@ def release_knn_graph(graph: DataFrame) -> None:
     graph is consumed (written, collected, or superseded); afterwards
     the frame is UNREADABLE (checkpoint lineage is not recomputable).
     No hidden global state: two live graphs in one app never interfere
-    — each carries its own handle."""
+    — each carries its own handle.
+
+    The handle rides a dynamic attribute, and DataFrame TRANSFORMATIONS
+    return NEW objects — ``graph.select(...)`` / ``.filter(...)`` /
+    ``.alias(...)`` do not carry it. Passing such a derived frame here
+    would leak the checkpoint blocks with no signal, so it raises
+    instead: release the ORIGINAL frame ``knn_graph_nndescent``
+    returned (derived frames stay readable until then)."""
     free = getattr(graph, "_graft_release", None)
-    if free is not None:
-        free()
+    if free is None:
+        raise ValueError(
+            "not a releasable graph: pass the exact DataFrame object "
+            "knn_graph_nndescent returned (derived frames — select/"
+            "filter/alias — do not carry the release handle; releasing "
+            "them here would silently leak the checkpoint blocks)"
+        )
+    free()
 
 
 def knn_graph_nndescent(

@@ -15,7 +15,10 @@ ships bad data for the gap. This module does both at once:
   PROMOTION happens only after the gates pass — a failed gate leaves
   the previous live data untouched and the rejected batch parked in
   ``.staging`` for inspection, with a named error listing every failed
-  gate and its measured value.
+  gate and its measured value. The inspection window is bounded: the
+  NEXT ``write_validated`` call against the same sink starts with
+  ``recover_sink``, which clears any leftover staging dir — copy a
+  rejected batch aside before retrying the publish if you need it.
 
 This is the write-side complement of expectations.gate(): the same
 fail-shut contract, but the validation cost is folded into the job you
@@ -30,7 +33,6 @@ validation a 100 TB pipeline cannot afford to skip or double-pay.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Observation

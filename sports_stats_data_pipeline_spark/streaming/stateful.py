@@ -80,11 +80,39 @@ def user_profile_stream(events_stream: DataFrame) -> DataFrame:
 # user_profile_stream_tws therefore fails FAST with a named ImportError
 # instead; the parity test runs the real twin where protobuf exists
 # and pins the named guard where it doesn't.
+# The import itself is ALSO gated: pyspark < 4.0 has no
+# stateful_processor module, and an unguarded module-level import would
+# take the legacy user_profile_stream down with it — the twin's gate
+# must cover its whole dependency surface, not just protobuf. On old
+# pyspark the stub below keeps this module importable and the TWS twin
+# fails fast in _require_tws_api with a named error.
 # ---------------------------------------------------------------------------
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+try:  # noqa: E402 — see gate comment above
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _TWS_API_AVAILABLE = True
+except ImportError:  # pyspark < 4.0: no transformWithState API at all
+
+    class StatefulProcessor:  # type: ignore[no-redef]
+        """Import stub — real class needs pyspark >= 4.0."""
+
+    class StatefulProcessorHandle:  # type: ignore[no-redef]
+        """Import stub — real class needs pyspark >= 4.0."""
+
+    _TWS_API_AVAILABLE = False
+
+
+def _require_tws_api() -> None:
+    if not _TWS_API_AVAILABLE:
+        raise ImportError(
+            "transformWithStateInPandas needs pyspark >= 4.0 (the "
+            "pyspark.sql.streaming.stateful_processor module is absent "
+            "in this pyspark). Use the applyInPandasWithState form "
+            "(user_profile_stream)."
+        )
 
 
 def _has_protobuf() -> bool:
@@ -142,8 +170,9 @@ class UserProfileProcessor(StatefulProcessor):
 def user_profile_stream_tws(events_stream: DataFrame) -> DataFrame:
     """:func:`user_profile_stream` on the transformWithState API —
     identical output contract, RocksDB-native state variables. Raises
-    a named ImportError without the protobuf package (see gate
-    comment)."""
+    a named ImportError without pyspark >= 4.0 or the protobuf package
+    (see gate comments)."""
+    _require_tws_api()
     _require_protobuf()
     return (
         events_stream.select("user_id", "event_id", "value")

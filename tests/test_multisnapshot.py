@@ -98,3 +98,53 @@ def test_vacuum_keeps_referenced_versions(spark, tmp_path):
     assert read_group_table(spark, root, "docs", 2).count() == 4
     with pytest.raises(FileNotFoundError):
         read_group_table(spark, root, "docs", 1)
+
+
+def test_mid_commit_failure_cleans_all_written_dirs(spark, tmp_path):
+    """ADVICE r6: a failure on the SECOND table of a commit must remove
+    the FIRST table's just-written v<k> dir too — no orphans waiting
+    for vacuum."""
+    root = str(tmp_path / "grp")
+    write_group_snapshot(
+        {"docs": _docs(spark, 4, "a"), "embs": _embs(spark, 4, 1)}, root
+    )
+    # dict order is insertion order: docs writes fine, embs mismatches
+    bad_embs = spark.range(2).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_group_snapshot(
+            {"docs": _docs(spark, 3, "b"), "embs": bad_embs},
+            root,
+            mode="append",
+        )
+    # NO v2 data dir survives for either table
+    assert not os.path.exists(os.path.join(root, "docs", "data", "v2"))
+    assert not os.path.exists(os.path.join(root, "embs", "data", "v2"))
+    assert [m["version"] for m in list_group_snapshots(root)] == [1]
+    assert read_group_table(spark, root, "docs").count() == 4
+
+
+def test_concurrent_commit_loser_raises_atomically(spark, tmp_path):
+    """The manifest commit is one os.link — a second committer of the
+    same version raises FileExistsError and its data dirs are cleaned,
+    while the winner's committed data is untouched."""
+    root = str(tmp_path / "grp")
+    write_group_snapshot({"docs": _docs(spark, 5, "winner")}, root)
+    # simulate the race: the loser computed its version from a STALE
+    # listing taken before the winner's v2 manifest landed
+    import json
+
+    from sports_stats_data_pipeline_spark.operators import multisnapshot
+
+    m2 = os.path.join(root, "_snapshots", "v2.json")
+    with open(m2, "w") as fh:
+        json.dump({"version": 2, "mode": "overwrite", "tables": {}}, fh)
+    real_versions = multisnapshot._versions
+    multisnapshot._versions = lambda r: [1]  # stale pre-race view
+    try:
+        with pytest.raises(FileExistsError, match="concurrent"):
+            write_group_snapshot({"docs": _docs(spark, 3, "loser")}, root)
+    finally:
+        multisnapshot._versions = real_versions
+    # loser's data dir cleaned; winner's v1 data intact
+    assert not os.path.exists(os.path.join(root, "docs", "data", "v2"))
+    assert read_group_table(spark, root, "docs", 1).count() == 5

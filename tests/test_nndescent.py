@@ -189,3 +189,21 @@ def test_persisted_index_serves_identical_results(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_release_rejects_derived_frames(spark):
+    """ADVICE r6: the release handle rides a dynamic attribute that
+    DataFrame transformations drop — releasing a derived frame must be
+    a loud error (silent leak otherwise), and the original releases
+    fine."""
+    from sports_stats_data_pipeline_spark.operators.nndescent import (
+        knn_graph_nndescent,
+        release_knn_graph,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    g = knn_graph_nndescent(emb, k=3, rounds=0)
+    derived = g.select("src", "dst")
+    with pytest.raises(ValueError, match="not a releasable graph"):
+        release_knn_graph(derived)
+    release_knn_graph(g)  # the original frame carries the handle
