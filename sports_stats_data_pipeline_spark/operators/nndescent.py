@@ -70,6 +70,8 @@ __all__ = [
     "build_knn_graph_index",
     "graph_search_indexed",
     "release_knn_graph",
+    "knn_graph_cte_parts",
+    "graph_search_cte_parts",
 ]
 
 
@@ -262,23 +264,31 @@ def knn_graph_nndescent(
             .filter(F.col("src") != F.col("dst"))
         )
         # exploration candidates: ±2 adjacency inside per-round random
-        # buckets (pmod(xxhash64(id, round), ~n/32) then a PARTITIONED
-        # row_number). Pure neighbor-of-neighbor descent has local
-        # minima — a node whose whole list landed in the wrong cluster
-        # can never see out of it (its 2-hop neighborhood IS that
-        # cluster); a trickle of fresh random pairs per round is the
-        # classic NN-Descent escape hatch, deterministic here, and the
-        # bucketed shape keeps every window partition ~32 rows at any
-        # corpus size (a global-order row_number would serialize the
-        # corpus through one task per round).
+        # buckets (md5-derived bucket over ~n/32 buckets, then a
+        # PARTITIONED row_number). Pure neighbor-of-neighbor descent has
+        # local minima — a node whose whole list landed in the wrong
+        # cluster can never see out of it (its 2-hop neighborhood IS
+        # that cluster); a trickle of fresh random pairs per round is
+        # the classic NN-Descent escape hatch, deterministic here, and
+        # the bucketed shape keeps every window partition ~32 rows at
+        # any corpus size (a global-order row_number would serialize the
+        # corpus through one task per round). Bucket and in-bucket order
+        # both derive from the per-round md5 __rh (not xxhash64, which
+        # no other engine reproduces) so the whole build has a bit-exact
+        # DuckDB twin — :func:`knn_graph_cte_parts` — via the
+        # functions.text.shingle_hash32 hex→int convention.
         rpos = vecs.select(
             "__id",
-            F.pmod(
-                F.xxhash64(F.col("__id"), F.lit(rnd)), F.lit(expl_buckets)
-            ).alias("__b"),
             F.md5(
                 F.concat(F.col("__id").cast("string"), F.lit(f"#r{rnd}"))
             ).alias("__rh"),
+        ).select(
+            "__id",
+            F.pmod(
+                F.conv(F.substring("__rh", 1, 8), 16, 10).cast("long"),
+                F.lit(expl_buckets),
+            ).alias("__b"),
+            "__rh",
         ).select(
             "__id",
             "__b",
@@ -476,3 +486,230 @@ def graph_search_indexed(
         id_col=id_col,
         vec_col="embedding",
     )
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins — the pagerank_fixedpoint_cte_parts precedent: the build
+# and the search are deterministic relational programs (md5 ordering,
+# total-order ranking, left-to-right float folds), so each Spark step
+# unrolls to one plain CTE and the whole chain is a value oracle for the
+# driver's correctness gate. Iterated/reused relations are MATERIALIZED
+# (DuckDB inlines CTEs per reference — the doc-clusters 402s lesson).
+# --------------------------------------------------------------------------
+
+
+def _sql_score(cand_rel: str, vec_rel: str) -> str:
+    """SQL twin of :func:`_score` — (src, dst) + cosine via two id
+    joins; ``list_cosine_similarity`` matches functions.vectors.cosine
+    (same left fold, norms multiplied after their roots)."""
+    return (
+        f"SELECT c.src, c.dst, "
+        f"list_cosine_similarity(sv.v, dv.v) AS sim "
+        f"FROM {cand_rel} c "
+        f"JOIN {vec_rel} sv ON sv.id = c.src "
+        f"JOIN {vec_rel} dv ON dv.id = c.dst"
+    )
+
+
+def _sql_topk(rel: str, k: int) -> str:
+    """SQL twin of :func:`_topk` — the TOTAL order (sim DESC, dst)."""
+    return (
+        f"SELECT src, dst, sim, CAST(rank AS INTEGER) AS rank FROM ("
+        f"SELECT src, dst, sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY src ORDER BY sim DESC, dst) AS rank FROM {rel}"
+        f") WHERE rank <= {k}"
+    )
+
+
+def knn_graph_cte_parts(
+    corpus_cte: str, k: int = 10, rounds: int = 3, prefix: str = "g"
+) -> tuple[list[str], str]:
+    """Composable DuckDB twin of :func:`knn_graph_nndescent`.
+
+    ``corpus_cte`` must yield ``(id, v DOUBLE[])``. Returns the CTE
+    definitions (each named with ``prefix`` to avoid collisions when
+    spliced into a larger WITH chain) and the name of the final
+    relation, which yields ``(src, dst, sim, rank INTEGER)`` — the
+    exact rows the Spark build produces. Hex→int follows the
+    functions.text.shingle_hash32 convention (``('0x' || substr(md5,
+    1,8))::BIGINT`` == ``conv(substring(md5,1,8),16,10)``)."""
+    if k < 1 or rounds < 0:
+        raise ValueError("need k >= 1, rounds >= 0")
+    p = prefix
+    half = (k + 1) // 2
+    init_offs = [o for o in range(-half, half + 1) if o != 0]
+    parts = [
+        f"{p}vec AS MATERIALIZED ({corpus_cte})",
+        f"""{p}hsh AS (
+          SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM {p}vec
+        )""",
+        # 8 md5-minimal corpus vectors act as random hyperplanes
+        f"""{p}pl AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h) AS pid, v AS plane
+          FROM (SELECT h, v FROM {p}hsh ORDER BY h LIMIT 8)
+        )""",
+        # sign pattern against the planes -> RP bucket (shiftleft twin)
+        f"""{p}bk AS (
+          SELECT g.id, g.h,
+                 SUM(CASE WHEN list_dot_product(g.v, p.plane) > 0
+                          THEN 1::BIGINT << p.pid ELSE 0::BIGINT END)
+                   AS bucket
+          FROM {p}hsh g CROSS JOIN {p}pl p
+          GROUP BY g.id, g.h
+        )""",
+        f"""{p}pos AS MATERIALIZED (
+          SELECT id, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS p
+          FROM {p}bk
+        )""",
+        f"{p}io AS (SELECT UNNEST([{', '.join(map(str, init_offs))}]) AS o)",
+        f"""{p}ic AS (
+          SELECT a.id AS src, b.id AS dst
+          FROM {p}pos a CROSS JOIN {p}io o
+          JOIN {p}pos b ON b.bucket = a.bucket AND b.p = a.p + o.o
+        )""",
+        f"{p}is AS ({_sql_score(p + 'ic', p + 'vec')})",
+        f"{p}e0 AS MATERIALIZED ({_sql_topk(p + 'is', k)})",
+        f"{p}nb AS (SELECT GREATEST(1, COUNT(*) // 32) AS b FROM {p}vec)",
+        f"{p}xo AS (SELECT UNNEST([-2, -1, 1, 2]) AS o)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""{p}u{r} AS MATERIALIZED (
+              SELECT src, dst FROM {p}e{r}
+              UNION ALL SELECT dst AS src, src AS dst FROM {p}e{r}
+            )"""
+        )
+        # neighbor-of-neighbor expansion on the shared endpoint
+        parts.append(
+            f"""{p}c{r} AS (
+              SELECT ab.src AS src, bc.dst AS dst
+              FROM {p}u{r} ab JOIN {p}u{r} bc ON bc.src = ab.dst
+              WHERE ab.src <> bc.dst
+            )"""
+        )
+        # per-round exploration permutation: md5-derived bucket + rank
+        parts.append(
+            f"""{p}rp{r} AS MATERIALIZED (
+              SELECT id, b,
+                     ROW_NUMBER() OVER (PARTITION BY b ORDER BY rh) AS p
+              FROM (
+                SELECT id, rh,
+                       ('0x' || substr(rh, 1, 8))::BIGINT
+                         % (SELECT b FROM {p}nb) AS b
+                FROM (SELECT id,
+                             md5(CAST(id AS VARCHAR) || '#r{r}') AS rh
+                      FROM {p}vec))
+            )"""
+        )
+        parts.append(
+            f"""{p}x{r} AS (
+              SELECT a.id AS src, b2.id AS dst
+              FROM {p}rp{r} a CROSS JOIN {p}xo o
+              JOIN {p}rp{r} b2 ON b2.b = a.b AND b2.p = a.p + o.o
+            )"""
+        )
+        parts.append(
+            f"""{p}n{r} AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM {p}c{r}
+                UNION ALL SELECT src, dst FROM {p}x{r})
+            )"""
+        )
+        parts.append(
+            f"{p}s{r} AS ({_sql_score(f'{p}n{r}', p + 'vec')})"
+        )
+        parts.append(
+            f"""{p}m{r} AS (
+              SELECT src, dst, MAX(sim) AS sim FROM (
+                SELECT src, dst, sim FROM {p}e{r}
+                UNION ALL SELECT src, dst, sim FROM {p}s{r})
+              GROUP BY src, dst
+            )"""
+        )
+        parts.append(
+            f"{p}e{r + 1} AS MATERIALIZED ({_sql_topk(f'{p}m{r}', k)})"
+        )
+    return parts, f"{p}e{rounds}"
+
+
+def graph_search_cte_parts(
+    graph_rel: str,
+    vec_rel: str,
+    queries_cte: str,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 4,
+    prefix: str = "q",
+) -> tuple[list[str], str]:
+    """Composable DuckDB twin of :func:`graph_search`. ``graph_rel`` /
+    ``vec_rel`` name existing relations — typically the outputs of
+    :func:`knn_graph_cte_parts` — with shapes ``(src, dst, ...)`` and
+    ``(id, v DOUBLE[])``; ``queries_cte`` must yield one column ``qid``.
+    The final relation yields ``(query_id, neighbor_id, rank INTEGER,
+    score_r4)``."""
+    p = prefix
+    parts = [
+        f"{p}qs AS ({queries_cte})",
+        f"""{p}qv AS MATERIALIZED (
+          SELECT q.qid AS query_id, v.v AS qv
+          FROM {p}qs q JOIN {vec_rel} v ON v.id = q.qid
+        )""",
+        # deterministic entry point: the md5-minimal node
+        f"""{p}en AS (
+          SELECT id AS cand FROM {vec_rel}
+          ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 1
+        )""",
+        f"""{p}su AS MATERIALIZED (
+          SELECT src, dst FROM {graph_rel}
+          UNION ALL SELECT dst AS src, src AS dst FROM {graph_rel}
+        )""",
+        f"""{p}b0 AS MATERIALIZED (
+          SELECT qv.query_id, e.cand,
+                 list_cosine_similarity(qv.qv, v.v) AS sim
+          FROM {p}qv qv CROSS JOIN {p}en e
+          JOIN {vec_rel} v ON v.id = e.cand
+        )""",
+    ]
+    for h in range(hops):
+        parts.append(
+            f"""{p}x{h} AS (
+              SELECT DISTINCT b.query_id, u.dst AS cand
+              FROM {p}b{h} b JOIN {p}su u ON u.src = b.cand
+            )"""
+        )
+        parts.append(
+            f"""{p}s{h} AS (
+              SELECT x.query_id, x.cand,
+                     list_cosine_similarity(q.qv, v.v) AS sim
+              FROM {p}x{h} x
+              JOIN {vec_rel} v ON v.id = x.cand
+              JOIN {p}qv q ON q.query_id = x.query_id
+            )"""
+        )
+        parts.append(
+            f"""{p}b{h + 1} AS MATERIALIZED (
+              SELECT query_id, cand, sim FROM (
+                SELECT query_id, cand, sim, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, cand) AS rank
+                FROM (SELECT query_id, cand, MAX(sim) AS sim FROM (
+                        SELECT query_id, cand, sim FROM {p}b{h}
+                        UNION ALL
+                        SELECT query_id, cand, sim FROM {p}s{h})
+                      GROUP BY query_id, cand))
+              WHERE rank <= {beam}
+            )"""
+        )
+    parts.append(
+        f"""{p}out AS (
+          SELECT query_id, cand AS neighbor_id,
+                 CAST(rank AS INTEGER) AS rank,
+                 ROUND(sim, 4) AS score_r4
+          FROM (
+            SELECT query_id, cand, sim, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, cand) AS rank
+            FROM {p}b{hops} WHERE query_id <> cand)
+          WHERE rank <= {k}
+        )"""
+    )
+    return parts, f"{p}out"

@@ -56,6 +56,10 @@ from ..functions.text import (
     token_hashes,
 )
 from ..functions.vectors import as_double, cosine
+from ..operators.nndescent import (
+    graph_search_cte_parts,
+    knn_graph_cte_parts,
+)
 from ..operators.pagerank import pagerank_fixedpoint_cte_parts
 from ..sources.tables import load_table
 from . import QueryRegistry
@@ -1252,14 +1256,42 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its probe-all configuration — with n_probe >= n_cells the kmeans cell
 # restriction is a no-op and mining is EXACT brute force, so its per-
 # anchor positive/negative rankings are fully SQL-expressible. Rows are
-# tagged by `family` ('ivf' | 'mine'); `grp` is the IVF cell resp. the
-# mined side (1 = positive, 0 = hard negative). The mine ranking orders
-# by FLOOR(cos·1e6) (the operator's partition-order-invariant integer
-# micro score) with the id tie-break, mirrored exactly in the oracle.
+# tagged by `family` ('ivf' | 'mine' | 'graph'); `grp` is the IVF cell,
+# the mined side (1 = positive, 0 = hard negative), resp. the graph
+# hit's integer micro score ROUND(score_r4·1e4). The mine ranking
+# orders by FLOOR(cos·1e6) (the operator's partition-order-invariant
+# integer micro score) with the id tie-break, mirrored in the oracle.
+#
+# 'graph' (round 7) value-gates the graph-ANN leg end-to-end: a full
+# NN-Descent build (k=4, 2 descent rounds — init, neighbor-of-neighbor
+# expansion, exploration permutation, rescoring, top-k all exercised)
+# followed by a batched beam search (8 queries, hops=2, beam=8, k=3).
+# Both are deterministic relational programs, so the oracle is the
+# unrolled-CTE chain from operators.nndescent.knn_graph_cte_parts /
+# graph_search_cte_parts — the pagerank_fixedpoint_cte_parts precedent.
 # --------------------------------------------------------------------------
+_GANN_K, _GANN_ROUNDS = 4, 2
+_GANN_SEARCH = dict(k=3, beam=8, hops=2)
+_GANN_PARTS, _GANN_GRAPH = knn_graph_cte_parts(
+    "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+    k=_GANN_K,
+    rounds=_GANN_ROUNDS,
+    prefix="ga",
+)
+_GSRCH_PARTS, _GSRCH_OUT = graph_search_cte_parts(
+    _GANN_GRAPH,
+    "gavec",
+    "SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8",
+    prefix="gq",
+    **_GANN_SEARCH,
+)
+_GANN_WITH = "WITH " + ",\n".join(_GANN_PARTS + _GSRCH_PARTS)
+
+
 @REGISTRY.register(
     "ann_ivf_label_topk",
-    oracle="""
+    oracle=f"""
+    {_GANN_WITH}
     SELECT query_id, neighbor_id, 'ivf' AS family,
            CAST(cell AS INTEGER) AS grp, rank
     FROM (
@@ -1295,10 +1327,20 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE (is_positive = 1 AND rank <= 2)
        OR (is_positive = 0 AND rank <= 3)
+    UNION ALL
+    SELECT query_id, neighbor_id, 'graph' AS family,
+           CAST(ROUND(score_r4 * 10000, 0) AS INTEGER) AS grp, rank
+    FROM {_GSRCH_OUT}
     """,
 )
 def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.iterutil import eager_checkpoint
     from ..operators.mining import mine_contrastive_pairs
+    from ..operators.nndescent import (
+        graph_search,
+        knn_graph_nndescent,
+        release_knn_graph,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -1346,7 +1388,29 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_positive").alias("grp"),
         "rank",
     )
-    return ivf.unionByName(mined)
+    # 'graph' family: NN-Descent build + beam search (constants shared
+    # with the oracle CTE chain via _GANN_*). The big artifact here is
+    # the GRAPH's checkpoint blocks — checkpoint the ≤ 24-row search
+    # result instead, then release the graph; the tiny result blocks
+    # live for the session (no handle kept), same order of magnitude as
+    # any persisted broadcast side.
+    corpus = emb.select("vec_id", "embedding")
+    graph = knn_graph_nndescent(corpus, k=_GANN_K, rounds=_GANN_ROUNDS)
+    hits = graph_search(
+        graph,
+        corpus,
+        emb.filter(F.col("vec_id") < 8).select("vec_id"),
+        **_GANN_SEARCH,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("graph").alias("family"),
+        F.round(F.col("score_r4") * 10000, 0).cast("int").alias("grp"),
+        "rank",
+    )
+    hits, _keep = eager_checkpoint(hits)
+    release_knn_graph(graph)
+    return ivf.unionByName(mined).unionByName(hits)
 
 
 # --------------------------------------------------------------------------

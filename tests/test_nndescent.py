@@ -191,6 +191,74 @@ def test_persisted_index_serves_identical_results(spark, tmp_path):
     assert got == want and len(got) == 30
 
 
+def test_duckdb_cte_twin_is_bit_exact(spark):
+    """knn_graph_cte_parts / graph_search_cte_parts (round 7): the
+    unrolled DuckDB chain must reproduce the Spark build AND the beam
+    search row-for-row — the value oracle behind the driver's 'graph'
+    family in ann_ivf_label_topk. Params here deliberately differ from
+    the driver slot's (k=5, rounds=1, hops=3) so the generators are
+    pinned beyond the one registered configuration."""
+    import duckdb
+
+    from sports_stats_data_pipeline_spark.operators.nndescent import (
+        graph_search_cte_parts,
+        knn_graph_cte_parts,
+        release_knn_graph,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    g = knn_graph_nndescent(emb, k=5, rounds=1)
+    spark_graph = sorted(
+        (r["src"], r["dst"], r["sim"], r["rank"]) for r in g.collect()
+    )
+    corpus = (
+        "SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        f"FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    parts, final = knn_graph_cte_parts(corpus, k=5, rounds=1)
+    duck_graph = sorted(
+        duckdb.sql(
+            "WITH "
+            + ",\n".join(parts)
+            + f"\nSELECT src, dst, sim, rank FROM {final}"
+        ).fetchall()
+    )
+    assert len(spark_graph) > 0 and spark_graph == duck_graph
+
+    queries = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    spark_out = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score_r4"])
+        for r in graph_search(g, emb, queries, k=3, beam=10, hops=3).collect()
+    )
+    q_parts, q_out = graph_search_cte_parts(
+        final,
+        "gvec",
+        "SELECT vec_id AS qid FROM read_parquet("
+        f"'{SF}/embeddings.parquet') WHERE vec_id < 6",
+        k=3,
+        beam=10,
+        hops=3,
+    )
+    duck_out = sorted(
+        duckdb.sql(
+            "WITH "
+            + ",\n".join(parts + q_parts)
+            + f"\nSELECT query_id, neighbor_id, rank, score_r4 FROM {q_out}"
+        ).fetchall()
+    )
+    assert len(spark_out) == 18 and spark_out == duck_out
+    release_knn_graph(g)
+
+
+def test_cte_parts_validation():
+    from sports_stats_data_pipeline_spark.operators.nndescent import (
+        knn_graph_cte_parts,
+    )
+
+    with pytest.raises(ValueError):
+        knn_graph_cte_parts("SELECT 1", k=0)
+
+
 def test_release_rejects_derived_frames(spark):
     """ADVICE r6: the release handle rides a dynamic attribute that
     DataFrame transformations drop — releasing a derived frame must be
