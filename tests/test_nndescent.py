@@ -250,6 +250,29 @@ def test_duckdb_cte_twin_is_bit_exact(spark):
     release_knn_graph(g)
 
 
+def test_incremental_new_flag_is_exact(spark):
+    """incremental=True (round 7): the classic NN-Descent "new"-flag
+    candidate cut must be bit-identical to the full expansion — a
+    both-old 2-hop path was expanded the round both its edges appeared,
+    and per-src top-k lists improve monotonically, so skipped pairs can
+    never re-enter. Pinned across multiple rounds (the bookkeeping
+    carries state round-to-round) on the uniform corpus, the hard case
+    where the graph keeps churning."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    for k, rounds in ((6, 3), (4, 1)):
+        full = sorted(
+            (r["src"], r["dst"], r["rank"], r["sim"])
+            for r in knn_graph_nndescent(emb, k=k, rounds=rounds).collect()
+        )
+        inc = sorted(
+            (r["src"], r["dst"], r["rank"], r["sim"])
+            for r in knn_graph_nndescent(
+                emb, k=k, rounds=rounds, incremental=True
+            ).collect()
+        )
+        assert len(full) > 0 and full == inc, (k, rounds)
+
+
 def test_cte_parts_validation():
     from sports_stats_data_pipeline_spark.operators.nndescent import (
         knn_graph_cte_parts,
