@@ -691,6 +691,15 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    the bottom-k entry sample rides the same lifecycle and serves
 #    p50/p90 price at read time; exact regime (group << k) makes the
 #    oracle the exact lower-interpolation rank statistic.
+# 6. (round 7) the WRITE PATH itself: the mart lands via
+#    operators.observe.write_validated (metrics ride the write through
+#    CollectMetrics, gates decide the staged promote — one scan), and
+#    the compacted mart + customer dimension commit as ONE atomic
+#    group snapshot (operators.multisnapshot) that the bucketed join
+#    reads back THROUGH — so the driver's value hash now gates
+#    publish -> compaction -> snapshot read-back end-to-end. The
+#    oracle (full recompute) is unchanged: a corrupted write flips the
+#    hash.
 # --------------------------------------------------------------------------
 @REGISTRY.register(
     "incremental_mart_maintenance",
@@ -738,6 +747,11 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bucketing import bucketed_join, write_bucketed
     from ..operators.incremental import aggregate_delta, merge_aggregate_state
     from ..operators.maintenance import compact_parquet
+    from ..operators.multisnapshot import (
+        read_group_table,
+        write_group_snapshot,
+    )
+    from ..operators.observe import write_validated
     from ..operators.quantiles import qsketch_entry, qsketch_quantile
 
     orders = (
@@ -771,16 +785,46 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures,
     )
     # maintenance: land the mart as many small files (the streaming-
-    # append pathology), compact via stage -> atomic promote, read back
+    # append pathology) through the VALIDATED publish — metrics ride
+    # the write via CollectMetrics (one scan), the gates decide the
+    # staged promote — then compact via stage -> atomic promote
     mart_path = tempfile.mkdtemp(prefix="graft_mart_") + "/mart"
-    merged.repartition(16).write.parquet(mart_path)
+    write_validated(
+        merged.repartition(16),
+        mart_path,
+        metrics={
+            "n": F.count(F.lit(1)),
+            "null_keys": F.sum(F.col("o_custkey").isNull().cast("long")),
+        },
+        gates={
+            "nonempty": lambda m: m["n"] > 0,
+            "keys_present": lambda m: m["null_keys"] == 0,
+        },
+    )
     compacted = compact_parquet(spark, mart_path, target_partitions=2)
-    # bucketing: mart ⋈ customer dimension bucket-to-bucket on custkey
-    write_bucketed(compacted, "graft_mart_b", ["o_custkey"], n_buckets=4)
+    # atomic group snapshot: the compacted mart and its dimension
+    # become visible as ONE version; the join below reads back THROUGH
+    # the snapshot, so the slot's value hash covers the commit
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    write_bucketed(cust, "graft_cust_b", ["o_custkey"], n_buckets=4)
+    group_root = tempfile.mkdtemp(prefix="graft_mart_grp_")
+    write_group_snapshot(
+        {"mart": compacted, "customer_dim": cust}, group_root
+    )
+    # bucketing: mart ⋈ customer dimension bucket-to-bucket on custkey
+    write_bucketed(
+        read_group_table(spark, group_root, "mart"),
+        "graft_mart_b",
+        ["o_custkey"],
+        n_buckets=4,
+    )
+    write_bucketed(
+        read_group_table(spark, group_root, "customer_dim"),
+        "graft_cust_b",
+        ["o_custkey"],
+        n_buckets=4,
+    )
     return bucketed_join(
         spark, "graft_mart_b", "graft_cust_b", on=["o_custkey"]
     ).select(
