@@ -1,10 +1,13 @@
 """streaming.dedup_lsh — incremental near-dedup against a persisted
 LSH store: cross-batch dedup, intra-batch first-wins, idempotent replay
-of the admit step."""
+of the admit step, and (round 7) a DuckDB value twin of the GREEDY
+multi-batch admission fold — the order-dependent behavior the driver's
+single-batch 'sneardup' gate deliberately cannot express."""
 
 from __future__ import annotations
 
 from sports_stats_data_pipeline_spark.streaming.dedup_lsh import (
+    BUCKET_CAP,
     dedup_batch_against_store,
     run_streaming_neardup_dedup,
 )
@@ -51,6 +54,183 @@ def test_intra_batch_first_wins(spark, tmp_path):
         3,
         9,
     ]
+
+
+#: exact-Jaccard verify at 0.6, integer arithmetic — the SQL twin of
+#: dedup_lsh._jaccard_ok over the shared `sh` shingle relation.
+_VERIFY = (
+    "10 * CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)"
+    " >= 6 * CAST(len(sa.shingles) + len(sb.shingles)"
+    " - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)"
+)
+
+
+def _greedy_fold_sql(n_batches: int, cap: int = BUCKET_CAP) -> str:
+    """DuckDB twin of the MULTI-batch greedy admission: an unrolled
+    per-batch fold (the pagerank/nndescent CTE-chain pattern — one CTE
+    stage per micro-batch, so arrival order is explicit). Expects a
+    preceding relation ``docs(doc_id, text, batch)``; yields the final
+    store's doc_ids. Mirrors streaming.dedup_lsh exactly:
+
+    - batch side of every join UNCAPPED, prior side (store resp. the
+      batch itself for intra) hot-bucket-capped at ``cap``;
+    - intra-batch prior side is the WHOLE batch (a doc that loses
+      against the store still vetoes larger intra-batch ids);
+    - admitted survivors extend the store seen by later batches — the
+      greedy, order-dependent part no order-free oracle states.
+    """
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        _SQL_SH_HASHES,
+        _SQL_SHINGLES,
+        _sql_minhash,
+    )
+
+    mh = ", ".join(_sql_minhash(j) for j in range(8))
+    parts = [
+        f"sh AS MATERIALIZED (SELECT doc_id, batch, {_SQL_SHINGLES} "
+        "AS shingles FROM docs)",
+        "hashed AS (SELECT doc_id, batch, shingles, "
+        f"{_SQL_SH_HASHES} AS sh_h FROM sh)",
+        f"sig AS (SELECT doc_id, batch, {mh} FROM hashed)",
+        """bnd AS MATERIALIZED (
+          SELECT doc_id, batch, unnest([
+            '0|' || CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR),
+            '1|' || CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR),
+            '2|' || CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR),
+            '3|' || CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)
+          ]) AS band_key FROM sig
+        )""",
+    ]
+    for i in range(n_batches):
+        parts.append(f"bb{i} AS (SELECT * FROM bnd WHERE batch = {i})")
+        parts.append(
+            f"bbc{i} AS (SELECT * FROM bb{i} QUALIFY COUNT(*) OVER "
+            f"(PARTITION BY band_key) <= {cap})"
+        )
+        parts.append(
+            f"""din{i} AS (
+              SELECT DISTINCT n.doc_id FROM bb{i} n
+              JOIN bbc{i} p ON p.band_key = n.band_key
+                           AND p.doc_id < n.doc_id
+              JOIN sh sa ON sa.doc_id = n.doc_id
+              JOIN sh sb ON sb.doc_id = p.doc_id
+              WHERE {_VERIFY})"""
+        )
+        if i == 0:
+            dups = f"SELECT doc_id FROM din{i}"
+        else:
+            parts.append(
+                f"""sb{i} AS (SELECT b.doc_id, b.band_key
+                  FROM bnd b JOIN store{i - 1} s ON s.doc_id = b.doc_id)"""
+            )
+            parts.append(
+                f"sbc{i} AS (SELECT * FROM sb{i} QUALIFY COUNT(*) OVER "
+                f"(PARTITION BY band_key) <= {cap})"
+            )
+            parts.append(
+                f"""dst{i} AS (
+                  SELECT DISTINCT n.doc_id FROM bb{i} n
+                  JOIN sbc{i} p ON p.band_key = n.band_key
+                  JOIN sh sa ON sa.doc_id = n.doc_id
+                  JOIN sh sb ON sb.doc_id = p.doc_id
+                  WHERE {_VERIFY})"""
+            )
+            dups = (
+                f"SELECT doc_id FROM din{i} "
+                f"UNION SELECT doc_id FROM dst{i}"
+            )
+        carry = (
+            f"SELECT doc_id FROM store{i - 1} UNION ALL " if i else ""
+        )
+        parts.append(
+            f"""store{i} AS MATERIALIZED (
+              {carry}SELECT DISTINCT doc_id FROM bb{i}
+              WHERE doc_id NOT IN ({dups}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id FROM store{n_batches - 1}"
+    )
+
+
+def test_multibatch_greedy_admission_matches_duckdb_fold(spark, tmp_path):
+    """>= 3-batch run of the real stream vs the unrolled DuckDB fold.
+
+    The corpus mixes sf0.001 documents (batched by doc_id % 3) with
+    synthesized near-dups landing in DIFFERENT batches than their
+    originals, plus a crafted greedy triple: A (batch 0, admitted),
+    B = A + 2 words (batch 1, dropped against A), Y = A + 6 words
+    (batch 2) with J(A,Y) = 8/14 < 0.6 but J(B,Y) = 10/14 >= 0.6 —
+    admitted ONLY because greedy admission never indexes the dropped
+    B. The fold must reproduce the exact admitted set, greedy quirk
+    included."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    base = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+        .collect()
+    ]
+    dups = [
+        (i + 1000000, t + " near dup tail marker")
+        for i, t in base
+        if i % 7 == 0
+    ]
+    tri_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    tri_b = tri_a + " kilo lima"
+    tri_y = tri_a + " kilo lima mike november oscar papa"
+    batches: list[list[tuple[int, str]]] = [[], [], []]
+    for i, t in base + dups:
+        batches[i % 3].append((i, t))
+    batches[0].append((5000, tri_a))
+    batches[1].append((5001, tri_b))
+    batches[2].append((5002, tri_y))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dest = str(landing / f"batch{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dest)
+        # the file source orders micro-batches by modification time —
+        # pin it so batch i really arrives i-th
+        os.utime(dest, (1_700_000_000 + 100 * i,) * 2)
+
+    out = run_streaming_neardup_dedup(
+        spark, str(landing), str(tmp_path / "store")
+    )
+    spark_ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+    con = duckdb.connect()
+    all_rows = [
+        (i, t, b) for b, rows in enumerate(batches) for i, t in rows
+    ]
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, batch INT)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", all_rows)
+    duck_ids = sorted(
+        r[0] for r in con.execute(_greedy_fold_sql(3)).fetchall()
+    )
+    assert len(spark_ids) > 0 and spark_ids == duck_ids
+    # the greedy pin itself: B dropped against A, Y admitted because
+    # the dropped B never joined the index
+    assert 5000 in spark_ids and 5001 not in spark_ids
+    assert 5002 in spark_ids
 
 
 def test_admit_is_replay_idempotent(spark, tmp_path):
