@@ -143,3 +143,11 @@ def test_bench_tier_names_resolve_in_registry():
         assert name in reg.queries, name
     # every DIRECT override must be a headline slot, never dangle
     assert set(bench.DIRECT) <= set(bench.HEADLINE)
+    # the calibration pass (round 7) resolves each headline slot's
+    # oracle through ORACLE_PROXY — a proxy pointing at a renamed slot
+    # would silently degrade the run to no-ratio
+    for name in bench.HEADLINE:
+        source = bench.ORACLE_PROXY.get(name, name)
+        if source is not None:
+            assert source in reg.oracles, (name, source)
+    assert set(bench.ORACLE_PROXY) <= set(bench.HEADLINE)
