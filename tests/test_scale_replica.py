@@ -100,6 +100,55 @@ def test_replica_parity(spark, name):
 
 
 @pytest.mark.skipif(
+    not (SCALE_DIR and HEAVY),
+    reason="set SPARK_GRAFT_SCALE_DIR + SPARK_GRAFT_SCALE_HEAVY=1",
+)
+def test_replica_nndescent_incremental_equals_full(spark):
+    """Round 7: the new-flag candidate cut must stay bit-identical to
+    the full expansion at replica scale — the regime where the replica
+    corpus makes every vector 10/30-way duplicated (maximal cosine
+    ties, the hardest case for the 'a rejected pair can never
+    re-enter' argument since the kth-best boundary is a plateau).
+    Wall times for both paths print for the NOTES record."""
+    import time
+
+    from sports_stats_data_pipeline_spark.operators.nndescent import (
+        knn_graph_nndescent,
+        release_knn_graph,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SCALE_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    t0 = time.perf_counter()
+    full = knn_graph_nndescent(emb, k=8, rounds=3)
+    n_full = full.count()
+    t_full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    inc = knn_graph_nndescent(emb, k=8, rounds=3, incremental=True)
+    n_inc = inc.count()
+    t_inc = time.perf_counter() - t0
+    # bit-equality via an order-free fingerprint (collecting n*k rows
+    # at 30x is pointless driver traffic): count + XOR of row hashes
+    # covers value identity to hash strength (xor, not sum — a long
+    # sum overflows ANSI arithmetic at this row count)
+    def fp(df):
+        return df.selectExpr(
+            "bit_xor(xxhash64(src, dst, rank)) AS h",
+            "bit_xor(xxhash64(CAST(round(sim * 1e9) AS LONG))) AS s",
+        ).collect()[0]
+
+    assert n_full == n_inc and fp(full) == fp(inc)
+    print(
+        f"\nnndescent 3 rounds k=8 on {emb.count()} vecs: "
+        f"full={t_full:.1f}s incremental={t_inc:.1f}s"
+    )
+    release_knn_graph(full)
+    release_knn_graph(inc)
+
+
+@pytest.mark.skipif(
     not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
 )
 @pytest.mark.parametrize("name", SKEW_QUERIES)
