@@ -221,6 +221,12 @@ def main() -> None:
                 "ratio_vs_duckdb": ratio,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                # ambient context for cross-round reads: the 1-min load
+                # average BEFORE this run's own load fully decays tells
+                # a reader whether raw seconds were taken on a quiet
+                # host (the ratio is the drift-immune series; this is
+                # the sanity column next to it)
+                "load_avg_1m": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )

@@ -479,9 +479,16 @@ def build_knn_graph_index(
     relations, zero descent work at query time. Refresh cadence is the
     IVF story: appends degrade graph recall gradually; rebuild on the
     drift signal (operators/drift over the degree histogram is the
-    natural monitor)."""
+    natural monitor). Builds with ``incremental=True`` — bit-identical
+    output (pinned), and the offline index build is exactly where the
+    converged-rounds candidate cut pays."""
     graph = knn_graph_nndescent(
-        emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+        emb,
+        k=k,
+        rounds=rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        incremental=True,
     )
     (
         graph.repartition("src")
