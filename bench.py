@@ -151,6 +151,10 @@ def _duckdb_calibration(reg, sf_dir: str) -> tuple[dict[str, float], float]:
 
 
 def main() -> None:
+    # ambient context for cross-round reads, sampled BEFORE this run
+    # adds its own load: raw seconds taken on a busy host read high;
+    # the ratio is the drift-immune series, this is the sanity column
+    load_1m = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else -1.0
     spark = get_spark("bench")
@@ -221,12 +225,7 @@ def main() -> None:
                 "ratio_vs_duckdb": ratio,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
-                # ambient context for cross-round reads: the 1-min load
-                # average BEFORE this run's own load fully decays tells
-                # a reader whether raw seconds were taken on a quiet
-                # host (the ratio is the drift-immune series; this is
-                # the sanity column next to it)
-                "load_avg_1m": round(os.getloadavg()[0], 2),
+                "load_avg_1m": load_1m,
                 "sf": sf,
             }
         )
