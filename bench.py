@@ -113,6 +113,14 @@ ORACLE_PROXY = {
     "ann_topk_fast": None,  # covered by embedding_cosine_topk's oracle
 }
 
+#: slots with ORACLE_PROXY None are COMPARED through another slot's
+#: oracle row: folded slot -> the covering slot (its DuckDB time is
+#: matched against the SUM of the covered Spark times — the README
+#: table renderer consumes this).
+FOLDED_INTO = {
+    "ann_topk_fast": "embedding_cosine_topk",
+}
+
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -122,32 +130,41 @@ _TABLES = (
 def _duckdb_calibration(reg, sf_dir: str) -> tuple[dict[str, float], float]:
     """Time the headline oracles in DuckDB on the same parquet, min-of-2
     per query (the judged-session methodology). Returns per-query
-    seconds + total; ({}, 0.0) if any oracle is missing so a registry
-    rename degrades to no-ratio instead of a crashed bench."""
-    import duckdb
+    seconds + total; ({}, 0.0) on ANY calibration failure — missing
+    oracle name after a registry rename, an oracle erroring at
+    execution, even a broken duckdb install — so the expensive Spark
+    pass that just finished is always reported, at worst without a
+    ratio."""
+    try:
+        import duckdb
 
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        source = ORACLE_PROXY.get(name, name)
-        if source is None:
-            continue
-        sql = reg.oracles.get(source)
-        if sql is None:
-            return {}, 0.0
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    con.close()
-    return out, round(sum(out.values()), 3)
+        con = duckdb.connect()
+        try:
+            for t in _TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            out: dict[str, float] = {}
+            for name in HEADLINE:
+                source = ORACLE_PROXY.get(name, name)
+                if source is None:
+                    continue
+                sql = reg.oracles.get(source)
+                if sql is None:
+                    return {}, 0.0
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                out[name] = round(best, 3)
+            return out, round(sum(out.values()), 3)
+        finally:
+            con.close()
+    except Exception as exc:  # degrade, never discard the Spark run
+        print(f"duckdb calibration skipped: {exc!r}", file=sys.stderr)
+        return {}, 0.0
 
 
 def main() -> None:

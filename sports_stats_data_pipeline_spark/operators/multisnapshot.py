@@ -152,12 +152,19 @@ def write_group_snapshot(
             # check-then-rename window where both could "win")
             os.link(tmp, final)
         except FileExistsError:
+            os.remove(tmp)
             raise FileExistsError(
                 f"group snapshot v{version} already committed by a "
                 "concurrent writer"
             ) from None
-        finally:
+        # COMMITTED from here: nothing below may reach the written-dirs
+        # cleanup — an rmtree now would delete data a durable manifest
+        # references. A tmp file that refuses to unlink is inert
+        # garbage, never worth failing (or un-publishing) a commit for.
+        try:
             os.remove(tmp)
+        except OSError:
+            pass
         return version
     except Exception:
         for d in written_dirs:

@@ -787,44 +787,59 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintenance: land the mart as many small files (the streaming-
     # append pathology) through the VALIDATED publish — metrics ride
     # the write via CollectMetrics (one scan), the gates decide the
-    # staged promote — then compact via stage -> atomic promote
-    mart_path = tempfile.mkdtemp(prefix="graft_mart_") + "/mart"
-    write_validated(
-        merged.repartition(16),
-        mart_path,
-        metrics={
-            "n": F.count(F.lit(1)),
-            "null_keys": F.sum(F.col("o_custkey").isNull().cast("long")),
-        },
-        gates={
-            "nonempty": lambda m: m["n"] > 0,
-            "keys_present": lambda m: m["null_keys"] == 0,
-        },
-    )
-    compacted = compact_parquet(spark, mart_path, target_partitions=2)
-    # atomic group snapshot: the compacted mart and its dimension
-    # become visible as ONE version; the join below reads back THROUGH
-    # the snapshot, so the slot's value hash covers the commit
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-    )
+    # staged promote — then compact via stage -> atomic promote.
+    # Both temp roots are deleted before returning (the bucketed
+    # writes below are eager saveAsTable, so the returned lazy join
+    # reads only warehouse tables — a per-invocation mart copy left
+    # behind would grow the host by two mart copies per bench/driver
+    # call, the dedup_lsh wrapper's cleanup contract).
+    import shutil
+
+    mart_root = tempfile.mkdtemp(prefix="graft_mart_")
     group_root = tempfile.mkdtemp(prefix="graft_mart_grp_")
-    write_group_snapshot(
-        {"mart": compacted, "customer_dim": cust}, group_root
-    )
-    # bucketing: mart ⋈ customer dimension bucket-to-bucket on custkey
-    write_bucketed(
-        read_group_table(spark, group_root, "mart"),
-        "graft_mart_b",
-        ["o_custkey"],
-        n_buckets=4,
-    )
-    write_bucketed(
-        read_group_table(spark, group_root, "customer_dim"),
-        "graft_cust_b",
-        ["o_custkey"],
-        n_buckets=4,
-    )
+    try:
+        mart_path = mart_root + "/mart"
+        write_validated(
+            merged.repartition(16),
+            mart_path,
+            metrics={
+                "n": F.count(F.lit(1)),
+                "null_keys": F.sum(
+                    F.col("o_custkey").isNull().cast("long")
+                ),
+            },
+            gates={
+                "nonempty": lambda m: m["n"] > 0,
+                "keys_present": lambda m: m["null_keys"] == 0,
+            },
+        )
+        compacted = compact_parquet(spark, mart_path, target_partitions=2)
+        # atomic group snapshot: the compacted mart and its dimension
+        # become visible as ONE version; the join below reads back
+        # THROUGH the snapshot, so the slot's value hash covers the
+        # commit
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        write_group_snapshot(
+            {"mart": compacted, "customer_dim": cust}, group_root
+        )
+        # bucketing: mart ⋈ customer dim bucket-to-bucket on custkey
+        write_bucketed(
+            read_group_table(spark, group_root, "mart"),
+            "graft_mart_b",
+            ["o_custkey"],
+            n_buckets=4,
+        )
+        write_bucketed(
+            read_group_table(spark, group_root, "customer_dim"),
+            "graft_cust_b",
+            ["o_custkey"],
+            n_buckets=4,
+        )
+    finally:
+        shutil.rmtree(mart_root, ignore_errors=True)
+        shutil.rmtree(group_root, ignore_errors=True)
     return bucketed_join(
         spark, "graft_mart_b", "graft_cust_b", on=["o_custkey"]
     ).select(

@@ -9,17 +9,22 @@ Accepts either the raw JSON line bench.py prints or the driver's
 bench.py itself times the DuckDB calibration in the same session
 (``duckdb_queries`` / ``ratio_vs_duckdb``), so the README table is a
 mechanical projection of one record instead of a hand-merged pair of
-measurements — the round-6 verdict's comparability ask.
+measurements — the round-6 verdict's comparability ask. Slots in
+``bench.FOLDED_INTO`` are summed into their covering slot's row (that
+oracle times the superset), matching bench.py's documented comparison;
+pre-round-7 records (no duckdb fields) and degraded no-ratio records
+render with ``—`` cells instead of crashing.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
-def _ratio_cell(spark: float, duck: float) -> str:
-    if duck <= 0:
+def _ratio_cell(spark: float, duck: float | None) -> str:
+    if not duck:
         return "—"
     r = spark / duck
     if r >= 1:
@@ -30,47 +35,45 @@ def _ratio_cell(spark: float, duck: float) -> str:
 def render(rec: dict) -> str:
     if "parsed" in rec:
         rec = rec["parsed"]
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import FOLDED_INTO, ORACLE_PROXY
+
     duck = rec.get("duckdb_queries") or {}
+    #: proxy-oracled rows carry the README's ¹ footnote: either the
+    #: oracle is another slot's (ORACLE_PROXY) or the row sums folded
+    #: Spark slots against one covering oracle (FOLDED_INTO)
+    proxied = {k for k, v in ORACLE_PROXY.items() if v is not None}
+    proxied |= set(FOLDED_INTO.values())
     lines = [
         "| Query | Spark | DuckDB | ratio |",
         "|---|---|---|---|",
     ]
-    # proxy-oracled slots get the README's ¹ footnote (bench.ORACLE_PROXY)
-    try:
-        import os
-
-        sys.path.insert(
-            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        from bench import ORACLE_PROXY
-
-        proxied = {k for k, v in ORACLE_PROXY.items() if v is not None}
-    except Exception:
-        proxied = set()
-    folded = []  # spark-side slots folded into another slot's oracle
     for name, s in rec["queries"].items():
-        if name not in duck:
-            folded.append(name)
-            continue
-        d = duck[name]
-        mark = "¹" if name in proxied else ""
+        if name in FOLDED_INTO:
+            continue  # summed into the covering slot's row below
+        label = name
+        for folded, cover in FOLDED_INTO.items():
+            if cover == name and folded in rec["queries"]:
+                s += rec["queries"][folded]
+                label += f" + {folded}"
+        d = duck.get(name)
+        mark = "¹" if name in proxied and d is not None else ""
+        d_cell = f"{d:.2f} s{mark}" if d is not None else "—"
         lines.append(
-            f"| {name} | {s:.2f} s | {d:.2f} s{mark} | {_ratio_cell(s, d)} |"
+            f"| {label} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
         )
     total_s = rec["value"]
-    total_d = rec.get("duckdb_total") or 0.0
+    total_d = rec.get("duckdb_total")
     ratio = rec.get("ratio_vs_duckdb")
+    total_d_cell = f"**{total_d:.2f} s**" if total_d else "—"
+    ratio_cell = f"**{ratio:.2f}×**" if ratio is not None else "—"
     lines.append(
-        f"| **Headline total** | **{total_s:.2f} s** | **{total_d:.2f} s** "
-        f"| **{ratio:.2f}×** |"
+        f"| **Headline total** | **{total_s:.2f} s** | {total_d_cell} "
+        f"| {ratio_cell} |"
     )
-    out = "\n".join(lines)
-    if folded:
-        out += (
-            "\n\nFolded Spark slots (timed, compared through another "
-            f"slot's oracle): {', '.join(folded)}."
-        )
-    return out
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
