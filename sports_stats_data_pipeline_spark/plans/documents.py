@@ -1262,13 +1262,18 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders by FLOOR(cos·1e6) (the operator's partition-order-invariant
 # integer micro score) with the id tie-break, mirrored in the oracle.
 #
-# 'graph' (round 7) value-gates the graph-ANN leg end-to-end: a full
-# NN-Descent build (k=4, 2 descent rounds — init, neighbor-of-neighbor
-# expansion, exploration permutation, rescoring, top-k all exercised)
-# followed by a batched beam search (8 queries, hops=2, beam=8, k=3).
-# Both are deterministic relational programs, so the oracle is the
+# 'graph' (round 7) value-gates the graph-ANN leg end-to-end THROUGH
+# THE PERSISTED INDEX: a full NN-Descent build (k=4, 2 descent rounds
+# — init, neighbor-of-neighbor expansion, exploration permutation,
+# rescoring, top-k all exercised; incremental new-flag expansion, the
+# production build path) materialized via build_knn_graph_index, then
+# a batched beam search served from the stored relations
+# (graph_search_indexed: 8 queries, hops=2, beam=8, k=3). Build and
+# search are deterministic relational programs, so the oracle is the
 # unrolled-CTE chain from operators.nndescent.knn_graph_cte_parts /
-# graph_search_cte_parts — the pagerank_fixedpoint_cte_parts precedent.
+# graph_search_cte_parts (the pagerank_fixedpoint_cte_parts
+# precedent) — and the driver hash therefore also covers the index
+# write + read-back, the mart slot's write-path-in-the-gate pattern.
 # --------------------------------------------------------------------------
 _GANN_K, _GANN_ROUNDS = 4, 2
 _GANN_SEARCH = dict(k=3, beam=8, hops=2)
@@ -1337,9 +1342,8 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.iterutil import eager_checkpoint
     from ..operators.mining import mine_contrastive_pairs
     from ..operators.nndescent import (
-        graph_search,
-        knn_graph_nndescent,
-        release_knn_graph,
+        build_knn_graph_index,
+        graph_search_indexed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1388,28 +1392,36 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_positive").alias("grp"),
         "rank",
     )
-    # 'graph' family: NN-Descent build + beam search (constants shared
-    # with the oracle CTE chain via _GANN_*). The big artifact here is
-    # the GRAPH's checkpoint blocks — checkpoint the ≤ 24-row search
-    # result instead, then release the graph; the tiny result blocks
-    # live for the session (no handle kept), same order of magnitude as
-    # any persisted broadcast side.
-    corpus = emb.select("vec_id", "embedding")
-    graph = knn_graph_nndescent(corpus, k=_GANN_K, rounds=_GANN_ROUNDS)
-    hits = graph_search(
-        graph,
-        corpus,
-        emb.filter(F.col("vec_id") < 8).select("vec_id"),
-        **_GANN_SEARCH,
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.lit("graph").alias("family"),
-        F.round(F.col("score_r4") * 10000, 0).cast("int").alias("grp"),
-        "rank",
-    )
-    hits, _keep = eager_checkpoint(hits)
-    release_knn_graph(graph)
+    # 'graph' family through the persisted index (comment block above;
+    # constants shared with the oracle CTE chain via _GANN_*).
+    # build_knn_graph_index releases the build's checkpoint blocks
+    # itself once the parquet lands; the ≤ 24-row indexed search result
+    # is checkpointed so the temp index can be deleted before
+    # returning (no handle kept — session-lifetime tiny blocks, same
+    # order as a persisted broadcast side).
+    import shutil
+    import tempfile
+
+    idx_root = tempfile.mkdtemp(prefix="graft_gann_idx_")
+    try:
+        build_knn_graph_index(
+            emb.select("vec_id", "embedding"),
+            idx_root,
+            k=_GANN_K,
+            rounds=_GANN_ROUNDS,
+        )
+        hits = graph_search_indexed(
+            spark, idx_root, F.col("vec_id") < 8, **_GANN_SEARCH
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.lit("graph").alias("family"),
+            F.round(F.col("score_r4") * 10000, 0).cast("int").alias("grp"),
+            "rank",
+        )
+        hits, _keep = eager_checkpoint(hits)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
     return ivf.unionByName(mined).unionByName(hits)
 
 
