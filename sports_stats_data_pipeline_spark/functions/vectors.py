@@ -31,7 +31,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """dot(a,b) / (|a| * |b|) — formula shaped to match DuckDB's
-    list_cosine_similarity (norms multiplied *after* their square roots)."""
+    list_cosine_similarity (norms multiplied *after* their square roots).
+
+    Cross-engine boundary contract (measured, round 7): on an EXACT
+    clone pair the kernels differ by ~1 ulp around |cos| = 1 — this
+    fold yields 0.9999999999999999, DuckDB clamps to exactly 1.0, a
+    plain Python left fold yields 1.0000000000000002. Rank-safe: no
+    representable double lies strictly between 1.0 and either
+    neighbor, so no third pair's sim can interleave and flip an
+    ordering against an oracle; value-safe through the operators'
+    ROUND(·,4) / micro-score outputs. Oracles must therefore never
+    emit a RAW cosine column (always round) and never threshold at a
+    value an exact-duplicate pair could sit on (1.0 itself) — every
+    registered query follows both rules."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
