@@ -148,3 +148,68 @@ def test_concurrent_commit_loser_raises_atomically(spark, tmp_path):
     # loser's data dir cleaned; winner's v1 data intact
     assert not os.path.exists(os.path.join(root, "docs", "data", "v2"))
     assert read_group_table(spark, root, "docs", 1).count() == 5
+
+
+def test_random_op_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check (round 7): random overwrite/append/vacuum
+    sequences against a plain-dict model of "what each retained version
+    contains". After EVERY op, every retained version of every table
+    must read back exactly the model's rows — which pins the two
+    subtle invariants no single-scenario test covers in combination:
+    carried-forward file lists survive vacuum (an append-mode manifest
+    references data dirs of versions vacuum may have DROPPED — those
+    dirs must be retained because a kept manifest references them),
+    and version visibility matches the manifest set exactly."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"grp{seed}")
+        model: dict[int, dict[str, list]] = {}
+        versions: list[int] = []
+        counter = 0
+        for step in range(8):
+            op = (
+                rng.choice(["overwrite", "append", "append", "vacuum"])
+                if versions
+                else "overwrite"
+            )
+            if op == "vacuum":
+                keep = rng.randint(1, len(versions))
+                vacuum_group_snapshots(root, keep_last=keep)
+                for v in versions[:-keep]:
+                    model.pop(v)
+                versions = versions[-keep:]
+            else:
+                tabs = rng.sample(["a", "b", "c"], rng.randint(1, 3))
+                new_rows = {}
+                dfs = {}
+                for t in tabs:
+                    rows = [
+                        (counter + i, f"{t}{step}")
+                        for i in range(rng.randint(1, 4))
+                    ]
+                    counter += 100
+                    new_rows[t] = rows
+                    dfs[t] = spark.createDataFrame(
+                        rows, "id long, val string"
+                    )
+                v = write_group_snapshot(dfs, root, mode=op)
+                if op == "overwrite":
+                    model[v] = {t: sorted(new_rows[t]) for t in tabs}
+                else:
+                    prev = model[versions[-1]]
+                    cur = {t: list(r) for t, r in prev.items()}
+                    for t in tabs:
+                        cur[t] = sorted(cur.get(t, []) + new_rows[t])
+                    model[v] = cur
+                versions.append(v)
+            for v in versions:
+                for t, rows in model[v].items():
+                    got = sorted(
+                        (r["id"], r["val"])
+                        for r in read_group_table(
+                            spark, root, t, version=v
+                        ).collect()
+                    )
+                    assert got == rows, (seed, step, v, t)
