@@ -174,12 +174,12 @@ def ref_search(edges, vecs, qids, k, beam, hops):
 
 def _duck(vecs: dict, sql: str):
     con = duckdb.connect()
-    con.execute("CREATE TABLE corpus (id BIGINT, v DOUBLE[])")
-    con.executemany(
-        "INSERT INTO corpus VALUES (?, ?)",
-        [(i, list(map(float, v))) for i, v in vecs.items()],
-    )
     try:
+        con.execute("CREATE TABLE corpus (id BIGINT, v DOUBLE[])")
+        con.executemany(
+            "INSERT INTO corpus VALUES (?, ?)",
+            [(i, list(map(float, v))) for i, v in vecs.items()],
+        )
         return con.execute(sql).fetchall()
     finally:
         con.close()
@@ -245,7 +245,7 @@ def test_cte_chain_matches_independent_reference(
     )
     want_s = sorted(
         ref_search(
-            ref_build(vecs, k, rounds),
+            want,  # the reference graph already built above
             vecs,
             [i for i in vecs if i < qb],
             k=min(3, k),
