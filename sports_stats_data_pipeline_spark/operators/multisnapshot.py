@@ -33,6 +33,7 @@ incremental publish touches only the tables that changed.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -157,6 +158,24 @@ def write_group_snapshot(
                 f"group snapshot v{version} already committed by a "
                 "concurrent writer"
             ) from None
+        except OSError as exc:
+            # Filesystems without hard links (some FUSE / object-store
+            # mounts) refuse os.link with EPERM/ENOTSUP/EOPNOTSUPP.
+            # Fall back to exists-check + rename: still a single-syscall
+            # publish, but with a check-then-rename window in which two
+            # concurrent committers of the SAME version could both
+            # "win" (last rename prevails). Single-writer deployments —
+            # the documented contract for this operator — are unaffected.
+            _no_link = {errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP}
+            if exc.errno not in _no_link:
+                raise
+            if os.path.exists(final):
+                os.remove(tmp)
+                raise FileExistsError(
+                    f"group snapshot v{version} already committed by a "
+                    "concurrent writer"
+                ) from None
+            os.rename(tmp, final)
         # COMMITTED from here: nothing below may reach the written-dirs
         # cleanup — an rmtree now would delete data a durable manifest
         # references. A tmp file that refuses to unlink is inert

@@ -1339,7 +1339,6 @@ _GANN_WITH = "WITH " + ",\n".join(_GANN_PARTS + _GSRCH_PARTS)
     """,
 )
 def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.iterutil import eager_checkpoint
     from ..operators.mining import mine_contrastive_pairs
     from ..operators.nndescent import (
         build_knn_graph_index,
@@ -1396,9 +1395,10 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constants shared with the oracle CTE chain via _GANN_*).
     # build_knn_graph_index releases the build's checkpoint blocks
     # itself once the parquet lands; the ≤ 24-row indexed search result
-    # is checkpointed so the temp index can be deleted before
-    # returning (no handle kept — session-lifetime tiny blocks, same
-    # order as a persisted broadcast side).
+    # is collected and re-created as a local relation so the temp index
+    # can be deleted before returning WITHOUT pinning a checkpoint for
+    # the session lifetime (repeated bench/driver invocations would
+    # otherwise accumulate one small block each).
     import shutil
     import tempfile
 
@@ -1419,7 +1419,7 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_r4") * 10000, 0).cast("int").alias("grp"),
             "rank",
         )
-        hits, _keep = eager_checkpoint(hits)
+        hits = spark.createDataFrame(hits.collect(), schema=hits.schema)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
     return ivf.unionByName(mined).unionByName(hits)

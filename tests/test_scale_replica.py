@@ -130,13 +130,14 @@ def test_replica_nndescent_incremental_equals_full(spark):
     n_inc = inc.count()
     t_inc = time.perf_counter() - t0
     # bit-equality via an order-free fingerprint (collecting n*k rows
-    # at 30x is pointless driver traffic): count + XOR of row hashes
-    # covers value identity to hash strength (xor, not sum — a long
+    # at 30x is pointless driver traffic): count + XOR of ONE combined
+    # hash per row — keys and sim must hash together, or two rows
+    # swapping their sims would cancel out (xor, not sum — a long
     # sum overflows ANSI arithmetic at this row count)
     def fp(df):
         return df.selectExpr(
-            "bit_xor(xxhash64(src, dst, rank)) AS h",
-            "bit_xor(xxhash64(CAST(round(sim * 1e9) AS LONG))) AS s",
+            "bit_xor(xxhash64(src, dst, rank,"
+            " CAST(round(sim * 1e9) AS LONG))) AS h",
         ).collect()[0]
 
     assert n_full == n_inc and fp(full) == fp(inc)

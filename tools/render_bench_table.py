@@ -23,10 +23,17 @@ import os
 import sys
 
 
+#: bench.py records round(best, 3) — a genuine measurement can round to
+#: 0.0 s; clamp to half the rounding quantum instead of treating it as
+#: missing (None is missing; 0.0 is a real, tiny time)
+_TINY = 0.0005
+
+
 def _ratio_cell(spark: float, duck: float | None) -> str:
-    if not duck:
+    if duck is None:
         return "—"
-    r = spark / duck
+    duck = max(duck, _TINY)
+    r = spark / max(duck, _TINY)
     if r >= 1:
         return f"{r:.3g}× slower"
     return f"**{duck / spark:.3g}× faster**"
@@ -60,14 +67,18 @@ def render(rec: dict) -> str:
                 label += f" + {folded}"
         d = duck.get(name)
         mark = "¹" if name in proxied and d is not None else ""
-        d_cell = f"{d:.2f} s{mark}" if d is not None else "—"
+        d_cell = (
+            f"{max(d, _TINY):.2f} s{mark}" if d is not None else "—"
+        )
         lines.append(
             f"| {label} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
         )
     total_s = rec["value"]
     total_d = rec.get("duckdb_total")
     ratio = rec.get("ratio_vs_duckdb")
-    total_d_cell = f"**{total_d:.2f} s**" if total_d else "—"
+    total_d_cell = (
+        f"**{max(total_d, _TINY):.2f} s**" if total_d is not None else "—"
+    )
     ratio_cell = f"**{ratio:.2f}×**" if ratio is not None else "—"
     lines.append(
         f"| **Headline total** | **{total_s:.2f} s** | {total_d_cell} "
