@@ -80,9 +80,12 @@ HEADLINE = (
 #: quality report (expectations/drift/heavy-hitters/reconcile/outliers),
 #: skew join, gap-fill, grouping sets, text/corpus pipelines, BM25,
 #: sketch marts, sharding, span dedup. Totaled SEPARATELY so the
-#: 12-query headline series stays comparable across rounds; timed with
-#: one warmup + one measured pass (regression detection, not
-#: steady-state estimation — a real regression dwarfs scheduler noise).
+#: 12-query headline series stays comparable across rounds. Since round
+#: 8 each query is timed min-of-2 after one warmup (the round-7 verdict
+#: measured a 1.7x idle-rerun swing under the old single-pass scheme)
+#: and the most expensive slots get the same same-session DuckDB
+#: calibration the headline tier has (``extended_ratio``) — the
+#: drift-immune series for the composite operators.
 EXTENDED = (
     "neardup_doc_clusters",
     "asof_join_purchase_click",
@@ -121,20 +124,39 @@ FOLDED_INTO = {
     "ann_topk_fast": "embedding_cosine_topk",
 }
 
+#: extended slots whose oracles join the same-session DuckDB
+#: calibration (round 8): the most expensive Spark-side composites —
+#: together ~85% of the extended tier's wall — whose round-over-round
+#: comparison was pure host-load noise under raw seconds (the round-7
+#: verdict measured scd2 "+64%" on untouched code). ``extended_ratio``
+#: compares the two engines on THIS subset only (sum of Spark mins /
+#: sum of DuckDB mins, same process, same host state).
+EXTENDED_CALIBRATED = (
+    "neardup_doc_clusters",
+    "data_quality_report",
+    "corpus_quality_filter",
+    "incremental_mart_maintenance",
+    "asof_join_purchase_click",
+    "orders_by_period_rangejoin",
+)
+
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
 
 
-def _duckdb_calibration(reg, sf_dir: str) -> tuple[dict[str, float], float]:
-    """Time the headline oracles in DuckDB on the same parquet, min-of-2
-    per query (the judged-session methodology). Returns per-query
-    seconds + total; ({}, 0.0) on ANY calibration failure — missing
-    oracle name after a registry rename, an oracle erroring at
+def _duckdb_calibration(
+    reg, sf_dir: str, names, oracle_proxy=None
+) -> tuple[dict[str, float], float]:
+    """Time the given slots' oracles in DuckDB on the same parquet,
+    min-of-2 per query (the judged-session methodology). Returns
+    per-query seconds + total; ({}, 0.0) on ANY calibration failure —
+    missing oracle name after a registry rename, an oracle erroring at
     execution, even a broken duckdb install — so the expensive Spark
     pass that just finished is always reported, at worst without a
     ratio."""
+    oracle_proxy = oracle_proxy or {}
     try:
         import duckdb
 
@@ -146,8 +168,8 @@ def _duckdb_calibration(reg, sf_dir: str) -> tuple[dict[str, float], float]:
                     f"read_parquet('{sf_dir}/{t}.parquet')"
                 )
             out: dict[str, float] = {}
-            for name in HEADLINE:
-                source = ORACLE_PROXY.get(name, name)
+            for name in names:
+                source = oracle_proxy.get(name, name)
                 if source is None:
                     continue
                 sql = reg.oracles.get(source)
@@ -214,21 +236,41 @@ def main() -> None:
     # same-session DuckDB calibration over the headline oracles (module
     # docstring): min-of-2 per query, identical host state as the Spark
     # pass just measured.
-    duck, duck_total = _duckdb_calibration(reg, sf_dir)
+    duck, duck_total = _duckdb_calibration(
+        reg, sf_dir, HEADLINE, ORACLE_PROXY
+    )
     ratio = round(total / duck_total, 3) if duck_total else None
 
-    # extended tier: one warmup + one timed pass per query (see EXTENDED
-    # doc comment). Runs AFTER the headline timings so its load never
-    # pollutes the comparable series.
+    # extended tier: one warmup + min-of-2 timed passes per query (see
+    # EXTENDED doc comment). Runs AFTER the headline timings so its
+    # load never pollutes the comparable series.
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = reg.queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        extended[name] = round(best, 3)
+
+    # same-session DuckDB calibration over the expensive extended
+    # composites: the drift-immune ratio for the tier, comparing the
+    # two engines on the calibrated subset only.
+    ext_duck, ext_duck_total = _duckdb_calibration(
+        reg, sf_dir, EXTENDED_CALIBRATED
+    )
+    ext_spark_subset = round(
+        sum(extended[n] for n in EXTENDED_CALIBRATED if n in extended), 3
+    )
+    ext_ratio = (
+        round(ext_spark_subset / ext_duck_total, 3)
+        if ext_duck_total and set(EXTENDED_CALIBRATED) <= set(extended)
+        else None
+    )
 
     print(
         json.dumps(
@@ -242,6 +284,9 @@ def main() -> None:
                 "ratio_vs_duckdb": ratio,
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "extended_duckdb_queries": ext_duck,
+                "extended_duckdb_total": ext_duck_total,
+                "extended_ratio": ext_ratio,
                 "load_avg_1m": load_1m,
                 "sf": sf,
             }

@@ -151,3 +151,9 @@ def test_bench_tier_names_resolve_in_registry():
         if source is not None:
             assert source in reg.oracles, (name, source)
     assert set(bench.ORACLE_PROXY) <= set(bench.HEADLINE)
+    # the round-8 extended calibration resolves oracles directly by
+    # slot name — every calibrated slot must be an EXTENDED member with
+    # a registered oracle, or the tier silently degrades to no-ratio
+    assert set(bench.EXTENDED_CALIBRATED) <= set(bench.EXTENDED)
+    for name in bench.EXTENDED_CALIBRATED:
+        assert name in reg.oracles, name

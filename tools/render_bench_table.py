@@ -84,6 +84,31 @@ def render(rec: dict) -> str:
         f"| **Headline total** | **{total_s:.2f} s** | {total_d_cell} "
         f"| {ratio_cell} |"
     )
+    # extended calibrated subset (round 8): the expensive composites'
+    # drift-immune two-engine comparison; uncalibrated extended slots
+    # keep their raw Spark seconds with a "—" DuckDB cell.
+    ext = rec.get("extended_queries")
+    if ext:
+        ext_duck = rec.get("extended_duckdb_queries") or {}
+        lines += [
+            "",
+            "| Extended (composites) | Spark | DuckDB | ratio |",
+            "|---|---|---|---|",
+        ]
+        for name, s in ext.items():
+            d = ext_duck.get(name)
+            d_cell = f"{max(d, _TINY):.2f} s" if d is not None else "—"
+            lines.append(
+                f"| {name} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
+            )
+        ext_ratio = rec.get("extended_ratio")
+        ext_total_d = rec.get("extended_duckdb_total")
+        lines.append(
+            f"| **Extended total** "
+            f"| **{rec.get('extended_total', 0.0):.2f} s** "
+            f"| {f'**{max(ext_total_d, _TINY):.2f} s**²' if ext_total_d else '—'} "
+            f"| {f'**{ext_ratio:.2f}×**²' if ext_ratio is not None else '—'} |"
+        )
     return "\n".join(lines)
 
 
