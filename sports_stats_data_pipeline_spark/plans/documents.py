@@ -1263,20 +1263,27 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer micro score) with the id tie-break, mirrored in the oracle.
 #
 # 'graph' (round 7) value-gates the graph-ANN leg end-to-end THROUGH
-# THE PERSISTED INDEX: a full NN-Descent build (k=4, 2 descent rounds
+# THE PERSISTED INDEX: a full NN-Descent build (k=6, 3 descent rounds
 # — init, neighbor-of-neighbor expansion, exploration permutation,
 # rescoring, top-k all exercised; incremental new-flag expansion, the
 # production build path) materialized via build_knn_graph_index, then
 # a batched beam search served from the stored relations
-# (graph_search_indexed: 8 queries, hops=2, beam=8, k=3). Build and
+# (graph_search_indexed: 8 queries, hops=3, beam=8, k=3). Build and
 # search are deterministic relational programs, so the oracle is the
 # unrolled-CTE chain from operators.nndescent.knn_graph_cte_parts /
 # graph_search_cte_parts (the pagerank_fixedpoint_cte_parts
 # precedent) — and the driver hash therefore also covers the index
 # write + read-back, the mart slot's write-path-in-the-gate pattern.
+# Round 8 pushed the gated build from its round-7 toy corner
+# (k=4/rounds=2/hops=2) to production-shaped parameters: three descent
+# rounds exercise a second neighbor-of-neighbor expansion over an
+# already-improved graph (the regime where the incremental new-flag
+# cut actually prunes), and hops=3 makes the beam revisit-filter do
+# real work (a 2-hop walk rarely re-reaches a visited node; a 3-hop
+# walk almost always does).
 # --------------------------------------------------------------------------
-_GANN_K, _GANN_ROUNDS = 4, 2
-_GANN_SEARCH = dict(k=3, beam=8, hops=2)
+_GANN_K, _GANN_ROUNDS = 6, 3
+_GANN_SEARCH = dict(k=3, beam=8, hops=3)
 _GANN_PARTS, _GANN_GRAPH = knn_graph_cte_parts(
     "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
     k=_GANN_K,

@@ -56,6 +56,10 @@ REPLICA_HEAVY = [
     "simhash_neardup_pairs",
     "neardup_doc_clusters",
     "streaming_tumbling_hourly",
+    # round 8: the graph-ANN family (k=6/rounds=3/hops=3 build through
+    # the persisted index) value-gated at replica scale too — the
+    # unrolled-CTE oracle chain runs on the replicated embeddings
+    "ann_ivf_label_topk",
 ]
 SKEW_QUERIES = [
     "customers_above_nation_avg",
