@@ -217,6 +217,16 @@ _SESSIONS_SQL = """
     GROUP BY user_id, session_seq
 """
 
+# the sneardup oracle (round 8, multi-batch): unrolled greedy fold over
+# the deterministic doc_id % 3 landing split — ONE generator shared
+# with the pytest twin (streaming.dedup_lsh is import-safe here: it
+# pulls plans.documents lazily inside the call, and .documents is fully
+# loaded above)
+from ..streaming.dedup_lsh import greedy_fold_cte_parts  # noqa: E402
+
+_SNEARDUP_FOLD_PARTS, _SNEARDUP_STORE = greedy_fold_cte_parts(3)
+_SNEARDUP_FOLD_SQL = ",\n      ".join(_SNEARDUP_FOLD_PARTS)
+
 
 @REGISTRY.register(
     "streaming_tumbling_hourly",
@@ -265,10 +275,12 @@ _SESSIONS_SQL = """
     FROM (WITH {SQL_LM_NLL3_BLOCK}
           SELECT doc_id, n_grams, nll_3 FROM lm) q
     UNION ALL
-    -- sneardup family: single-batch streaming LSH admission. The rule
-    -- the stream applies with one batch: dup iff a SMALLER doc shares
-    -- an uncapped (prior-side) band bucket and verifies at Jaccard
-    -- >= 0.6. n_events carries admitted (0/1), user_id the doc id.
+    -- sneardup family: MULTI-batch streaming LSH admission (round 8).
+    -- The corpus lands as three mtime-ordered file-batches split by
+    -- doc_id % 3; the oracle is the unrolled greedy per-batch fold
+    -- (streaming.dedup_lsh.greedy_fold_cte_parts — store carried
+    -- stage to stage, so the order-dependent admission is explicit).
+    -- n_events carries admitted (0/1), user_id the doc id.
     SELECT 'sneardup', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
       s.admitted, CAST(NULL AS BIGINT),
       CAST(NULL AS BIGINT), s.doc_id, CAST(NULL AS BIGINT),
@@ -276,43 +288,14 @@ _SESSIONS_SQL = """
       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM (
       WITH sdocs AS MATERIALIZED ({_NEARDUP_DOCS_SQL}),
-      ssh AS MATERIALIZED (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM sdocs
+      docs AS (
+        SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS batch FROM sdocs
       ),
-      shash AS (
-        SELECT doc_id, {_SQL_SH_HASHES} AS sh_h FROM ssh
-      ),
-      ssig AS (
-        SELECT doc_id, {", ".join(_sql_minhash(j) for j in range(8))}
-        FROM shash
-      ),
-      sban AS MATERIALIZED (
-        SELECT doc_id, unnest([
-          '0|' || CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR),
-          '1|' || CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR),
-          '2|' || CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR),
-          '3|' || CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)
-        ]) AS band_key
-        FROM ssig
-      ),
-      shot AS (
-        SELECT band_key FROM sban GROUP BY band_key HAVING COUNT(*) > 64
-      ),
-      sdup AS (
-        SELECT DISTINCT n.doc_id
-        FROM sban n
-        JOIN sban p ON p.band_key = n.band_key AND p.doc_id < n.doc_id
-        JOIN ssh sa ON sa.doc_id = n.doc_id
-        JOIN ssh sb ON sb.doc_id = p.doc_id
-        WHERE p.band_key NOT IN (SELECT band_key FROM shot)
-          AND 10 * len(list_intersect(sa.shingles, sb.shingles))
-              >= 6 * (len(sa.shingles) + len(sb.shingles)
-                      - len(list_intersect(sa.shingles, sb.shingles)))
-      )
+      {_SNEARDUP_FOLD_SQL}
       SELECT d.doc_id,
-             CAST(CASE WHEN u.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             CAST(CASE WHEN st.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                AS admitted
-      FROM sdocs d LEFT JOIN sdup u ON u.doc_id = d.doc_id
+      FROM sdocs d LEFT JOIN {_SNEARDUP_STORE} st ON st.doc_id = d.doc_id
     ) s
     """,
 )

@@ -56,102 +56,17 @@ def test_intra_batch_first_wins(spark, tmp_path):
     ]
 
 
-#: exact-Jaccard verify at 0.6, integer arithmetic — the SQL twin of
-#: dedup_lsh._jaccard_ok over the shared `sh` shingle relation.
-_VERIFY = (
-    "10 * CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)"
-    " >= 6 * CAST(len(sa.shingles) + len(sb.shingles)"
-    " - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)"
-)
-
-
 def _greedy_fold_sql(n_batches: int, cap: int = BUCKET_CAP) -> str:
-    """DuckDB twin of the MULTI-batch greedy admission: an unrolled
-    per-batch fold (the pagerank/nndescent CTE-chain pattern — one CTE
-    stage per micro-batch, so arrival order is explicit). Expects a
-    preceding relation ``docs(doc_id, text, batch)``; yields the final
-    store's doc_ids. Mirrors streaming.dedup_lsh exactly:
-
-    - batch side of every join UNCAPPED, prior side (store resp. the
-      batch itself for intra) hot-bucket-capped at ``cap``;
-    - intra-batch prior side is the WHOLE batch (a doc that loses
-      against the store still vetoes larger intra-batch ids);
-    - admitted survivors extend the store seen by later batches — the
-      greedy, order-dependent part no order-free oracle states.
-    """
-    from sports_stats_data_pipeline_spark.plans.documents import (
-        _SQL_SH_HASHES,
-        _SQL_SHINGLES,
-        _sql_minhash,
+    """Complete-query form of the shared greedy-fold generator (since
+    round 8 it lives in streaming.dedup_lsh — ONE source of truth with
+    the driver's multi-batch 'sneardup' oracle). Expects a preceding
+    relation ``docs(doc_id, text, batch)``."""
+    from sports_stats_data_pipeline_spark.streaming.dedup_lsh import (
+        greedy_fold_cte_parts,
     )
 
-    mh = ", ".join(_sql_minhash(j) for j in range(8))
-    parts = [
-        f"sh AS MATERIALIZED (SELECT doc_id, batch, {_SQL_SHINGLES} "
-        "AS shingles FROM docs)",
-        "hashed AS (SELECT doc_id, batch, shingles, "
-        f"{_SQL_SH_HASHES} AS sh_h FROM sh)",
-        f"sig AS (SELECT doc_id, batch, {mh} FROM hashed)",
-        """bnd AS MATERIALIZED (
-          SELECT doc_id, batch, unnest([
-            '0|' || CAST(mh_0 AS VARCHAR) || '|' || CAST(mh_1 AS VARCHAR),
-            '1|' || CAST(mh_2 AS VARCHAR) || '|' || CAST(mh_3 AS VARCHAR),
-            '2|' || CAST(mh_4 AS VARCHAR) || '|' || CAST(mh_5 AS VARCHAR),
-            '3|' || CAST(mh_6 AS VARCHAR) || '|' || CAST(mh_7 AS VARCHAR)
-          ]) AS band_key FROM sig
-        )""",
-    ]
-    for i in range(n_batches):
-        parts.append(f"bb{i} AS (SELECT * FROM bnd WHERE batch = {i})")
-        parts.append(
-            f"bbc{i} AS (SELECT * FROM bb{i} QUALIFY COUNT(*) OVER "
-            f"(PARTITION BY band_key) <= {cap})"
-        )
-        parts.append(
-            f"""din{i} AS (
-              SELECT DISTINCT n.doc_id FROM bb{i} n
-              JOIN bbc{i} p ON p.band_key = n.band_key
-                           AND p.doc_id < n.doc_id
-              JOIN sh sa ON sa.doc_id = n.doc_id
-              JOIN sh sb ON sb.doc_id = p.doc_id
-              WHERE {_VERIFY})"""
-        )
-        if i == 0:
-            dups = f"SELECT doc_id FROM din{i}"
-        else:
-            parts.append(
-                f"""sb{i} AS (SELECT b.doc_id, b.band_key
-                  FROM bnd b JOIN store{i - 1} s ON s.doc_id = b.doc_id)"""
-            )
-            parts.append(
-                f"sbc{i} AS (SELECT * FROM sb{i} QUALIFY COUNT(*) OVER "
-                f"(PARTITION BY band_key) <= {cap})"
-            )
-            parts.append(
-                f"""dst{i} AS (
-                  SELECT DISTINCT n.doc_id FROM bb{i} n
-                  JOIN sbc{i} p ON p.band_key = n.band_key
-                  JOIN sh sa ON sa.doc_id = n.doc_id
-                  JOIN sh sb ON sb.doc_id = p.doc_id
-                  WHERE {_VERIFY})"""
-            )
-            dups = (
-                f"SELECT doc_id FROM din{i} "
-                f"UNION SELECT doc_id FROM dst{i}"
-            )
-        carry = (
-            f"SELECT doc_id FROM store{i - 1} UNION ALL " if i else ""
-        )
-        parts.append(
-            f"""store{i} AS MATERIALIZED (
-              {carry}SELECT DISTINCT doc_id FROM bb{i}
-              WHERE doc_id NOT IN ({dups}))"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT doc_id FROM store{n_batches - 1}"
-    )
+    parts, store = greedy_fold_cte_parts(n_batches, cap)
+    return "WITH " + ",\n".join(parts) + f"\nSELECT doc_id FROM {store}"
 
 
 def test_multibatch_greedy_admission_matches_duckdb_fold(spark, tmp_path):
