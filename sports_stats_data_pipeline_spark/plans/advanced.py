@@ -778,9 +778,35 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = aggregate_delta(
         orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
     )
+    # schema-evolution gate (round 8): the delta batch arrives in the
+    # shape a drifting upstream producer actually sends — price_c
+    # narrowed to INT (every TPC-H total fits: <= ~6e7 cents < 2^31),
+    # columns reordered — against a mart target that ALSO carries a
+    # lineage column the producer doesn't emit yet. evolve_to_schema
+    # must widen int->long, restore column order, and add the typed
+    # NULL; all value-neutral by construction (sum(int)==sum(long) on
+    # identical cents; the lineage NULL is never aggregated), so the
+    # oracle is unchanged while the driver hash now passes THROUGH the
+    # conform path. The narrowing-rejection leg stays pytest-gated
+    # (it raises by contract).
+    from pyspark.sql import types as T
+
+    from ..operators.schema_evolution import evolve_to_schema
+
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    producer_batch = delta.select(
+        *[
+            F.col(c).cast("int").alias(c) if c == "price_c" else F.col(c)
+            for c in reversed(delta.columns)
+        ]
+    )
+    mart_target = T.StructType(
+        list(delta.schema.fields)
+        + [T.StructField("ingest_note", T.StringType(), True)]
+    )
     merged = merge_aggregate_state(
         state,
-        orders.filter(F.col("o_orderdate") >= cut),
+        evolve_to_schema(producer_batch, mart_target),
         ["o_custkey"],
         measures,
     )
