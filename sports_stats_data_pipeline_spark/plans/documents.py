@@ -670,7 +670,25 @@ _NEARDUP_DOCS_SQL = """
 # times (components walk + pagerank rounds + triangle self-joins) —
 # each inline re-running the full md5 shingling. Measured at sf0.01:
 # 402 s inlined → 1.6 s materialized, identical rows.
-_SQL_MINHASH_PAIRS = f"""
+#
+# cand_sample_mod (round 8, the oracle-wall strategy for >=60x scale
+# validation): when set, the CANDIDATE stage keeps only pairs with
+# (doc_a*1000003 + doc_b) % mod = 0 — a deterministic 1/mod sample
+# applied BEFORE the exact-Jaccard verify join (the referee's quadratic
+# cost on clone-dense corpora), so the oracle wall shrinks by ~mod
+# while the engine under test still runs the FULL workload (its output
+# is filtered by the same predicate only for the comparison). The
+# multiplier keeps the sample structure-free (doc_a+doc_b is always
+# even on original↔clone pairs); max doc_id at 60x replica scale is
+# ~6e8, so the product stays far below 2^63 in both engines.
+def _sql_minhash_pairs(cand_sample_mod: int | None = None) -> str:
+    sample = (
+        f"\n       AND (a.doc_id * 1000003 + b.doc_id) "
+        f"% {cand_sample_mod} = 0"
+        if cand_sample_mod
+        else ""
+    )
+    return f"""
     sh AS MATERIALIZED (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM docs
     ),
@@ -698,7 +716,7 @@ _SQL_MINHASH_PAIRS = f"""
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id{sample}
     ),
     pairs AS MATERIALIZED (
       SELECT doc_a, doc_b,
@@ -715,6 +733,20 @@ _SQL_MINHASH_PAIRS = f"""
                    - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
     )
 """
+
+
+_SQL_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
+def minhash_pairs_oracle_sql(cand_sample_mod: int | None = None) -> str:
+    """Complete neardup_minhash_pairs oracle, optionally candidate-
+    sampled (see _sql_minhash_pairs). ``None`` reproduces the
+    registered oracle exactly."""
+    return f"""
+    WITH docs AS ({_NEARDUP_DOCS_SQL}),
+    {_sql_minhash_pairs(cand_sample_mod)}
+    SELECT doc_a, doc_b, inter_n, union_n FROM pairs
+    """
 
 
 def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,11 +771,7 @@ def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register(
     "neardup_minhash_pairs",
-    oracle=f"""
-    WITH docs AS ({_NEARDUP_DOCS_SQL}),
-    {_SQL_MINHASH_PAIRS}
-    SELECT doc_a, doc_b, inter_n, union_n FROM pairs
-    """,
+    oracle=minhash_pairs_oracle_sql(),
 )
 def neardup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(_neardup_docs(spark, sf_dir))
@@ -939,11 +967,27 @@ _PG_PARTS, _PG_FINAL = pagerank_fixedpoint_cte_parts(
 _SQL_PG_BLOCK = ",\n".join(_PG_PARTS)
 
 
-@REGISTRY.register(
-    "neardup_doc_clusters",
-    oracle=f"""
+def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
+    """Complete neardup_doc_clusters oracle. ``pairs_source`` names an
+    externally-registered relation (doc_a, doc_b, inter_n, union_n) to
+    use as the verified pair table INSTEAD of recomputing the
+    MinHash→band→verify chain — the >=60x scale-validation mode where
+    the referee consumes the ENGINE's pair output (itself gated by the
+    sampled minhash family) and independently recomputes only the graph
+    legs (components fixpoint, PageRank rounds, triangles, SemDeDup).
+    ``None`` reproduces the registered full oracle exactly."""
+    pairs_cte = (
+        _SQL_MINHASH_PAIRS
+        if pairs_source is None
+        else (
+            "\n    pairs AS MATERIALIZED (\n"
+            f"      SELECT doc_a, doc_b, inter_n, union_n "
+            f"FROM {pairs_source}\n    )\n"
+        )
+    )
+    return f"""
     WITH RECURSIVE docs AS ({_NEARDUP_DOCS_SQL}),
-    {_SQL_MINHASH_PAIRS},
+    {pairs_cte},
     sym AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL
@@ -1001,7 +1045,12 @@ _SQL_PG_BLOCK = ",\n".join(_PG_PARTS)
         JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
       ) GROUP BY node
     ) t ON t.node = n.node
-    """,
+    """
+
+
+@REGISTRY.register(
+    "neardup_doc_clusters",
+    oracle=doc_clusters_oracle_sql(),
 )
 def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup, three families in one slot: (1) 'minhash'
