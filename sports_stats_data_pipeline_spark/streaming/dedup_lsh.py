@@ -275,9 +275,10 @@ def greedy_fold_cte_parts(
       greedy, order-dependent part no order-free oracle states.
 
     Lives here (not in the tests) since round 8: the driver's
-    'sneardup' oracle composes it over a deterministic ``doc_id % 2``
-    batch split, so the gated streaming execution is genuinely
-    multi-batch (the round-7 verdict's ask)."""
+    'sneardup' oracle composes it over a deterministic ``doc_id % 3``
+    batch split (see streaming_neardup_admissions_table for why the
+    modulus must not be 2), so the gated streaming execution is
+    genuinely multi-batch (the round-7 verdict's ask)."""
     from ..plans.documents import (  # lazy: plans imports this module
         _SQL_SH_HASHES,
         _SQL_SHINGLES,
@@ -392,7 +393,8 @@ def streaming_neardup_admissions_table(
     # (max bucket 124 >> 64, 1.3M rows hash-matched; a draft contract
     # asserting max <= BUCKET_CAP failed that run and was removed as
     # guarding a non-assumption). The real regime requirement is the
-    # SINGLE-batch landing, which this wrapper constructs itself.
+    # DETERMINISTIC batch split + arrival order, which this wrapper
+    # constructs itself (three mtime-pinned files, doc_id % 3).
     tmp = tempfile.mkdtemp(prefix="spark_graft_sneardup_")
     try:
         landing = os.path.join(tmp, "landing")

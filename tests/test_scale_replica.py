@@ -45,11 +45,17 @@ HEAVY = os.environ.get("SPARK_GRAFT_SCALE_HEAVY") == "1"
 #: mod: the minhash referee candidate-samples 1/mod before its
 #: quadratic verify join (the ENGINE still runs the full workload —
 #: only its output is filtered for the comparison, and its full row
-#: count is asserted against the engine-pairs table), and the
+#: count is cross-asserted against the engine-pairs table the
+#: doc_clusters branch builds, when both run in one session), and the
 #: doc_clusters referee consumes the engine's verified pair table,
 #: independently recomputing only the graph legs. 0/absent = full
 #: referee (the <=30x regime).
 SAMPLED_MOD = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLED", "0"))
+
+#: engine full-output row counts recorded by the sampled branches, for
+#: the cross-assertion between the minhash slot's output and the
+#: engine-pairs table (same relation, two independent executions)
+_ENGINE_FULL_COUNTS: dict[str, int] = {}
 
 REG = all_registries()
 
@@ -116,6 +122,7 @@ def _check(spark, sf_dir: str, name: str) -> None:
             assert_frames_match(
                 spark_pdf, oracle_pdf, f"{name}[sampled 1/{SAMPLED_MOD}]"
             )
+            _ENGINE_FULL_COUNTS[name] = n_full
             print(f"\n{name}: {n_full} pairs, sampled {len(spark_pdf)}")
             return
         if SAMPLED_MOD and name == "neardup_doc_clusters":
@@ -129,6 +136,14 @@ def _check(spark, sf_dir: str, name: str) -> None:
                 _neardup_docs(spark, sf_dir)
             ).toPandas()
             assert len(pairs_pdf) > 0
+            # cross-assertion vs the minhash slot's FULL output (same
+            # relation, independent execution) when it ran this session
+            n_minhash = _ENGINE_FULL_COUNTS.get("neardup_minhash_pairs")
+            if n_minhash is not None:
+                assert len(pairs_pdf) == n_minhash, (
+                    f"engine-pairs {len(pairs_pdf)} != minhash full "
+                    f"output {n_minhash}"
+                )
             con.register("spark_pairs", pairs_pdf)
             spark_pdf = REG.queries[name](spark, sf_dir).toPandas()
             oracle_pdf = con.execute(

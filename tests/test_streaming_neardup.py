@@ -1,8 +1,10 @@
 """streaming.dedup_lsh — incremental near-dedup against a persisted
 LSH store: cross-batch dedup, intra-batch first-wins, idempotent replay
-of the admit step, and (round 7) a DuckDB value twin of the GREEDY
-multi-batch admission fold — the order-dependent behavior the driver's
-single-batch 'sneardup' gate deliberately cannot express."""
+of the admit step, and a DuckDB value twin of the GREEDY multi-batch
+admission fold. Since round 8 the fold generator lives in the package
+(greedy_fold_cte_parts) and ALSO backs the driver's multi-batch
+'sneardup' oracle; this suite pins it on a crafted greedy triple and a
+real 3-batch stream."""
 
 from __future__ import annotations
 

@@ -32,8 +32,10 @@ _TINY = 0.0005
 def _ratio_cell(spark: float, duck: float | None) -> str:
     if duck is None:
         return "—"
+    # clamp BOTH sides: either engine's round(best, 3) can be 0.0
+    spark = max(spark, _TINY)
     duck = max(duck, _TINY)
-    r = spark / max(duck, _TINY)
+    r = spark / duck
     if r >= 1:
         return f"{r:.3g}× slower"
     return f"**{duck / spark:.3g}× faster**"
@@ -76,8 +78,14 @@ def render(rec: dict) -> str:
     total_s = rec["value"]
     total_d = rec.get("duckdb_total")
     ratio = rec.get("ratio_vs_duckdb")
+    # bench.py's documented failure sentinel is ({}, 0.0): an EMPTY
+    # duckdb_queries means the calibration degraded — render "—", never
+    # a bogus 0.00 s total. A genuine tiny total always comes with a
+    # populated per-query dict.
     total_d_cell = (
-        f"**{max(total_d, _TINY):.2f} s**" if total_d is not None else "—"
+        f"**{max(total_d, _TINY):.2f} s**"
+        if duck and total_d is not None
+        else "—"
     )
     ratio_cell = f"**{ratio:.2f}×**" if ratio is not None else "—"
     lines.append(
@@ -97,18 +105,30 @@ def render(rec: dict) -> str:
         ]
         for name, s in ext.items():
             d = ext_duck.get(name)
-            d_cell = f"{max(d, _TINY):.2f} s" if d is not None else "—"
+            d_cell = (
+                f"{max(d, _TINY):.2f} s" if d is not None else "—"
+            )
             lines.append(
                 f"| {name} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
             )
         ext_ratio = rec.get("extended_ratio")
         ext_total_d = rec.get("extended_duckdb_total")
+        # full-tier Spark total on its own row; the two-engine cells on
+        # a SUBSET row whose Spark total covers the same slots the
+        # DuckDB total does — never pair a full-tier number with a
+        # subset-only one
         lines.append(
-            f"| **Extended total** "
-            f"| **{rec.get('extended_total', 0.0):.2f} s** "
-            f"| {f'**{max(ext_total_d, _TINY):.2f} s**²' if ext_total_d else '—'} "
-            f"| {f'**{ext_ratio:.2f}×**²' if ext_ratio is not None else '—'} |"
+            f"| **Extended total (all slots)** "
+            f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
         )
+        if ext_duck and ext_total_d and ext_ratio is not None:
+            sub_s = sum(ext[n] for n in ext_duck if n in ext)
+            lines.append(
+                f"| **Calibrated subset ({len(ext_duck)} slots)** "
+                f"| **{sub_s:.2f} s** "
+                f"| **{max(ext_total_d, _TINY):.2f} s**² "
+                f"| **{ext_ratio:.2f}×**² |"
+            )
     return "\n".join(lines)
 
 
