@@ -168,6 +168,13 @@ def write_group_snapshot(
             # the documented contract for this operator — are unaffected.
             _no_link = {errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP}
             if exc.errno not in _no_link:
+                # unrelated failure: don't leak the tmp manifest
+                # (_versions ignores dotfiles and vacuum scans only
+                # data dirs, so nothing else would ever clean it)
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
                 raise
             if os.path.exists(final):
                 os.remove(tmp)

@@ -150,53 +150,56 @@ def test_concurrent_commit_loser_raises_atomically(spark, tmp_path):
     assert read_group_table(spark, root, "docs", 1).count() == 5
 
 
-def test_commit_falls_back_to_rename_without_hardlinks(spark, tmp_path):
+def test_commit_falls_back_to_rename_without_hardlinks(
+    spark, tmp_path, monkeypatch
+):
     """Round-8 advice fix: filesystems without hard links (some FUSE /
     object-store mounts) refuse os.link with EPERM/ENOTSUP — the commit
     must fall back to exists-check + rename (weaker same-version race
     guarantee, documented) instead of failing every snapshot; a
     committed same-version manifest still loses loudly, and a real
-    unrelated OSError still propagates."""
+    unrelated OSError still propagates (without leaking the tmp
+    manifest)."""
     import errno
 
     from sports_stats_data_pipeline_spark.operators import multisnapshot
 
-    real_link = multisnapshot.os.link
-
     def no_link(src, dst, **kw):
         raise OSError(errno.ENOTSUP, "hard links not supported", src)
 
-    multisnapshot.os.link = no_link
-    try:
-        root = str(tmp_path / "grp")
-        v1 = write_group_snapshot({"docs": _docs(spark, 4, "a")}, root)
-        assert v1 == 1
-        assert read_group_table(spark, root, "docs", 1).count() == 4
-        # the fallback's exists-check still rejects a committed version:
-        # same race shape as the hard-link test — the loser's version
-        # comes from a stale listing, the v2 MANIFEST already exists
-        import json
+    monkeypatch.setattr(multisnapshot.os, "link", no_link)
+    root = str(tmp_path / "grp")
+    v1 = write_group_snapshot({"docs": _docs(spark, 4, "a")}, root)
+    assert v1 == 1
+    assert read_group_table(spark, root, "docs", 1).count() == 4
+    # the fallback's exists-check still rejects a committed version:
+    # same race shape as the hard-link test — the loser's version
+    # comes from a stale listing, the v2 MANIFEST already exists
+    import json
 
-        m2 = os.path.join(root, "_snapshots", "v2.json")
-        with open(m2, "w") as fh:
-            json.dump({"version": 2, "mode": "overwrite", "tables": {}}, fh)
-        real_versions = multisnapshot._versions
-        multisnapshot._versions = lambda r: [1]  # stale pre-race view
-        try:
-            with pytest.raises(FileExistsError, match="concurrent"):
-                write_group_snapshot({"docs": _docs(spark, 2, "b")}, root)
-        finally:
-            multisnapshot._versions = real_versions
-        os.remove(m2)
-        # an OSError outside the no-hardlink set must propagate
-        def eio_link(src, dst, **kw):
-            raise OSError(errno.EIO, "io error", src)
+    m2 = os.path.join(root, "_snapshots", "v2.json")
+    with open(m2, "w") as fh:
+        json.dump({"version": 2, "mode": "overwrite", "tables": {}}, fh)
+    with pytest.MonkeyPatch.context() as stale:
+        stale.setattr(multisnapshot, "_versions", lambda r: [1])
+        with pytest.raises(FileExistsError, match="concurrent"):
+            write_group_snapshot({"docs": _docs(spark, 2, "b")}, root)
+    os.remove(m2)
 
-        multisnapshot.os.link = eio_link
-        with pytest.raises(OSError, match="io error"):
-            write_group_snapshot({"docs": _docs(spark, 2, "c")}, root)
-    finally:
-        multisnapshot.os.link = real_link
+    # an OSError outside the no-hardlink set must propagate, and the
+    # tmp manifest must not be left behind in _snapshots/
+    def eio_link(src, dst, **kw):
+        raise OSError(errno.EIO, "io error", src)
+
+    monkeypatch.setattr(multisnapshot.os, "link", eio_link)
+    with pytest.raises(OSError, match="io error"):
+        write_group_snapshot({"docs": _docs(spark, 2, "c")}, root)
+    leftovers = [
+        f
+        for f in os.listdir(os.path.join(root, "_snapshots"))
+        if ".tmp." in f
+    ]
+    assert leftovers == [], leftovers
 
 
 def test_random_op_sequences_match_dict_model(spark, tmp_path):

@@ -13,7 +13,7 @@ so the schema is the whole contract and no Spark job is triggered.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
 
@@ -51,12 +51,11 @@ def _schema_pair(draw):
     may add columns the source lacks; sources may carry extras."""
     src_names = draw(_names)
     tgt_names = draw(_names)
-    types = {
-        n: draw(st.sampled_from(_TYPES))
-        for n in set(src_names) | set(tgt_names)
-    }
+    src_types = {n: draw(st.sampled_from(_TYPES)) for n in src_names}
     tgt_types = {n: draw(st.sampled_from(_TYPES)) for n in tgt_names}
-    src = T.StructType([T.StructField(n, types[n], True) for n in src_names])
+    src = T.StructType(
+        [T.StructField(n, src_types[n], True) for n in src_names]
+    )
     tgt = T.StructType(
         [T.StructField(n, tgt_types[n], True) for n in tgt_names]
     )
@@ -78,11 +77,7 @@ def _legal(src: T.StructType, tgt: T.StructType) -> bool:
     return True
 
 
-@settings(
-    max_examples=60,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@settings(max_examples=60, deadline=None)
 @given(pair=_schema_pair())
 def test_conform_succeeds_iff_legal_and_yields_target(spark, pair):
     import pytest
@@ -103,11 +98,7 @@ def test_conform_succeeds_iff_legal_and_yields_target(spark, pair):
             evolve_to_schema(batch, tgt)
 
 
-@settings(
-    max_examples=60,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@settings(max_examples=60, deadline=None)
 @given(pair=_schema_pair())
 def test_merge_schemas_accepts_both_inputs(spark, pair):
     """Whenever merge_schemas(a, b) succeeds, BOTH an a-shaped and a
