@@ -28,12 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from . import QueryRegistry
 from .corpus import SQL_LM_NLL3_BLOCK
-from .documents import (
-    _NEARDUP_DOCS_SQL,
-    _SQL_SH_HASHES,
-    _SQL_SHINGLES,
-    _sql_minhash,
-)
+from .documents import _NEARDUP_DOCS_SQL
 from .relational import cents
 
 REGISTRY = QueryRegistry()

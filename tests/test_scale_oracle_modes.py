@@ -34,7 +34,13 @@ from sports_stats_data_pipeline_spark.sources.tables import TABLE_NAMES
 from ._compare import assert_frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
-MOD = 4  # small SF -> small mod keeps the sample non-trivial
+# small SF -> small mod keeps the sample non-trivial. MUST be coprime
+# to 1000004 = 2^2 * 53^2 * 89 (round 9, an advisor catch): on the
+# dominant original<->clone pairs (doc_b = doc_a + 1000000) the
+# predicate collapses to (1000004*a + 1000000) % mod, so a power-of-two
+# mod passes 25-100% of clone pairs instead of 1/mod — the previous
+# pin (MOD=4) mostly compared the UNSAMPLED clone set.
+MOD = 3
 
 REG = all_registries()
 
@@ -72,6 +78,18 @@ def test_sampled_minhash_oracle_matches_filtered_full(spark, oracle):
     ].reset_index(drop=True)
     # the sample must be non-trivial in both directions
     assert 0 < len(sampled) < len(full)
+    # and achieve ~1/MOD on the structurally-dominant clone pairs
+    # (doc_b = doc_a + 1000000), where a bad modulus degenerates: with
+    # gcd(MOD, 1000004) = 1 the clone rate is the residue-class share
+    # of doc_a, ~1/MOD — assert it stayed below 2/MOD so a structural
+    # collapse (mod=4 passed 100%) can never sneak back in
+    clones_full = full[full.doc_b == full.doc_a + 1000000]
+    clones_sampled = sampled[sampled.doc_b == sampled.doc_a + 1000000]
+    assert len(clones_full) > 0
+    assert 0 < len(clones_sampled) <= 2 * len(clones_full) / MOD, (
+        f"clone-pair sample rate {len(clones_sampled)}/{len(clones_full)}"
+        f" is degenerate for mod {MOD}"
+    )
     assert_frames_match(full_filtered, sampled, "sampled-vs-filtered-full")
 
     spark_full = REG.queries["neardup_minhash_pairs"](
@@ -108,3 +126,12 @@ def test_engine_pairs_doc_clusters_oracle_matches_full(spark, oracle):
         assert_frames_match(spark_pdf, spliced, "spark-vs-engine-pairs")
     finally:
         oracle.unregister("spark_pairs")
+
+
+@pytest.mark.parametrize("bad", [2, 4, 16, 53, 89, 106])
+def test_non_coprime_sample_mod_rejected(bad):
+    """Moduli sharing a factor with 1000004 degenerate on clone pairs
+    (the advisor's numeric verification: mod 4 passes 100% of them) —
+    the builder must refuse them outright."""
+    with pytest.raises(ValueError, match="coprime"):
+        minhash_pairs_oracle_sql(bad)

@@ -49,7 +49,9 @@ HEAVY = os.environ.get("SPARK_GRAFT_SCALE_HEAVY") == "1"
 #: doc_clusters branch builds, when both run in one session), and the
 #: doc_clusters referee consumes the engine's verified pair table,
 #: independently recomputing only the graph legs. 0/absent = full
-#: referee (the <=30x regime).
+#: referee (the <=30x regime). Must be COPRIME to 1000004 (odd, not a
+#: multiple of 53 or 89 — e.g. 3, 7, 17): the oracle builder rejects
+#: degenerate moduli whose clone-pair sample collapses (round 9).
 SAMPLED_MOD = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLED", "0"))
 
 #: engine full-output row counts recorded by the sampled branches, for

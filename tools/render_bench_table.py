@@ -121,7 +121,9 @@ def render(rec: dict) -> str:
             f"| **Extended total (all slots)** "
             f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
         )
-        if ext_duck and ext_total_d and ext_ratio is not None:
+        # gate on None (missing), not truthiness: 0.0 is a real, tiny
+        # time (the module's _TINY convention) and must not hide the row
+        if ext_duck and ext_total_d is not None and ext_ratio is not None:
             sub_s = sum(ext[n] for n in ext_duck if n in ext)
             lines.append(
                 f"| **Calibrated subset ({len(ext_duck)} slots)** "
