@@ -222,10 +222,40 @@ from ..streaming.dedup_lsh import greedy_fold_cte_parts  # noqa: E402
 _SNEARDUP_FOLD_PARTS, _SNEARDUP_STORE = greedy_fold_cte_parts(3)
 _SNEARDUP_FOLD_SQL = ",\n      ".join(_SNEARDUP_FOLD_PARTS)
 
+#: the sneardup branch computed by the DuckDB fold itself — the
+#: registered (driver-facing) referee
+_SNEARDUP_ORACLE_SUBQUERY = f"""(
+      WITH sdocs AS MATERIALIZED ({_NEARDUP_DOCS_SQL}),
+      docs AS (
+        SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS batch FROM sdocs
+      ),
+      {_SNEARDUP_FOLD_SQL}
+      SELECT d.doc_id,
+             CAST(CASE WHEN st.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS admitted
+      FROM sdocs d LEFT JOIN {_SNEARDUP_STORE} st ON st.doc_id = d.doc_id
+    ) s"""
 
-@REGISTRY.register(
-    "streaming_tumbling_hourly",
-    oracle=f"""
+
+def streaming_oracle_sql(sneardup_src: str | None = None) -> str:
+    """Oracle builder for streaming_tumbling_hourly. ``None`` reproduces
+    the registered oracle exactly (the DuckDB greedy fold computes the
+    sneardup family). ``sneardup_src`` names a pre-registered relation
+    ``(doc_id BIGINT, admitted BIGINT)`` that REPLACES the fold branch —
+    the >=30x scale-validation splice, where the admissions come from
+    the independent parallel Python fold referee
+    (streaming.fold_reference; at 60x the DuckDB fold ran one core at
+    100% for ~44 min, measured row-group-bound in SCALING.md round 8).
+    The other four families always stay DuckDB-computed."""
+    sneardup_rel = (
+        _SNEARDUP_ORACLE_SUBQUERY
+        if sneardup_src is None
+        else (
+            f"(SELECT doc_id, CAST(admitted AS BIGINT) AS admitted "
+            f"FROM {sneardup_src}) s"
+        )
+    )
+    return f"""
     SELECT 'tumbling' AS family,
       CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_s,
       event_type,
@@ -281,18 +311,13 @@ _SNEARDUP_FOLD_SQL = ",\n      ".join(_SNEARDUP_FOLD_PARTS)
       CAST(NULL AS BIGINT), s.doc_id, CAST(NULL AS BIGINT),
       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM (
-      WITH sdocs AS MATERIALIZED ({_NEARDUP_DOCS_SQL}),
-      docs AS (
-        SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS batch FROM sdocs
-      ),
-      {_SNEARDUP_FOLD_SQL}
-      SELECT d.doc_id,
-             CAST(CASE WHEN st.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-               AS admitted
-      FROM sdocs d LEFT JOIN {_SNEARDUP_STORE} st ON st.doc_id = d.doc_id
-    ) s
-    """,
+    FROM {sneardup_rel}
+    """
+
+
+@REGISTRY.register(
+    "streaming_tumbling_hourly",
+    oracle=streaming_oracle_sql(),
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.join import purchase_click_pairs_table

@@ -127,6 +127,36 @@ def _check(spark, sf_dir: str, name: str) -> None:
             _ENGINE_FULL_COUNTS[name] = n_full
             print(f"\n{name}: {n_full} pairs, sampled {len(spark_pdf)}")
             return
+        if SAMPLED_MOD and name == "streaming_tumbling_hourly":
+            # >=30x regime: the sneardup family's greedy fold is order-
+            # dependent state — it cannot be candidate-sampled — and the
+            # DuckDB fold referee is row-group-bound (one core at 100%
+            # for ~44 min at 60x; SCALING.md round 8). Splice in the
+            # independent parallel Python fold referee
+            # (streaming.fold_reference, pinned bit-exact against the
+            # DuckDB fold in test_fold_reference.py); the other four
+            # families stay DuckDB-computed — same full value hash.
+            import pandas as pd
+
+            from sports_stats_data_pipeline_spark.plans.events import (
+                streaming_oracle_sql,
+            )
+            from sports_stats_data_pipeline_spark.streaming.fold_reference import (  # noqa: E501
+                sneardup_admissions_reference,
+            )
+
+            py_adm = pd.DataFrame(
+                sneardup_admissions_reference(sf_dir),
+                columns=["doc_id", "admitted"],
+            )
+            con.register("py_adm", py_adm)
+            spark_pdf = REG.queries[name](spark, sf_dir).toPandas()
+            oracle_pdf = con.execute(streaming_oracle_sql("py_adm")).df()
+            assert_frames_match(
+                spark_pdf, oracle_pdf, f"{name}[python-fold-referee]"
+            )
+            assert len(spark_pdf) > 0, f"{name}: empty result on {sf_dir}"
+            return
         if SAMPLED_MOD and name == "neardup_doc_clusters":
             from sports_stats_data_pipeline_spark.plans.documents import (
                 _minhash_verified_pairs,
