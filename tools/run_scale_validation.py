@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""One-command scale/skew re-validation: derive the replica corpus, set
+the env gates, run the heavy tier, and print the per-slot markdown
+table for SCALING.md.
+
+Replaces the env-incantation recipe that previously lived only as
+SCALING.md prose (SPARK_GRAFT_SCALE_SAMPLED=…, DRIVER_MEM=…, factor …)::
+
+    python tools/run_scale_validation.py --factor 60
+    python tools/run_scale_validation.py --factor 100 --workdir /tmp/scale100
+
+Defaults encode the recorded runs' provisioning findings:
+
+- ``--sampled``: 0 (full DuckDB referee) below factor 30; 17 at >=30 —
+  an odd prime coprime to 1000004 so the candidate sample is a true
+  1/mod on clone pairs (plans.documents enforces coprimality). At
+  >=30x the sampled mode also switches the doc-clusters referee to
+  engine-pairs and the sneardup referee to the parallel Python fold.
+- ``--driver-mem``: 64g at factor >= 60 (the 60x run OOMed the default
+  8 GiB heap inside the doc-clusters triangle leg; SCALING.md round 8),
+  else the session default.
+
+The heavy tier is tests/test_scale_replica.py with
+SPARK_GRAFT_SCALE_HEAVY=1 — every slot is the registered Spark query
+vs its value referee (DuckDB oracle, sampled oracle, engine-pairs
+graph recompute, or the Python fold splice) on the SAME derived
+corpus, full rows+schema+value match. Per-slot walls come from pytest's
+junit XML, so the table is rendered mechanically, not hand-copied.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def derive(src: str, workdir: str, factor: int, force: bool) -> None:
+    have = all(
+        os.path.exists(os.path.join(workdir, f"{t}.parquet")) for t in TABLES
+    )
+    if have and not force:
+        print(f"[derive] {workdir} already has all tables — reusing "
+              "(pass --force-derive to rebuild)")
+        return
+    t0 = time.perf_counter()
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "derive_scale_corpus.py"),
+            "--src", src, "--out", workdir,
+            "--mode", "replicate", "--factor", str(factor),
+        ],
+        check=True,
+    )
+    print(f"[derive] factor {factor} -> {workdir} "
+          f"in {time.perf_counter() - t0:.0f}s")
+
+
+def run_tier(workdir: str, sampled: int, driver_mem: str | None,
+             junit: str) -> int:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SCALE_DIR"] = workdir
+    env["SPARK_GRAFT_SCALE_HEAVY"] = "1"
+    env["SPARK_GRAFT_SCALE_SAMPLED"] = str(sampled)
+    if driver_mem:
+        env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
+    cmd = [
+        sys.executable, "-m", "pytest",
+        "tests/test_scale_replica.py", "-q", "-rA",
+        f"--junitxml={junit}",
+    ]
+    print(f"[run] SPARK_GRAFT_SCALE_SAMPLED={sampled} "
+          f"SPARK_GRAFT_DRIVER_MEM={driver_mem or '(default)'} {' '.join(cmd)}")
+    return subprocess.run(cmd, cwd=REPO, env=env).returncode
+
+
+def render_table(junit: str, factor: int, sampled: int,
+                 total_wall: float) -> str:
+    """Markdown per-slot table from the junit XML (mechanical render —
+    the SCALING.md convention)."""
+    root = ET.parse(junit).getroot()
+    rows, n_pass, n_fail, n_skip = [], 0, 0, 0
+    for case in root.iter("testcase"):
+        name = case.get("name", "")
+        secs = float(case.get("time", "0"))
+        if case.find("skipped") is not None:
+            n_skip += 1
+            continue
+        failed = (
+            case.find("failure") is not None or case.find("error") is not None
+        )
+        n_fail += failed
+        n_pass += not failed
+        slot = name.replace("test_replica_parity[", "").replace(
+            "test_skew_parity[", ""
+        ).rstrip("]")
+        rows.append((slot, secs, "FAIL" if failed else "ok"))
+    rows.sort(key=lambda r: -r[1])
+    lines = [
+        f"| Slot (factor {factor}, sampled mod {sampled or '—'}) "
+        "| wall | status |",
+        "|---|---|---|",
+    ]
+    for slot, secs, status in rows:
+        lines.append(f"| {slot} | {secs:.0f} s | {status} |")
+    lines.append(
+        f"| **total** | **{total_wall / 60:.0f} min** "
+        f"| **{n_pass}/{n_pass + n_fail} value-matched"
+        + (f", {n_skip} skipped" if n_skip else "") + "** |"
+    )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--workdir", default=None,
+                    help="default /tmp/scale{factor}")
+    ap.add_argument("--sampled", type=int, default=None,
+                    help="referee sample mod; default 0 below factor 30, "
+                         "17 at >=30 (must be coprime to 1000004)")
+    ap.add_argument("--driver-mem", default=None,
+                    help="default 64g at factor >= 60")
+    ap.add_argument("--force-derive", action="store_true")
+    args = ap.parse_args()
+
+    workdir = args.workdir or f"/tmp/scale{args.factor}"
+    sampled = args.sampled if args.sampled is not None else (
+        17 if args.factor >= 30 else 0
+    )
+    driver_mem = args.driver_mem or ("64g" if args.factor >= 60 else None)
+    if sampled:
+        # fail fast on a degenerate modulus, before hours of compute
+        from sports_stats_data_pipeline_spark.plans.documents import (
+            minhash_pairs_oracle_sql,
+        )
+
+        minhash_pairs_oracle_sql(sampled)
+
+    derive(args.src, workdir, args.factor, args.force_derive)
+    junit = os.path.join(workdir, "scale_validation_junit.xml")
+    t0 = time.perf_counter()
+    rc = run_tier(workdir, sampled, driver_mem, junit)
+    total = time.perf_counter() - t0
+    print()
+    print(render_table(junit, args.factor, sampled, total))
+    try:
+        load = os.getloadavg()[0]
+        print(f"\n(load_avg_1m at finish: {load:.2f})")
+    except OSError:
+        pass
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    main()
