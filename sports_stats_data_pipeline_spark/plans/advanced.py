@@ -700,7 +700,34 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    publish -> compaction -> snapshot read-back end-to-end. The
 #    oracle (full recompute) is unchanged: a corrupted write flips the
 #    hash.
+# 7. (round 9) TIME TRAVEL + Z-ORDER, the last pytest-only lakehouse
+#    operators now in the gate: the pre-delta state commits as group
+#    v1 and the merge reads the PINNED version 1 back (a restarted
+#    maintenance job's recovery read); the compacted mart is re-laid
+#    out along the (o_custkey, volume_c) Morton curve
+#    (operators.zorder.write_zordered) and read back through two
+#    complementary pruned key-range scans whose union is the whole
+#    mart. Both legs are value-neutral by construction, so the oracle
+#    is STILL the one full recompute — but the hash now also covers
+#    versioned reads and the z-ordered layout round-trip.
 # --------------------------------------------------------------------------
+def _zorder_pruned_readback(spark: SparkSession, zpath: str) -> DataFrame:
+    """The z-ordered mart read back as two complementary o_custkey
+    range scans, unioned — exactly the rows of ``zpath``, but each
+    branch's parquet reader skips the files whose z-rectangle lies
+    outside its key range (row-group min/max pruning; pinned in
+    tests/test_plans.py). The 1-row bounds aggregate stands in for the
+    footer-stats lookup a real lakehouse catalog serves for free."""
+    full = spark.read.parquet(zpath)
+    lo, hi = full.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    mid = (int(lo) + int(hi)) // 2
+    return full.filter(F.col("o_custkey") <= mid).unionByName(
+        full.filter(F.col("o_custkey") > mid)
+    )
+
+
 @REGISTRY.register(
     "incremental_mart_maintenance",
     oracle="""
@@ -775,7 +802,7 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_months": ("approx_distinct", "ts_month"),
         "price_sample": ("quantile_sketch", "price_q"),
     }
-    state = aggregate_delta(
+    state_agg = aggregate_delta(
         orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], measures
     )
     # schema-evolution gate (round 8): the delta batch arrives in the
@@ -804,12 +831,6 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(delta.schema.fields)
         + [T.StructField("ingest_note", T.StringType(), True)]
     )
-    merged = merge_aggregate_state(
-        state,
-        evolve_to_schema(producer_batch, mart_target),
-        ["o_custkey"],
-        measures,
-    )
     # maintenance: land the mart as many small files (the streaming-
     # append pathology) through the VALIDATED publish — metrics ride
     # the write via CollectMetrics (one scan), the gates decide the
@@ -821,9 +842,29 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call, the dedup_lsh wrapper's cleanup contract).
     import shutil
 
+    from ..operators.zorder import write_zordered
+
     mart_root = tempfile.mkdtemp(prefix="graft_mart_")
     group_root = tempfile.mkdtemp(prefix="graft_mart_grp_")
     try:
+        # time-travel leg (round 9): the PRE-delta state is committed
+        # as group v1 and the merge consumes the VERSION-1 read-back —
+        # the state side of an O(Δ) maintenance loop is exactly what a
+        # restarted job time-travels to, and pinning version=1 (not
+        # latest) puts the versioned read in the gated lineage.
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        v1 = write_group_snapshot(
+            {"mart": state_agg, "customer_dim": cust}, group_root
+        )
+        state = read_group_table(spark, group_root, "mart", version=v1)
+        merged = merge_aggregate_state(
+            state,
+            evolve_to_schema(producer_batch, mart_target),
+            ["o_custkey"],
+            measures,
+        )
         mart_path = mart_root + "/mart"
         write_validated(
             merged.repartition(16),
@@ -840,25 +881,34 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
         compacted = compact_parquet(spark, mart_path, target_partitions=2)
-        # atomic group snapshot: the compacted mart and its dimension
-        # become visible as ONE version; the join below reads back
-        # THROUGH the snapshot, so the slot's value hash covers the
-        # commit
-        cust = load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        # Z-order leg (round 9): the compacted mart is laid out along
+        # the (o_custkey, volume_c) Morton curve, so row-group min/max
+        # stats prune scans filtered on EITHER axis, and read back
+        # through two complementary key-range scans whose union is the
+        # whole mart — value-neutral, but each branch's parquet reader
+        # actually skips the files outside its z-rectangle (plan pin:
+        # tests/test_plans.py::test_mart_zorder_readback_prunes).
+        zpath = mart_root + "/mart_z"
+        write_zordered(
+            compacted, zpath, ["o_custkey", "volume_c"], n_files=4
         )
-        write_group_snapshot(
-            {"mart": compacted, "customer_dim": cust}, group_root
+        zmart = _zorder_pruned_readback(spark, zpath)
+        # atomic group snapshot: the z-ordered mart and its dimension
+        # become visible as ONE version (v2 — v1 carries the pre-merge
+        # state); the join below reads back THROUGH the pinned v2, so
+        # the slot's value hash covers commit, time travel, and layout
+        v2 = write_group_snapshot(
+            {"mart": zmart, "customer_dim": cust}, group_root
         )
         # bucketing: mart ⋈ customer dim bucket-to-bucket on custkey
         write_bucketed(
-            read_group_table(spark, group_root, "mart"),
+            read_group_table(spark, group_root, "mart", version=v2),
             "graft_mart_b",
             ["o_custkey"],
             n_buckets=4,
         )
         write_bucketed(
-            read_group_table(spark, group_root, "customer_dim"),
+            read_group_table(spark, group_root, "customer_dim", version=v2),
             "graft_cust_b",
             ["o_custkey"],
             n_buckets=4,

@@ -317,3 +317,41 @@ def test_triangles_wedge_and_closure_are_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mart_zorder_readback_prunes(spark, tmp_path):
+    """The mart slot's z-order read-back (round 9): each of the two
+    complementary key-range branches must push its o_custkey predicate
+    into the parquet scan (row-group min/max pruning over the Morton
+    layout), and the union must reproduce the mart exactly."""
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.operators.zorder import (
+        write_zordered,
+    )
+    from sports_stats_data_pipeline_spark.plans.advanced import (
+        _zorder_pruned_readback,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    mart = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("volume_c"),
+        )
+    )
+    zpath = str(tmp_path / "mart_z")
+    write_zordered(mart, zpath, ["o_custkey", "volume_c"], n_files=4)
+    back = _zorder_pruned_readback(spark, zpath)
+    plan = _plan(back)
+    # both range predicates reach the scan as pushed filters
+    assert "PushedFilters: [IsNotNull(o_custkey), LessThanOrEqual(o_custkey" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_custkey), GreaterThan(o_custkey" in plan, plan
+    # and the read-back is value-neutral
+    a = sorted(map(tuple, mart.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
