@@ -77,7 +77,27 @@ def _cols(con: duckdb.DuckDBPyConnection, path: str) -> list[str]:
     ]
 
 
-def derive_replicate(src: str, out: str, factor: int) -> None:
+#: max byte-identical copies of one document text in a derived replica
+#: (round 9). The minhash bucket cap is 64: a clone clique LARGER than
+#: the cap puts every one of its band buckets over the cap, and the
+#: bounded-recall contract SKIPS them — at factor 100 a naive 100-fold
+#: replication would cap away essentially every near-dup pair, i.e.
+#: validate the dedup families on an empty workload (the 60x run only
+#: stayed in-regime because 60 <= 64). Replica groups of ``cap`` copies
+#: therefore get a group token INTERLEAVED between every pair of words
+#: (``replace(text, ' ', ' sdg<g> ')``): every 3-gram shingle of a
+#: salted group contains its group token, so groups are shingle-
+#: DISJOINT (cross-group Jaccard 0, no shared band keys) and each
+#: clique is exactly min(cap, factor) — maximal in-regime density at
+#: any factor. Single-token docs have no spaces and stay identical
+#: across groups; their over-cap buckets are skipped identically by
+#: engine and oracle (the mirrored contract).
+DOC_DUP_CAP = 50
+
+
+def derive_replicate(
+    src: str, out: str, factor: int, doc_dup_cap: int = DOC_DUP_CAP
+) -> None:
     con = duckdb.connect()
     os.makedirs(out, exist_ok=True)
     for t in SINGLE:
@@ -88,17 +108,30 @@ def derive_replicate(src: str, out: str, factor: int) -> None:
     for t, keys in KEY_COLS.items():
         path = f"{src}/{t}.parquet"
         sel = ", ".join(
-            f"{c} + r.off AS {c}" if c in keys else c
+            f"{c} + r.rep * {STRIDE} AS {c}"
+            if c in keys
+            else (
+                f"CASE WHEN r.rep // {doc_dup_cap} = 0 THEN text "
+                f"ELSE replace(text, ' ', ' sdg' || "
+                f"CAST(r.rep // {doc_dup_cap} AS VARCHAR) || ' ') "
+                f"END AS text"
+                if t == "documents" and c == "text" and factor > doc_dup_cap
+                else c
+            )
             for c in _cols(con, path)
         )
         con.execute(
             f"""COPY (
               SELECT {sel}
               FROM read_parquet('{path}'),
-                   (SELECT unnest(range({factor})) * {STRIDE} AS off) r
+                   (SELECT unnest(range({factor})) AS rep) r
             ) TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
         )
-    print(f"replicated x{factor}: {src} -> {out}")
+    salted = " (doc clone cliques salted to <= "
+    print(
+        f"replicated x{factor}: {src} -> {out}"
+        + (f"{salted}{doc_dup_cap})" if factor > doc_dup_cap else "")
+    )
 
 
 def derive_skew(
@@ -169,9 +202,15 @@ def main() -> None:
         "--mode", choices=["replicate", "skew"], default="replicate"
     )
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--doc-dup-cap", type=int, default=DOC_DUP_CAP,
+        help="max byte-identical copies per document text (clone "
+             "cliques beyond this get shingle-disjoint group salts so "
+             "the dedup families stay inside the bucket-cap regime)",
+    )
     args = ap.parse_args()
     if args.mode == "replicate":
-        derive_replicate(args.src, args.out, args.factor)
+        derive_replicate(args.src, args.out, args.factor, args.doc_dup_cap)
     else:
         derive_skew(args.src, args.out)
 
