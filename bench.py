@@ -126,11 +126,12 @@ FOLDED_INTO = {
 
 #: extended slots whose oracles join the same-session DuckDB
 #: calibration (round 8): the most expensive Spark-side composites —
-#: together ~85% of the extended tier's wall — whose round-over-round
-#: comparison was pure host-load noise under raw seconds (the round-7
-#: verdict measured scd2 "+64%" on untouched code). ``extended_ratio``
-#: compares the two engines on THIS subset only (sum of Spark mins /
-#: sum of DuckDB mins, same process, same host state).
+#: together ~95% of the extended tier's wall since round 9 added the
+#: three remaining expensive slots — whose round-over-round comparison
+#: was pure host-load noise under raw seconds (the round-7 verdict
+#: measured scd2 "+64%" on untouched code). ``extended_ratio`` compares
+#: the two engines on THIS subset only (sum of Spark mins / sum of
+#: DuckDB mins, same process, same host state).
 EXTENDED_CALIBRATED = (
     "neardup_doc_clusters",
     "data_quality_report",
@@ -138,7 +139,28 @@ EXTENDED_CALIBRATED = (
     "incremental_mart_maintenance",
     "asof_join_purchase_click",
     "orders_by_period_rangejoin",
+    "corpus_mix_split_shards",
+    "span_redaction_stats",
+    "doc_text_profile",
 )
+
+#: calibrated slots whose Spark wall includes IN-GATE PHYSICAL WORK the
+#: DuckDB oracle never performs — their per-slot ratio is a regression
+#: series, NOT a fair two-engine race (the round-8 verdict's honesty
+#: ask). Emitted in the bench JSON; the README table renderer marks the
+#: rows and prints the reasons mechanically.
+EXTENDED_ASYMMETRIC = {
+    "incremental_mart_maintenance": (
+        "Spark wall includes validated publish, compaction, Z-order "
+        "rewrite, two atomic group commits and versioned read-backs; "
+        "the oracle computes the final values only"
+    ),
+    "data_quality_report": (
+        "Spark wall runs six validation families incl. a deliberate "
+        "two-pass exact heavy-hitter recount; the oracle computes the "
+        "final report values only"
+    ),
+}
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -287,6 +309,7 @@ def main() -> None:
                 "extended_duckdb_queries": ext_duck,
                 "extended_duckdb_total": ext_duck_total,
                 "extended_ratio": ext_ratio,
+                "extended_asymmetric": EXTENDED_ASYMMETRIC,
                 "load_avg_1m": load_1m,
                 "sf": sf,
             }

@@ -98,6 +98,15 @@ def render(rec: dict) -> str:
     ext = rec.get("extended_queries")
     if ext:
         ext_duck = rec.get("extended_duckdb_queries") or {}
+        # slots whose Spark wall includes in-gate physical work the
+        # oracle never performs (writes, commits, deliberate recounts):
+        # marked ³ so their ratio reads as a regression series, not a
+        # race (round 9; reasons rendered below the table). Prefer the
+        # record's own field; fall back to the current bench constant
+        # for pre-round-9 records.
+        asym = rec.get("extended_asymmetric")
+        if asym is None:
+            from bench import EXTENDED_ASYMMETRIC as asym
         lines += [
             "",
             "| Extended (composites) | Spark | DuckDB | ratio |",
@@ -105,8 +114,9 @@ def render(rec: dict) -> str:
         ]
         for name, s in ext.items():
             d = ext_duck.get(name)
+            mark = "³" if name in asym and d is not None else ""
             d_cell = (
-                f"{max(d, _TINY):.2f} s" if d is not None else "—"
+                f"{max(d, _TINY):.2f} s{mark}" if d is not None else "—"
             )
             lines.append(
                 f"| {name} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
@@ -131,6 +141,15 @@ def render(rec: dict) -> str:
                 f"| **{max(ext_total_d, _TINY):.2f} s**² "
                 f"| **{ext_ratio:.2f}×**² |"
             )
+        marked = [n for n in asym if n in ext_duck]
+        if marked:
+            lines.append("")
+            lines.append(
+                "³ asymmetric by construction — the slot's ratio is a "
+                "drift-immune regression series, NOT a two-engine race:"
+            )
+            for name in marked:
+                lines.append(f"  - `{name}`: {asym[name]}")
     return "\n".join(lines)
 
 
