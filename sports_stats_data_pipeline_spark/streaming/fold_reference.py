@@ -159,33 +159,46 @@ def greedy_fold_reference(
 
     store_bands: dict[str, list[int]] = defaultdict(list)
     admitted: set[int] = set()
-    for i in range(n_batches):
-        ids = sorted(batches.get(i, ()))
-        batch_bucket: dict[str, list[int]] = defaultdict(list)
-        for d in ids:
-            for bk in bands[d]:
-                batch_bucket[bk].append(d)
-        # prior-side caps, both sides (bounded-recall contract: a
-        # super-bucket is skipped, not joined)
-        batch_ok = {k: v for k, v in batch_bucket.items() if len(v) <= cap}
-        store_ok = {k: v for k, v in store_bands.items() if len(v) <= cap}
-
-        _G.update(sh=sh, bands=bands, batch_ok=batch_ok, store_ok=store_ok)
-        if processes and len(ids) > 2000:
-            # one fork per batch: children inherit the CURRENT frozen
-            # store via copy-on-write — no pickling of the shingle map
-            with ctx.Pool(processes) as pool:
-                dup_lists = pool.map(_dup_chunk, _chunks(ids, processes * 4))
-            dups = {d for lst in dup_lists for d in lst}
-        else:
-            dups = set(_dup_chunk(ids))
-
-        for d in ids:
-            if d not in dups:
-                admitted.add(d)
+    try:
+        for i in range(n_batches):
+            ids = sorted(batches.get(i, ()))
+            batch_bucket: dict[str, list[int]] = defaultdict(list)
+            for d in ids:
                 for bk in bands[d]:
-                    store_bands[bk].append(d)
-    _G.clear()
+                    batch_bucket[bk].append(d)
+            # prior-side caps, both sides (bounded-recall contract: a
+            # super-bucket is skipped, not joined)
+            batch_ok = {
+                k: v for k, v in batch_bucket.items() if len(v) <= cap
+            }
+            store_ok = {
+                k: v for k, v in store_bands.items() if len(v) <= cap
+            }
+
+            _G.update(
+                sh=sh, bands=bands, batch_ok=batch_ok, store_ok=store_ok
+            )
+            if processes and len(ids) > 2000:
+                # one fork per batch: children inherit the CURRENT
+                # frozen store via copy-on-write — no pickling of the
+                # shingle map
+                with ctx.Pool(processes) as pool:
+                    dup_lists = pool.map(
+                        _dup_chunk, _chunks(ids, processes * 4)
+                    )
+                dups = {d for lst in dup_lists for d in lst}
+            else:
+                dups = set(_dup_chunk(ids))
+
+            for d in ids:
+                if d not in dups:
+                    admitted.add(d)
+                    for bk in bands[d]:
+                        store_bands[bk].append(d)
+    finally:
+        # never leave the (large) worker-state snapshot pinned on an
+        # exception — the module global outlives the call
+        _G.clear()
     return admitted
 
 
