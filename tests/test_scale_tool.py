@@ -1,0 +1,55 @@
+"""Unit pins for tools/run_scale_validation.py's mechanical table
+render — the per-slot SCALING.md table must come from the junit XML,
+not hand transcription, so the parser itself needs a pin."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "run_scale_validation",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "run_scale_validation.py",
+    ),
+)
+_MOD = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_MOD)
+
+
+_JUNIT = """<?xml version="1.0" encoding="utf-8"?>
+<testsuites>
+  <testsuite name="pytest" errors="0" failures="1" skipped="1" tests="4">
+    <testcase classname="t" name="test_replica_parity[q3_shipping_priority]" time="12.5"/>
+    <testcase classname="t" name="test_replica_parity[neardup_minhash_pairs]" time="310.2">
+      <failure message="boom">boom</failure>
+    </testcase>
+    <testcase classname="t" name="test_skew_parity[topk_orders_per_segment]" time="3.0">
+      <skipped message="no skew dir"/>
+    </testcase>
+    <testcase classname="t" name="test_replica_nndescent_incremental_equals_full" time="99.0"/>
+  </testsuite>
+</testsuites>
+"""
+
+
+def test_render_table_parses_junit(tmp_path):
+    junit = tmp_path / "junit.xml"
+    junit.write_text(_JUNIT)
+    out = _MOD.render_table(str(junit), factor=100, sampled=17,
+                            total_wall=600.0)
+    lines = out.splitlines()
+    # header carries provenance
+    assert "factor 100" in lines[0] and "sampled mod 17" in lines[0]
+    # sorted by wall descending, slot names stripped of the test prefix
+    assert lines[2].startswith("| neardup_minhash_pairs | 310 s | FAIL |")
+    assert lines[3].startswith(
+        "| test_replica_nndescent_incremental_equals_full | 99 s | ok |"
+    )
+    assert lines[4].startswith("| q3_shipping_priority | 12 s | ok |")
+    # skipped cases never render as slots; totals count pass/fail only
+    assert "topk_orders_per_segment" not in out
+    assert "**2/3 value-matched, 1 skipped**" in lines[-1]
+    assert "**10 min**" in lines[-1]
