@@ -144,6 +144,13 @@ EXTENDED_CALIBRATED = (
     "doc_text_profile",
 )
 
+#: the round-8 six-slot subset, kept as a SECOND emitted ratio
+#: (``extended_ratio_r8_subset``) so the cross-round series
+#: 3.48 (r8) -> ... stays comparable after round 9 enlarged the
+#: calibrated subset — a new headline subset must never silently break
+#: an existing drift-immune series.
+EXTENDED_CALIBRATED_R8 = EXTENDED_CALIBRATED[:6]
+
 #: calibrated slots whose Spark wall includes IN-GATE PHYSICAL WORK the
 #: DuckDB oracle never performs — their per-slot ratio is a regression
 #: series, NOT a fair two-engine race (the round-8 verdict's honesty
@@ -293,6 +300,18 @@ def main() -> None:
         if ext_duck_total and set(EXTENDED_CALIBRATED) <= set(extended)
         else None
     )
+    # series-compatible ratio over the round-8 six-slot subset (doc
+    # comment on EXTENDED_CALIBRATED_R8)
+    r8_duck = sum(ext_duck.get(n, 0.0) for n in EXTENDED_CALIBRATED_R8)
+    ext_ratio_r8 = (
+        round(
+            sum(extended[n] for n in EXTENDED_CALIBRATED_R8) / r8_duck, 3
+        )
+        if r8_duck
+        and set(EXTENDED_CALIBRATED_R8) <= set(extended)
+        and set(EXTENDED_CALIBRATED_R8) <= set(ext_duck)
+        else None
+    )
 
     print(
         json.dumps(
@@ -309,6 +328,7 @@ def main() -> None:
                 "extended_duckdb_queries": ext_duck,
                 "extended_duckdb_total": ext_duck_total,
                 "extended_ratio": ext_ratio,
+                "extended_ratio_r8_subset": ext_ratio_r8,
                 "extended_asymmetric": EXTENDED_ASYMMETRIC,
                 "load_avg_1m": load_1m,
                 "sf": sf,
