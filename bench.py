@@ -147,9 +147,18 @@ EXTENDED_CALIBRATED = (
 #: the round-8 six-slot subset, kept as a SECOND emitted ratio
 #: (``extended_ratio_r8_subset``) so the cross-round series
 #: 3.48 (r8) -> ... stays comparable after round 9 enlarged the
-#: calibrated subset — a new headline subset must never silently break
-#: an existing drift-immune series.
-EXTENDED_CALIBRATED_R8 = EXTENDED_CALIBRATED[:6]
+#: calibrated subset. Spelled out BY NAME (not a slice of the tuple
+#: above) so reordering or inserting into EXTENDED_CALIBRATED cannot
+#: silently redefine the series this key has emitted since round 8.
+EXTENDED_CALIBRATED_R8 = (
+    "neardup_doc_clusters",
+    "data_quality_report",
+    "corpus_quality_filter",
+    "incremental_mart_maintenance",
+    "asof_join_purchase_click",
+    "orders_by_period_rangejoin",
+)
+assert set(EXTENDED_CALIBRATED_R8) <= set(EXTENDED_CALIBRATED)
 
 #: calibrated slots whose Spark wall includes IN-GATE PHYSICAL WORK the
 #: DuckDB oracle never performs — their per-slot ratio is a regression

@@ -717,14 +717,23 @@ def _zorder_pruned_readback(spark: SparkSession, zpath: str) -> DataFrame:
     branch's parquet reader skips the files whose z-rectangle lies
     outside its key range (row-group min/max pruning; pinned in
     tests/test_plans.py). The 1-row bounds aggregate stands in for the
-    footer-stats lookup a real lakehouse catalog serves for free."""
+    footer-stats lookup a real lakehouse catalog serves for free.
+
+    The complement is NULL-safe: a NULL key fails both ``<= mid`` and
+    ``> mid``, so the low branch carries ``isNull`` explicitly — the
+    union is exactly the input for any nullable key column. An empty
+    (or all-NULL-key) table has no bounds to split on; it reads back
+    whole rather than raising on ``int(None)``."""
     full = spark.read.parquet(zpath)
     lo, hi = full.agg(
         F.min("o_custkey"), F.max("o_custkey")
     ).first()
+    if lo is None or hi is None:
+        return full
     mid = (int(lo) + int(hi)) // 2
-    return full.filter(F.col("o_custkey") <= mid).unionByName(
-        full.filter(F.col("o_custkey") > mid)
+    key = F.col("o_custkey")
+    return full.filter(key.isNull() | (key <= mid)).unionByName(
+        full.filter(key > mid)
     )
 
 
@@ -855,9 +864,12 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
         )
-        v1 = write_group_snapshot(
-            {"mart": state_agg, "customer_dim": cust}, group_root
-        )
+        # v1 commits ONLY the mart: nothing reads customer_dim at v1
+        # (the join consumes the v2 dim), and write_group_snapshot
+        # fully materializes every table it is given — carrying the
+        # dim here would add a full dim write + read-back scan to a
+        # calibrated slot for nothing (round-9 self-review catch).
+        v1 = write_group_snapshot({"mart": state_agg}, group_root)
         state = read_group_table(spark, group_root, "mart", version=v1)
         merged = merge_aggregate_state(
             state,

@@ -681,26 +681,36 @@ _NEARDUP_DOCS_SQL = """
 # while the engine under test still runs the FULL workload (its output
 # is filtered by the same predicate only for the comparison).
 #
-# The modulus must be COPRIME TO 1000004 (round 9, an advisor catch):
-# the dominant pairs on the clone-dense corpora this mode targets are
+# The modulus must be COPRIME TO 7·1000004 = 7000028 (round 9, an
+# advisor catch plus a self-review catch on the first fix): the
+# dominant pairs on the clone-dense corpora this mode targets are
 # original↔clone with doc_b = doc_a + 1000000, where the predicate
 # collapses to (1000004·doc_a + 1000000) % mod — NOT structure-free.
 # 1000004 = 2²·53²·89, so for mod ∈ {2,4} EVERY clone pair passes and
 # for any power-of-two mod ≥25% do (the 60x run's mod=16 sampled clone
 # pairs at 1/4, not 1/16 — sound but weaker relief than documented).
-# gcd(mod, 1000004) = 1 restores the exact 1/mod rate on clone pairs
-# (1000004·a mod m then cycles the full residue ring as a varies) while
-# arbitrary pairs keep 1/mod through the b term. Enforced below; use an
-# odd prime ∉ {53, 89} (e.g. 3, 7, 17). Max doc_id at 60x replica
-# scale is ~6e8, so the product stays far below 2^63 in both engines.
+# The factor 7 matters because clone ANCHORS are restricted to
+# doc_id % 7 = 0 (_NEARDUP_DOCS_SQL above): with doc_a ≡ 0 (mod 7) the
+# residue (1000004·doc_a + 1000000) % 7 is constantly 1000000 % 7 = 1,
+# so any mod divisible by 7 samples ZERO clone pairs — the sampled
+# referee would silently skip the structurally dominant family.
+# gcd(mod, 7000028) = 1 restores the exact 1/mod rate on clone pairs
+# (1000004·a mod m cycles the full residue ring as a ranges over the
+# multiples of 7 when gcd(m, 7·1000004) = 1) while arbitrary pairs keep
+# 1/mod through the b term. Enforced below; use an odd prime
+# ∉ {7, 53, 89} (e.g. 3, 11, 17). Max doc_id at 60x replica scale is
+# ~6e8, so the product stays far below 2^63 in both engines.
 def _sql_minhash_pairs(cand_sample_mod: int | None = None) -> str:
-    if cand_sample_mod and math.gcd(cand_sample_mod, 1000004) != 1:
+    if cand_sample_mod and math.gcd(cand_sample_mod, 7000028) != 1:
         raise ValueError(
             f"cand_sample_mod={cand_sample_mod} shares a factor with "
-            "1000004 (= 2^2 * 53^2 * 89): on original<->clone pairs "
-            "(doc_b = doc_a + 1000000) the sample predicate degenerates "
-            "and the documented 1/mod referee relief silently fails. "
-            "Pick an odd modulus coprime to 1000004, e.g. 3, 7, or 17."
+            "7000028 (= 7 * 1000004 = 7 * 2^2 * 53^2 * 89): on "
+            "original<->clone pairs (doc_b = doc_a + 1000000, anchors "
+            "restricted to doc_id % 7 = 0) the sample predicate "
+            "degenerates — factors of 1000004 oversample clone pairs, "
+            "a factor of 7 samples ZERO of them — and the documented "
+            "1/mod referee relief silently fails. Pick an odd modulus "
+            "coprime to 7000028, e.g. 3, 11, or 17."
         )
     sample = (
         f"\n       AND (a.doc_id * 1000003 + b.doc_id) "

@@ -141,9 +141,11 @@ def greedy_fold_reference(
     docs = list(docs)
     if processes is None:
         processes = min(multiprocessing.cpu_count(), 32)
-    ctx = multiprocessing.get_context("fork")
 
     if processes and len(docs) > 2000:
+        # fetched lazily so the serial path (processes=0, the pin
+        # tests' cross-check) stays pure on platforms without fork
+        ctx = multiprocessing.get_context("fork")
         with ctx.Pool(processes) as pool:
             sigs = pool.map(
                 _signature, docs, chunksize=max(1, len(docs) // (processes * 8))
@@ -210,9 +212,14 @@ def synthesize_neardup_corpus(
     doc_id % 7 == 0. Must stay byte-identical to that recipe or the
     referee diverges from the relation under test."""
     out = list(base)
+    # iterate a SNAPSHOT: list.extend consumes its generator lazily
+    # while appending, so iterating `out` itself would re-visit the
+    # freshly appended clones mid-extend — today they fail the % 7
+    # filter (clone ids are ≡ 1 mod 7), but a future constant change
+    # would silently make clones-of-clones the SQL recipe never emits
     out.extend(
         (doc_id + 1_000_000, text + " near dup tail marker")
-        for doc_id, text in out
+        for doc_id, text in list(out)
         if doc_id % 7 == 0
     )
     return out

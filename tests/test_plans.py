@@ -348,10 +348,39 @@ def test_mart_zorder_readback_prunes(spark, tmp_path):
     write_zordered(mart, zpath, ["o_custkey", "volume_c"], n_files=4)
     back = _zorder_pruned_readback(spark, zpath)
     plan = _plan(back)
-    # both range predicates reach the scan as pushed filters
-    assert "PushedFilters: [IsNotNull(o_custkey), LessThanOrEqual(o_custkey" in plan, plan
+    # both range predicates reach the scan as pushed filters; the low
+    # branch is null-safe (Or(IsNull, <=)) since the round-9
+    # self-review — still prunable: a row group with min > mid and
+    # null_count = 0 is skipped
+    assert "PushedFilters: [Or(IsNull(o_custkey),LessThanOrEqual(o_custkey" in plan, plan
     assert "PushedFilters: [IsNotNull(o_custkey), GreaterThan(o_custkey" in plan, plan
     # and the read-back is value-neutral
     a = sorted(map(tuple, mart.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_zorder_readback_null_keys_and_empty(spark, tmp_path):
+    """Round-9 self-review contract pins: a NULL key row survives the
+    complementary union (it fails both range predicates — the low
+    branch must carry isNull), and an empty table reads back whole
+    instead of raising on int(None) bounds."""
+    from pyspark.sql import Row
+
+    from sports_stats_data_pipeline_spark.plans.advanced import (
+        _zorder_pruned_readback,
+    )
+
+    rows = [Row(o_custkey=k, v=i) for i, k in enumerate([1, None, 7, 3])]
+    p = str(tmp_path / "nullable")
+    spark.createDataFrame(rows).write.parquet(p)
+    back = _zorder_pruned_readback(spark, p)
+    assert sorted(
+        map(tuple, back.collect()), key=lambda t: (t[0] is None, t)
+    ) == sorted(
+        map(tuple, rows), key=lambda t: (t[0] is None, t)
+    )
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "o_custkey long, v long").write.parquet(empty)
+    assert _zorder_pruned_readback(spark, empty).count() == 0

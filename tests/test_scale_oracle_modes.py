@@ -35,11 +35,14 @@ from ._compare import assert_frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
 # small SF -> small mod keeps the sample non-trivial. MUST be coprime
-# to 1000004 = 2^2 * 53^2 * 89 (round 9, an advisor catch): on the
-# dominant original<->clone pairs (doc_b = doc_a + 1000000) the
-# predicate collapses to (1000004*a + 1000000) % mod, so a power-of-two
-# mod passes 25-100% of clone pairs instead of 1/mod — the previous
-# pin (MOD=4) mostly compared the UNSAMPLED clone set.
+# to 7000028 = 7 * 1000004 = 7 * 2^2 * 53^2 * 89 (round 9, an advisor
+# catch plus a self-review catch): on the dominant original<->clone
+# pairs (doc_b = doc_a + 1000000) the predicate collapses to
+# (1000004*a + 1000000) % mod, so a power-of-two mod passes 25-100% of
+# clone pairs instead of 1/mod — the previous pin (MOD=4) mostly
+# compared the UNSAMPLED clone set — while a mod divisible by 7
+# samples ZERO of them (clone anchors sit at doc_a % 7 = 0, making the
+# residue constantly 1000000 % 7 = 1).
 MOD = 3
 
 REG = all_registries()
@@ -80,9 +83,10 @@ def test_sampled_minhash_oracle_matches_filtered_full(spark, oracle):
     assert 0 < len(sampled) < len(full)
     # and achieve ~1/MOD on the structurally-dominant clone pairs
     # (doc_b = doc_a + 1000000), where a bad modulus degenerates: with
-    # gcd(MOD, 1000004) = 1 the clone rate is the residue-class share
-    # of doc_a, ~1/MOD — assert it stayed below 2/MOD so a structural
-    # collapse (mod=4 passed 100%) can never sneak back in
+    # gcd(MOD, 7000028) = 1 the clone rate is the residue-class share
+    # of doc_a, ~1/MOD — assert it stayed below 2/MOD so an
+    # oversampling collapse (mod=4 passed 100%) can never sneak back
+    # in, and above 0 so a zero-sample collapse (mod=7) can't either
     clones_full = full[full.doc_b == full.doc_a + 1000000]
     clones_sampled = sampled[sampled.doc_b == sampled.doc_a + 1000000]
     assert len(clones_full) > 0
@@ -128,10 +132,11 @@ def test_engine_pairs_doc_clusters_oracle_matches_full(spark, oracle):
         oracle.unregister("spark_pairs")
 
 
-@pytest.mark.parametrize("bad", [2, 4, 16, 53, 89, 106])
+@pytest.mark.parametrize("bad", [2, 4, 7, 16, 21, 53, 89, 106])
 def test_non_coprime_sample_mod_rejected(bad):
-    """Moduli sharing a factor with 1000004 degenerate on clone pairs
-    (the advisor's numeric verification: mod 4 passes 100% of them) —
-    the builder must refuse them outright."""
+    """Moduli sharing a factor with 7000028 degenerate on clone pairs
+    (numerically verified: mod 4 passes 100% of them, mod 7 passes
+    ZERO because clone anchors sit at doc_id % 7 = 0) — the builder
+    must refuse them outright."""
     with pytest.raises(ValueError, match="coprime"):
         minhash_pairs_oracle_sql(bad)

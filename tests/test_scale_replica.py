@@ -49,8 +49,10 @@ HEAVY = os.environ.get("SPARK_GRAFT_SCALE_HEAVY") == "1"
 #: doc_clusters branch builds, when both run in one session), and the
 #: doc_clusters referee consumes the engine's verified pair table,
 #: independently recomputing only the graph legs. 0/absent = full
-#: referee (the <=30x regime). Must be COPRIME to 1000004 (odd, not a
-#: multiple of 53 or 89 — e.g. 3, 7, 17): the oracle builder rejects
+#: referee (the <=30x regime). Must be COPRIME to 7000028 = 7*1000004
+#: (odd, not a multiple of 7, 53, or 89 — e.g. 3, 11, 17; clone
+#: anchors sit at doc_id % 7 = 0, so a mod divisible by 7 would sample
+#: ZERO clone pairs): the oracle builder rejects
 #: degenerate moduli whose clone-pair sample collapses (round 9).
 SAMPLED_MOD = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLED", "0"))
 

@@ -53,3 +53,37 @@ def test_render_table_parses_junit(tmp_path):
     assert "topk_orders_per_segment" not in out
     assert "**2/3 value-matched, 1 skipped**" in lines[-1]
     assert "**10 min**" in lines[-1]
+
+
+def test_derive_marker_gates_reuse(tmp_path, monkeypatch):
+    """Reuse requires the DERIVED.json marker to match the requested
+    recipe exactly — a workdir holding a different factor's corpus (or
+    a pre-marker one) must be refused, not silently validated under
+    the wrong table header (round-9 self-review catch)."""
+    import json
+
+    import pytest
+
+    workdir = str(tmp_path / "scale")
+    os.makedirs(workdir)
+    for t in _MOD.TABLES:
+        open(os.path.join(workdir, f"{t}.parquet"), "w").close()
+
+    # all tables present but no marker -> refuse
+    with pytest.raises(SystemExit, match="mismatched corpus"):
+        _MOD.derive("/src", workdir, factor=100, force=False)
+
+    # marker from a DIFFERENT factor -> refuse
+    with open(os.path.join(workdir, "DERIVED.json"), "w") as fh:
+        json.dump({"src": "/src", "mode": "replicate", "factor": 60}, fh)
+    with pytest.raises(SystemExit, match="mismatched corpus"):
+        _MOD.derive("/src", workdir, factor=100, force=False)
+
+    # matching marker -> reuse without invoking the deriver
+    monkeypatch.setattr(
+        _MOD.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("derived!")),
+    )
+    with open(os.path.join(workdir, "DERIVED.json"), "w") as fh:
+        json.dump({"src": "/src", "mode": "replicate", "factor": 100}, fh)
+    _MOD.derive("/src", workdir, factor=100, force=False)

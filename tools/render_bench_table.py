@@ -101,12 +101,14 @@ def render(rec: dict) -> str:
         # slots whose Spark wall includes in-gate physical work the
         # oracle never performs (writes, commits, deliberate recounts):
         # marked ³ so their ratio reads as a regression series, not a
-        # race (round 9; reasons rendered below the table). Prefer the
-        # record's own field; fall back to the current bench constant
-        # for pre-round-9 records.
-        asym = rec.get("extended_asymmetric")
-        if asym is None:
-            from bench import EXTENDED_ASYMMETRIC as asym
+        # race (round 9; reasons rendered below the table). Only the
+        # record's OWN field is trusted: falling back to the current
+        # bench constant would stamp this round's reasons (Z-order
+        # rewrite, versioned read-backs) onto records from rounds
+        # whose slots never ran those legs — a factually wrong
+        # footnote on exactly the honesty annotation this exists for.
+        # Pre-round-9 records simply render unmarked.
+        asym = rec.get("extended_asymmetric") or {}
         lines += [
             "",
             "| Extended (composites) | Spark | DuckDB | ratio |",

@@ -12,8 +12,8 @@ SCALING.md prose (SPARK_GRAFT_SCALE_SAMPLED=…, DRIVER_MEM=…, factor …)::
 Defaults encode the recorded runs' provisioning findings:
 
 - ``--sampled``: 0 (full DuckDB referee) below factor 30; 17 at >=30 —
-  an odd prime coprime to 1000004 so the candidate sample is a true
-  1/mod on clone pairs (plans.documents enforces coprimality). At
+  an odd prime coprime to 7000028 = 7*1000004 so the candidate sample
+  is a true 1/mod on clone pairs (plans.documents enforces it). At
   >=30x the sampled mode also switches the doc-clusters referee to
   engine-pairs and the sneardup referee to the parallel Python fold.
 - ``--driver-mem``: 64g at factor >= 60 (the 60x run OOMed the default
@@ -31,6 +31,7 @@ junit XML, so the table is rendered mechanically, not hand-copied.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -45,13 +46,32 @@ TABLES = (
 
 
 def derive(src: str, workdir: str, factor: int, force: bool) -> None:
+    # Reuse is gated on a marker recording HOW the corpus was derived,
+    # not on the mere existence of table files: a workdir left over
+    # from a different factor (or from a pre-marker derive, e.g. one
+    # without the clone-clique salting) would otherwise be silently
+    # validated under the wrong table header.
+    marker = os.path.join(workdir, "DERIVED.json")
+    want = {"src": src, "mode": "replicate", "factor": factor}
     have = all(
         os.path.exists(os.path.join(workdir, f"{t}.parquet")) for t in TABLES
     )
     if have and not force:
-        print(f"[derive] {workdir} already has all tables — reusing "
-              "(pass --force-derive to rebuild)")
-        return
+        try:
+            with open(marker) as fh:
+                got = json.load(fh)
+        except (OSError, ValueError):
+            got = None
+        if got == want:
+            print(f"[derive] {workdir} already derived with {want} — "
+                  "reusing (pass --force-derive to rebuild)")
+            return
+        raise SystemExit(
+            f"[derive] {workdir} holds a corpus derived with "
+            f"{got!r}, not the requested {want!r} — refusing to "
+            "validate a mismatched corpus. Pass --force-derive to "
+            "rebuild, or point --workdir elsewhere."
+        )
     t0 = time.perf_counter()
     subprocess.run(
         [
@@ -62,6 +82,8 @@ def derive(src: str, workdir: str, factor: int, force: bool) -> None:
         ],
         check=True,
     )
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
     print(f"[derive] factor {factor} -> {workdir} "
           f"in {time.perf_counter() - t0:.0f}s")
 
@@ -129,7 +151,7 @@ def main() -> None:
                     help="default /tmp/scale{factor}")
     ap.add_argument("--sampled", type=int, default=None,
                     help="referee sample mod; default 0 below factor 30, "
-                         "17 at >=30 (must be coprime to 1000004)")
+                         "17 at >=30 (must be coprime to 7000028)")
     ap.add_argument("--driver-mem", default=None,
                     help="default 64g at factor >= 60")
     ap.add_argument("--force-derive", action="store_true")
@@ -154,7 +176,15 @@ def main() -> None:
     rc = run_tier(workdir, sampled, driver_mem, junit)
     total = time.perf_counter() - t0
     print()
-    print(render_table(junit, args.factor, sampled, total))
+    if os.path.exists(junit):
+        print(render_table(junit, args.factor, sampled, total))
+    else:
+        # pytest died before flushing the XML (e.g. OOM-killed — the
+        # documented 60x failure mode); preserve the exit code instead
+        # of masking it with a FileNotFoundError traceback.
+        print(f"[run] pytest exited rc={rc} without writing {junit} — "
+              "no per-slot table; inspect the pytest output above "
+              f"(wall {total / 60:.0f} min)")
     try:
         load = os.getloadavg()[0]
         print(f"\n(load_avg_1m at finish: {load:.2f})")
