@@ -147,12 +147,24 @@ def _check(spark, sf_dir: str, name: str) -> None:
                 sneardup_admissions_reference,
             )
 
+            import time as _time
+
+            _t0 = _time.perf_counter()
             py_adm = pd.DataFrame(
                 sneardup_admissions_reference(sf_dir),
                 columns=["doc_id", "admitted"],
             )
+            _ref_wall = _time.perf_counter() - _t0
             con.register("py_adm", py_adm)
+            _t0 = _time.perf_counter()
             spark_pdf = REG.queries[name](spark, sf_dir).toPandas()
+            _eng_wall = _time.perf_counter() - _t0
+            # the walls that decide whether the slot is engine- or
+            # referee-bound (the >=60x question; -rA surfaces them)
+            print(
+                f"\n{name}: python-fold referee {_ref_wall:.0f}s, "
+                f"engine {_eng_wall:.0f}s"
+            )
             oracle_pdf = con.execute(streaming_oracle_sql("py_adm")).df()
             assert_frames_match(
                 spark_pdf, oracle_pdf, f"{name}[python-fold-referee]"
