@@ -997,7 +997,9 @@ _PG_PARTS, _PG_FINAL = pagerank_fixedpoint_cte_parts(
 _SQL_PG_BLOCK = ",\n".join(_PG_PARTS)
 
 
-def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
+def doc_clusters_oracle_sql(
+    pairs_source: str | None = None, labels_source: str | None = None
+) -> str:
     """Complete neardup_doc_clusters oracle. ``pairs_source`` names an
     externally-registered relation (doc_a, doc_b, inter_n, union_n) to
     use as the verified pair table INSTEAD of recomputing the
@@ -1005,7 +1007,18 @@ def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
     the referee consumes the ENGINE's pair output (itself gated by the
     sampled minhash family) and independently recomputes only the graph
     legs (components fixpoint, PageRank rounds, triangles, SemDeDup).
-    ``None`` reproduces the registered full oracle exactly."""
+
+    ``labels_source`` (round 9) names a registered (doc_id, cluster_id)
+    relation that replaces the recursive ``walk`` label propagation:
+    that CTE's working set is O(component_size^2) and its depth the
+    component diameter, so replica corpora whose synthesized near-dups
+    chain cliques into large components blow it up (the 100x run
+    spilled ~75 GB of DuckDB temp; a measured 600k-node chain never
+    terminated — SCALING.md round 9). The scale tier supplies exact
+    union-find labels from plans.graph_reference (pure integer work,
+    pinned bit-exact against this walk at small SF) and DuckDB still
+    recomputes every OTHER leg. ``None``/``None`` reproduces the
+    registered full oracle exactly."""
     pairs_cte = (
         _SQL_MINHASH_PAIRS
         if pairs_source is None
@@ -1015,10 +1028,8 @@ def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
             f"FROM {pairs_source}\n    )\n"
         )
     )
-    return f"""
-    WITH RECURSIVE docs AS ({_NEARDUP_DOCS_SQL}),
-    {pairs_cte},
-    sym AS (
+    lab_cte = (
+        """sym AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION ALL
       SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -1031,7 +1042,18 @@ def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
     ),
     lab AS (
       SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
-    ),
+    )"""
+        if labels_source is None
+        else (
+            "lab AS (\n"
+            f"      SELECT doc_id, cluster_id FROM {labels_source}\n"
+            "    )"
+        )
+    )
+    return f"""
+    WITH RECURSIVE docs AS ({_NEARDUP_DOCS_SQL}),
+    {pairs_cte},
+    {lab_cte},
     {_SQL_SEM_BLOCK},
     {_SQL_PG_BLOCK}
     SELECT 'minhash' AS family, doc_id, CAST(NULL AS INTEGER) AS cell,
@@ -1061,18 +1083,22 @@ def doc_clusters_oracle_sql(pairs_source: str | None = None) -> str:
           UNION SELECT doc_b FROM pairs) n
     JOIN lab l ON l.doc_id = n.node
     LEFT JOIN (
+      -- enumerate each triangle ONCE and unpivot its three corners:
+      -- DuckDB does not CSE textual copies, so the previous three-way
+      -- UNION ALL of identical join chains ran the wedge pipeline
+      -- three times (round-9 refactor, value-identical; measured 3x
+      -- cheaper at 14.7M pairs / 235M triangles)
+      WITH tri AS MATERIALIZED (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+      )
       SELECT node, COUNT(*) AS n FROM (
-        SELECT e1.doc_a AS node
-        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
-        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        SELECT a AS node FROM tri
         UNION ALL
-        SELECT e1.doc_b
-        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
-        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        SELECT b FROM tri
         UNION ALL
-        SELECT e2.doc_b
-        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
-        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        SELECT c FROM tri
       ) GROUP BY node
     ) t ON t.node = n.node
     """

@@ -132,6 +132,49 @@ def test_engine_pairs_doc_clusters_oracle_matches_full(spark, oracle):
         oracle.unregister("spark_pairs")
 
 
+def test_labels_mode_doc_clusters_oracle_matches_full(spark, oracle):
+    """doc_clusters oracle fed engine pairs AND Python union-find
+    labels (the round-9 walk-CTE relief — the walk's O(component^2)
+    working set killed the 100x referee on disk) == the full
+    self-computed oracle == the engine's own output."""
+    import pandas as pd
+
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        _minhash_verified_pairs,
+        _neardup_docs,
+    )
+    from sports_stats_data_pipeline_spark.plans.graph_reference import (
+        union_find_labels,
+    )
+
+    docs = _neardup_docs(spark, SF_DIR)
+    pairs_pdf = _minhash_verified_pairs(docs).toPandas()
+    assert len(pairs_pdf) > 0
+    ids = docs.select("doc_id").toPandas()["doc_id"].tolist()
+    py_lab = pd.DataFrame(
+        union_find_labels(
+            ids,
+            zip(pairs_pdf["doc_a"].tolist(), pairs_pdf["doc_b"].tolist()),
+        ),
+        columns=["doc_id", "cluster_id"],
+    )
+    oracle.register("spark_pairs", pairs_pdf)
+    oracle.register("py_lab", py_lab)
+    try:
+        spliced = oracle.execute(
+            doc_clusters_oracle_sql("spark_pairs", labels_source="py_lab")
+        ).df()
+        full = oracle.execute(REG.oracles["neardup_doc_clusters"]).df()
+        assert_frames_match(spliced, full, "labels-mode-vs-full-oracle")
+        spark_pdf = REG.queries["neardup_doc_clusters"](
+            spark, SF_DIR
+        ).toPandas()
+        assert_frames_match(spark_pdf, spliced, "spark-vs-labels-mode")
+    finally:
+        oracle.unregister("spark_pairs")
+        oracle.unregister("py_lab")
+
+
 @pytest.mark.parametrize("bad", [2, 4, 7, 16, 21, 53, 89, 106])
 def test_non_coprime_sample_mod_rejected(bad):
     """Moduli sharing a factor with 7000028 degenerate on clone pairs

@@ -172,15 +172,19 @@ def _check(spark, sf_dir: str, name: str) -> None:
             assert len(spark_pdf) > 0, f"{name}: empty result on {sf_dir}"
             return
         if SAMPLED_MOD and name == "neardup_doc_clusters":
+            import pandas as pd
+
             from sports_stats_data_pipeline_spark.plans.documents import (
                 _minhash_verified_pairs,
                 _neardup_docs,
                 doc_clusters_oracle_sql,
             )
+            from sports_stats_data_pipeline_spark.plans.graph_reference import (  # noqa: E501
+                union_find_labels,
+            )
 
-            pairs_pdf = _minhash_verified_pairs(
-                _neardup_docs(spark, sf_dir)
-            ).toPandas()
+            docs_df = _neardup_docs(spark, sf_dir)
+            pairs_pdf = _minhash_verified_pairs(docs_df).toPandas()
             assert len(pairs_pdf) > 0
             # cross-assertion vs the minhash slot's FULL output (same
             # relation, independent execution) when it ran this session
@@ -191,9 +195,30 @@ def _check(spark, sf_dir: str, name: str) -> None:
                     f"output {n_minhash}"
                 )
             con.register("spark_pairs", pairs_pdf)
+            # round 9: component labels come from the exact Python
+            # union-find (plans.graph_reference) instead of the
+            # recursive-walk CTE — on replica corpora whose synth
+            # near-dups chain cliques into large components the walk's
+            # O(n^2) working set spilled ~75 GB and killed the 100x
+            # referee; DuckDB still recomputes PageRank, triangles,
+            # and SemDeDup independently (layered referees).
+            doc_ids = docs_df.select("doc_id").toPandas()["doc_id"]
+            py_lab = pd.DataFrame(
+                union_find_labels(
+                    doc_ids.tolist(),
+                    zip(
+                        pairs_pdf["doc_a"].tolist(),
+                        pairs_pdf["doc_b"].tolist(),
+                    ),
+                ),
+                columns=["doc_id", "cluster_id"],
+            )
+            con.register("py_lab", py_lab)
             spark_pdf = REG.queries[name](spark, sf_dir).toPandas()
             oracle_pdf = con.execute(
-                doc_clusters_oracle_sql("spark_pairs")
+                doc_clusters_oracle_sql(
+                    "spark_pairs", labels_source="py_lab"
+                )
             ).df()
             assert_frames_match(
                 spark_pdf, oracle_pdf, f"{name}[engine-pairs]"

@@ -89,20 +89,24 @@ def derive(src: str, workdir: str, factor: int, force: bool) -> None:
 
 
 def run_tier(workdir: str, sampled: int, driver_mem: str | None,
-             junit: str) -> int:
+             junit: str, max_result: str | None = None) -> int:
     env = dict(os.environ)
     env["SPARK_GRAFT_SCALE_DIR"] = workdir
     env["SPARK_GRAFT_SCALE_HEAVY"] = "1"
     env["SPARK_GRAFT_SCALE_SAMPLED"] = str(sampled)
     if driver_mem:
         env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
+    if max_result:
+        env["SPARK_GRAFT_MAX_RESULT_SIZE"] = max_result
     cmd = [
         sys.executable, "-m", "pytest",
         "tests/test_scale_replica.py", "-q", "-rA",
         f"--junitxml={junit}",
     ]
     print(f"[run] SPARK_GRAFT_SCALE_SAMPLED={sampled} "
-          f"SPARK_GRAFT_DRIVER_MEM={driver_mem or '(default)'} {' '.join(cmd)}")
+          f"SPARK_GRAFT_DRIVER_MEM={driver_mem or '(default)'} "
+          f"SPARK_GRAFT_MAX_RESULT_SIZE={max_result or '(default)'} "
+          f"{' '.join(cmd)}")
     return subprocess.run(cmd, cwd=REPO, env=env).returncode
 
 
@@ -162,6 +166,11 @@ def main() -> None:
         17 if args.factor >= 30 else 0
     )
     driver_mem = args.driver_mem or ("64g" if args.factor >= 60 else None)
+    # validation-side toPandas of the comparison frames outgrows
+    # Spark's 1g default around 100x (the streaming slot measured
+    # 1.03 GiB of serialized task results); the engine's own plans
+    # never collect unbounded relations
+    max_result = "8g" if args.factor >= 60 else None
     if sampled:
         # fail fast on a degenerate modulus, before hours of compute
         from sports_stats_data_pipeline_spark.plans.documents import (
@@ -173,7 +182,7 @@ def main() -> None:
     derive(args.src, workdir, args.factor, args.force_derive)
     junit = os.path.join(workdir, "scale_validation_junit.xml")
     t0 = time.perf_counter()
-    rc = run_tier(workdir, sampled, driver_mem, junit)
+    rc = run_tier(workdir, sampled, driver_mem, junit, max_result)
     total = time.perf_counter() - t0
     print()
     if os.path.exists(junit):
