@@ -282,25 +282,36 @@ def pagerank_fixedpoint_cte_parts(
     the final relation, which yields (node, rank BIGINT). A plain
     join+GROUP BY per unrolled round, no recursive CTE (aggregates are
     restricted in recursive terms and an unrolled chain mirrors the
-    Spark loop one-to-one anyway)."""
+    Spark loop one-to-one anyway).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines CTEs PER
+    REFERENCE (the round-6 doc-clusters lesson, NOTES.md), and each
+    round here references the previous rank relation twice (dangling
+    mass + contribution join) plus ``nodes`` — un-materialized, round k
+    re-evaluates the whole chain O(2^k) times, which on a 10M-pair
+    replica graph spilled ~80 GB of DuckDB temp and died on disk
+    before finishing round 5 (the 100x run's second doc-clusters
+    failure, SCALING.md round 9). Materialized, each relation is
+    computed once: five rounds over the same 10M pairs run in seconds.
+    """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     p = prefix
     parts = [
-        f"{p}e AS ({edges_cte})",
-        f"""{p}nodes AS (
+        f"{p}e AS MATERIALIZED ({edges_cte})",
+        f"""{p}nodes AS MATERIALIZED (
           SELECT node,
                  node NOT IN (SELECT src FROM {p}e) AS dangling
           FROM (SELECT src AS node FROM {p}e UNION SELECT dst FROM {p}e)
         )""",
-        f"""{p}deg AS (
+        f"""{p}deg AS MATERIALIZED (
           SELECT src, COUNT(*) AS out_deg FROM {p}e GROUP BY src
         )""",
-        f"""{p}ce AS (
+        f"""{p}ce AS MATERIALIZED (
           SELECT {p}e.src, {p}e.dst, {p}deg.out_deg
           FROM {p}e JOIN {p}deg USING (src)
         )""",
-        f"""{p}r0 AS (
+        f"""{p}r0 AS MATERIALIZED (
           SELECT node, dangling,
                  CAST({SCALE} // (SELECT COUNT(*) FROM {p}nodes) AS BIGINT)
                    AS rank
@@ -310,12 +321,12 @@ def pagerank_fixedpoint_cte_parts(
     for i in range(iterations):
         prev, cur = f"{p}r{i}", f"{p}r{i + 1}"
         parts.append(
-            f"""{p}d{i} AS (
+            f"""{p}d{i} AS MATERIALIZED (
               SELECT COALESCE(SUM(rank), 0) AS s FROM {prev} WHERE dangling
             )""",
         )
         parts.append(
-            f"""{p}s{i} AS (
+            f"""{p}s{i} AS MATERIALIZED (
               SELECT {p}ce.dst AS node,
                      SUM((pr.rank * 85) // (100 * {p}ce.out_deg)) AS in_sum
               FROM {p}ce JOIN {prev} pr ON pr.node = {p}ce.src
@@ -323,7 +334,7 @@ def pagerank_fixedpoint_cte_parts(
             )""",
         )
         parts.append(
-            f"""{cur} AS (
+            f"""{cur} AS MATERIALIZED (
               SELECT n.node, n.dangling,
                      CAST(({SCALE} * 15)
                             // (100 * (SELECT COUNT(*) FROM {p}nodes))
