@@ -1,5 +1,6 @@
 """Independent Python connected-components reference for the
-doc-clusters referee at >=60x scale.
+doc-clusters referee at sampled scale (factor >=30 — wherever
+SPARK_GRAFT_SCALE_SAMPLED gates the referee-relief modes).
 
 The registered ``neardup_doc_clusters`` oracle labels components with a
 recursive label-propagation CTE (``walk`` in

@@ -1,7 +1,8 @@
 """Pins for plans.graph_reference.union_find_labels — the Python
 connected-components referee that replaces the recursive-walk CTE in
-the >=60x doc-clusters oracle (the walk's O(component^2) working set
-spilled ~75 GB and killed the 100x referee; SCALING.md round 9).
+the sampled-scale (>=30x) doc-clusters oracle (the walk's
+O(component^2) working set spilled ~75 GB and killed the 100x
+referee; SCALING.md round 9).
 
 Trust chain: the union-find is pinned BIT-EXACT against the very SQL
 it replaces (the walk/lab CTE pair, run in DuckDB) on randomized graph

@@ -175,6 +175,7 @@ def _check(spark, sf_dir: str, name: str) -> None:
             import pandas as pd
 
             from sports_stats_data_pipeline_spark.plans.documents import (
+                _NEARDUP_DOCS_SQL,
                 _minhash_verified_pairs,
                 _neardup_docs,
                 doc_clusters_oracle_sql,
@@ -201,11 +202,22 @@ def _check(spark, sf_dir: str, name: str) -> None:
             # near-dups chain cliques into large components the walk's
             # O(n^2) working set spilled ~75 GB and killed the 100x
             # referee; DuckDB still recomputes PageRank, triangles,
-            # and SemDeDup independently (layered referees).
-            doc_ids = docs_df.select("doc_id").toPandas()["doc_id"]
+            # and SemDeDup independently (layered referees). The SEED
+            # doc-id set comes from DUCKDB's own docs recipe, not the
+            # engine's Spark helper — seeding from the engine would
+            # make singleton-doc membership (the rows no pair-based
+            # leg touches) an engine-vs-engine comparison (second
+            # self-review pass catch).
+            oracle_ids = [
+                r[0]
+                for r in con.execute(
+                    f"WITH docs AS ({_NEARDUP_DOCS_SQL}) "
+                    "SELECT doc_id FROM docs"
+                ).fetchall()
+            ]
             py_lab = pd.DataFrame(
                 union_find_labels(
-                    doc_ids.tolist(),
+                    oracle_ids,
                     zip(
                         pairs_pdf["doc_a"].tolist(),
                         pairs_pdf["doc_b"].tolist(),
