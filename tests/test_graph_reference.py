@@ -123,3 +123,62 @@ def test_real_corpus_pairs_sf0001(spark):
     edges = list(zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()))
     assert len(edges) > 0
     assert _uf_labels(ids, edges) == _walk_labels(ids, edges)
+
+
+def test_hypothesis_union_find_matches_bfs():
+    """Property: union-find labels equal an independent BFS components
+    reference (no DuckDB in the loop — a third implementation) on
+    random graphs, so the UF is triangulated by BOTH the walk SQL
+    (above) and a from-scratch traversal."""
+    from collections import deque
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def graphs(draw):
+        n = draw(st.integers(min_value=1, max_value=60))
+        nodes = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=10_000),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        m = draw(st.integers(min_value=0, max_value=3 * n))
+        idx = st.integers(min_value=0, max_value=n - 1)
+        raw = draw(st.lists(st.tuples(idx, idx), min_size=m, max_size=m))
+        edges = [(nodes[i], nodes[j]) for i, j in raw]
+        return nodes, edges
+
+    def bfs_labels(nodes, edges):
+        adj = {v: [] for v in nodes}
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        lab, seen = {}, set()
+        for start in sorted(nodes):
+            if start in seen:
+                continue
+            comp, dq = [], deque([start])
+            seen.add(start)
+            while dq:
+                v = dq.popleft()
+                comp.append(v)
+                for w in adj[v]:
+                    if w not in seen:
+                        seen.add(w)
+                        dq.append(w)
+            mn = min(comp)
+            for v in comp:
+                lab[v] = mn
+        return sorted(lab.items())
+
+    @settings(max_examples=200, deadline=None)
+    @given(graphs())
+    def prop(g):
+        nodes, edges = g
+        assert sorted(union_find_labels(nodes, edges)) == bfs_labels(
+            nodes, edges
+        )
+
+    prop()

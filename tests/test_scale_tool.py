@@ -87,3 +87,24 @@ def test_derive_marker_gates_reuse(tmp_path, monkeypatch):
     with open(os.path.join(workdir, "DERIVED.json"), "w") as fh:
         json.dump({"src": "/src", "mode": "replicate", "factor": 100}, fh)
     _MOD.derive("/src", workdir, factor=100, force=False)
+
+
+def test_missing_junit_preserves_exit_code(tmp_path, monkeypatch, capsys):
+    """If pytest dies before flushing the junit XML (the documented
+    OOM failure mode), the wrapper must report and exit with pytest's
+    code instead of masking it with a FileNotFoundError traceback."""
+    import pytest
+
+    workdir = str(tmp_path)
+    monkeypatch.setattr(_MOD, "derive", lambda *a, **k: None)
+    monkeypatch.setattr(_MOD, "run_tier", lambda *a, **k: -9)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_scale_validation.py", "--factor", "100",
+         "--workdir", workdir, "--sampled", "17"],
+    )
+    with pytest.raises(SystemExit) as exc:
+        _MOD.main()
+    assert exc.value.code == -9
+    out = capsys.readouterr().out
+    assert "without writing" in out
