@@ -1083,23 +1083,22 @@ def doc_clusters_oracle_sql(
           UNION SELECT doc_b FROM pairs) n
     JOIN lab l ON l.doc_id = n.node
     LEFT JOIN (
-      -- enumerate each triangle ONCE and unpivot its three corners:
-      -- DuckDB does not CSE textual copies, so the previous three-way
+      -- enumerate each triangle ONCE and UNPIVOT its three corners:
+      -- DuckDB does not CSE textual copies, so the original three-way
       -- UNION ALL of identical join chains ran the wedge pipeline
-      -- three times (round-9 refactor, value-identical; measured 3x
-      -- cheaper at 14.7M pairs / 235M triangles)
-      WITH tri AS MATERIALIZED (
+      -- three times (measured 3x cheaper at 14.7M pairs / 235M
+      -- triangles), and UNPIVOT keeps tri a SINGLE streamed reference
+      -- — no materialization, so the referee's temp footprint stays
+      -- ~0 where a MATERIALIZED tri spilled ~35 GB on the 100x
+      -- replica graph (round-9 refactor, value-identical)
+      WITH tri AS (
         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
         FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
         JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
       )
-      SELECT node, COUNT(*) AS n FROM (
-        SELECT a AS node FROM tri
-        UNION ALL
-        SELECT b FROM tri
-        UNION ALL
-        SELECT c FROM tri
-      ) GROUP BY node
+      SELECT node, COUNT(*) AS n
+      FROM (UNPIVOT tri ON a, b, c INTO NAME corner VALUE node)
+      GROUP BY node
     ) t ON t.node = n.node
     """
 
