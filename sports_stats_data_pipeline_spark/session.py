@@ -108,11 +108,14 @@ def get_spark(
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # validation-side collections (scale-replica toPandas of
-        # multi-million-row comparison frames) can exceed Spark's 1g
-        # default; the engine's own plans never collect unbounded
-        # relations, so this bounds the REFEREE bridge, not a data path
-        # (the 100x streaming slot measured 1.03 GiB of task results).
+        # Override HOOK only: the '1g' fallback equals Spark's built-in
+        # default, so this line changes nothing by itself. The relief
+        # for scale-replica referee collections (toPandas of
+        # multi-million-row comparison frames; the 100x streaming slot
+        # measured 1.03 GiB of task results) comes from
+        # tools/run_scale_validation.py exporting
+        # SPARK_GRAFT_MAX_RESULT_SIZE=8g in the sampled regime. The
+        # engine's own plans never collect unbounded relations.
         .config(
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),

@@ -45,7 +45,8 @@ TABLES = (
 ).split()
 
 
-def derive(src: str, workdir: str, factor: int, force: bool) -> None:
+def derive(src: str, workdir: str, factor: int, force: bool,
+           trust: bool = False) -> None:
     # Reuse is gated on a marker recording HOW the corpus was derived,
     # not on the mere existence of table files: a workdir left over
     # from a different factor (or from a pre-marker derive, e.g. one
@@ -66,11 +67,23 @@ def derive(src: str, workdir: str, factor: int, force: bool) -> None:
             print(f"[derive] {workdir} already derived with {want} — "
                   "reusing (pass --force-derive to rebuild)")
             return
+        if trust:
+            # explicit adoption path for a known-good corpus that
+            # predates the marker (or lost it): stamp it with the
+            # requested recipe INSTEAD of a multi-hour rebuild. The
+            # caller asserts the provenance; nothing is re-verified.
+            with open(marker, "w") as fh:
+                json.dump(want, fh)
+            print(f"[derive] --trust-existing: adopted {workdir} as "
+                  f"{want} WITHOUT rebuilding (marker was {got!r}); "
+                  "caller asserts this corpus matches the recipe")
+            return
         raise SystemExit(
             f"[derive] {workdir} holds a corpus derived with "
             f"{got!r}, not the requested {want!r} — refusing to "
             "validate a mismatched corpus. Pass --force-derive to "
-            "rebuild, or point --workdir elsewhere."
+            "rebuild, --trust-existing to adopt it as-is, or point "
+            "--workdir elsewhere."
         )
     t0 = time.perf_counter()
     subprocess.run(
@@ -159,6 +172,10 @@ def main() -> None:
     ap.add_argument("--driver-mem", default=None,
                     help="default 64g at factor >= 60")
     ap.add_argument("--force-derive", action="store_true")
+    ap.add_argument("--trust-existing", action="store_true",
+                    help="adopt a marker-less (or mismatched-marker) "
+                         "pre-existing workdir as the requested recipe "
+                         "without rebuilding — caller asserts provenance")
     args = ap.parse_args()
 
     workdir = args.workdir or f"/tmp/scale{args.factor}"
@@ -166,11 +183,13 @@ def main() -> None:
         17 if args.factor >= 30 else 0
     )
     driver_mem = args.driver_mem or ("64g" if args.factor >= 60 else None)
-    # validation-side toPandas of the comparison frames outgrows
-    # Spark's 1g default around 100x (the streaming slot measured
-    # 1.03 GiB of serialized task results); the engine's own plans
-    # never collect unbounded relations
-    max_result = "8g" if args.factor >= 60 else None
+    # validation-side toPandas of the comparison frames grows with the
+    # factor throughout the sampled regime (the 100x streaming slot
+    # measured 1.03 GiB of serialized task results, past Spark's 1g
+    # default); the engine's own plans never collect unbounded
+    # relations, so tie the relief to the same >=30 threshold that
+    # turns sampling on rather than leaving a 40-59x run exposed.
+    max_result = "8g" if args.factor >= 30 else None
     if sampled:
         # fail fast on a degenerate modulus, before hours of compute
         from sports_stats_data_pipeline_spark.plans.documents import (
@@ -179,7 +198,8 @@ def main() -> None:
 
         minhash_pairs_oracle_sql(sampled)
 
-    derive(args.src, workdir, args.factor, args.force_derive)
+    derive(args.src, workdir, args.factor, args.force_derive,
+           args.trust_existing)
     junit = os.path.join(workdir, "scale_validation_junit.xml")
     t0 = time.perf_counter()
     rc = run_tier(workdir, sampled, driver_mem, junit, max_result)
