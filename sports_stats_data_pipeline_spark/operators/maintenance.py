@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -25,13 +26,42 @@ SMALL_FRACTION_GATE_BP = 2_500
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_partitions: int
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    *,
+    zorder_cols: Sequence[str] | None = None,
+    zorder_bounds: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
-    """Rewrite a parquet directory into ``target_partitions`` files."""
+    """Rewrite a parquet directory into ``target_partitions`` files.
+
+    ``zorder_cols`` pipelines the cluster-on-write into the SAME staged
+    rewrite (Delta's ``OPTIMIZE ... ZORDER BY``): the small files are
+    read once and land z-ordered — one pass instead of compact-then-
+    re-read-then-re-write (round-10 fusion of the mart slot's two
+    rewrites). Pass ``zorder_bounds`` when the caller already knows the
+    per-column min/max (e.g. from the publish scan's observe metrics)
+    to skip the bounds aggregate entirely. The crash contract is
+    unchanged either way: staging dir first, live dir replaced only
+    after a successful write.
+    """
     df = spark.read.parquet(path)
     staging = path + ".compacting"
-    # coalesce, not repartition: no shuffle — just fewer write tasks.
-    df.coalesce(target_partitions).write.mode("overwrite").parquet(staging)
+    if zorder_cols:
+        from .zorder import write_zordered
+
+        write_zordered(
+            df,
+            staging,
+            zorder_cols,
+            n_files=target_partitions,
+            bounds=zorder_bounds,
+        )
+    else:
+        # coalesce, not repartition: no shuffle — just fewer write tasks.
+        df.coalesce(target_partitions).write.mode("overwrite").parquet(
+            staging
+        )
     old = path + ".old"
     os.rename(path, old)
     os.rename(staging, path)

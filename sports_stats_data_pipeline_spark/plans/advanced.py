@@ -703,15 +703,20 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7. (round 9) TIME TRAVEL + Z-ORDER, the last pytest-only lakehouse
 #    operators now in the gate: the pre-delta state commits as group
 #    v1 and the merge reads the PINNED version 1 back (a restarted
-#    maintenance job's recovery read); the compacted mart is re-laid
-#    out along the (o_custkey, volume_c) Morton curve
-#    (operators.zorder.write_zordered) and read back through two
+#    maintenance job's recovery read); the mart is compacted AND laid
+#    out along the (o_custkey, volume_c) Morton curve in ONE staged
+#    rewrite (compact_parquet's zorder_cols mode — round-10 fusion of
+#    the round-9 two-rewrite chain) and read back through two
 #    complementary pruned key-range scans whose union is the whole
 #    mart. Both legs are value-neutral by construction, so the oracle
 #    is STILL the one full recompute — but the hash now also covers
 #    versioned reads and the z-ordered layout round-trip.
 # --------------------------------------------------------------------------
-def _zorder_pruned_readback(spark: SparkSession, zpath: str) -> DataFrame:
+def _zorder_pruned_readback(
+    spark: SparkSession,
+    zpath: str,
+    key_bounds: tuple[int, int] | None = None,
+) -> DataFrame:
     """The z-ordered mart read back as two complementary o_custkey
     range scans, unioned — exactly the rows of ``zpath``, but each
     branch's parquet reader skips the files whose z-rectangle lies
@@ -723,9 +728,15 @@ def _zorder_pruned_readback(spark: SparkSession, zpath: str) -> DataFrame:
     ``> mid``, so the low branch carries ``isNull`` explicitly — the
     union is exactly the input for any nullable key column. An empty
     (or all-NULL-key) table has no bounds to split on; it reads back
-    whole rather than raising on ``int(None)``."""
+    whole rather than raising on ``int(None)``.
+
+    ``key_bounds`` (min, max of ``o_custkey``) skips the bounds
+    aggregate when the writer already measured them — e.g. off the
+    publish scan's observe metrics (round-10 fusion); the split point
+    only has to land INSIDE the key range for both branches to be
+    non-trivial, so any sound bounds work."""
     full = spark.read.parquet(zpath)
-    lo, hi = full.agg(
+    lo, hi = key_bounds or full.agg(
         F.min("o_custkey"), F.max("o_custkey")
     ).first()
     if lo is None or hi is None:
@@ -851,8 +862,6 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call, the dedup_lsh wrapper's cleanup contract).
     import shutil
 
-    from ..operators.zorder import write_zordered
-
     mart_root = tempfile.mkdtemp(prefix="graft_mart_")
     group_root = tempfile.mkdtemp(prefix="graft_mart_grp_")
     try:
@@ -878,7 +887,10 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             measures,
         )
         mart_path = mart_root + "/mart"
-        write_validated(
+        # the publish scan's observe metrics double as the Z-order grid
+        # bounds and the read-back split bounds (round-10 fusion: the
+        # bounds aggregates ride the write job instead of re-scanning)
+        vals = write_validated(
             merged.repartition(16),
             mart_path,
             metrics={
@@ -886,25 +898,38 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "null_keys": F.sum(
                     F.col("o_custkey").isNull().cast("long")
                 ),
+                "min_ck": F.min("o_custkey"),
+                "max_ck": F.max("o_custkey"),
+                "min_vol": F.min("volume_c"),
+                "max_vol": F.max("volume_c"),
             },
             gates={
                 "nonempty": lambda m: m["n"] > 0,
                 "keys_present": lambda m: m["null_keys"] == 0,
             },
         )
-        compacted = compact_parquet(spark, mart_path, target_partitions=2)
-        # Z-order leg (round 9): the compacted mart is laid out along
-        # the (o_custkey, volume_c) Morton curve, so row-group min/max
-        # stats prune scans filtered on EITHER axis, and read back
-        # through two complementary key-range scans whose union is the
-        # whole mart — value-neutral, but each branch's parquet reader
-        # actually skips the files outside its z-rectangle (plan pin:
+        # Z-order leg (round 9; fused round 10): compaction and the
+        # (o_custkey, volume_c) Morton layout are ONE staged rewrite —
+        # the small validated files are read once and land z-ordered
+        # (compact_parquet's zorder_cols mode), instead of the round-9
+        # compact-then-re-read-then-re-write. Read back through two
+        # complementary key-range scans whose union is the whole mart —
+        # value-neutral, but each branch's parquet reader actually
+        # skips the files outside its z-rectangle (plan pin:
         # tests/test_plans.py::test_mart_zorder_readback_prunes).
-        zpath = mart_root + "/mart_z"
-        write_zordered(
-            compacted, zpath, ["o_custkey", "volume_c"], n_files=4
+        compact_parquet(
+            spark,
+            mart_path,
+            target_partitions=4,
+            zorder_cols=["o_custkey", "volume_c"],
+            zorder_bounds={
+                "o_custkey": (vals["min_ck"], vals["max_ck"]),
+                "volume_c": (vals["min_vol"], vals["max_vol"]),
+            },
         )
-        zmart = _zorder_pruned_readback(spark, zpath)
+        zmart = _zorder_pruned_readback(
+            spark, mart_path, key_bounds=(vals["min_ck"], vals["max_ck"])
+        )
         # atomic group snapshot: the z-ordered mart and its dimension
         # become visible as ONE version (v2 — v1 carries the pre-merge
         # state); the join below reads back THROUGH the pinned v2, so

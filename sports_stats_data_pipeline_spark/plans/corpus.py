@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 from ..operators.chunking import chunk_documents
 from ..operators.decontam import flag_contaminated
-from ..operators.lm import score_perplexity, train_char_lm
+from ..operators.lm import score_perplexity, train_char_lm_compact
 from ..operators.repetition import top_ngram_stats
 from ..operators.sampling import deterministic_split, mix_sources
 from ..operators.sharding import (
@@ -206,11 +206,20 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunable score (real pipelines bucket by perplexity band per CCNet
     rather than hard-thresholding).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    # fan_out: three expression-dense families (trigram explode x2,
+    # tokenizer x2) scan this relation and none repartitions on its own
+    # (round-10 A/B: -9% at sf0.1; the underlying serial-scan pathology
+    # measured 5x on the bare explode — sources/tables.py)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "text", "lang"
     )
-    lm = train_char_lm(
-        docs.filter(F.col("lang") == "en"), "text", n=3, add_k=1.0
+    # compact (collect-based) training: ONE job for the whole model,
+    # and the scoring joins broadcast LocalRelations instead of
+    # re-running the en-slice gram aggregate per broadcast exchange —
+    # round-10 fusion of this slot's three model-subtree computations
+    # (the collect is vocabulary-bounded; operators/lm.py docstring).
+    lm = train_char_lm_compact(
+        spark, docs.filter(F.col("lang") == "en"), "text", n=3, add_k=1.0
     )
     scored = score_perplexity(docs, "doc_id", "text", lm).select(
         "doc_id", "n_grams", F.round("nll", 3).alias("nll_3")

@@ -789,7 +789,9 @@ def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: cores × executors; the shuffle is trivially small next to the
     hash compute it unlocks).
     """
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
     near = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
@@ -1294,7 +1296,9 @@ _SIMHASH_BUCKET_CAP = 64
     """,
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
     near = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail marker")).alias("text"),
@@ -1999,7 +2003,11 @@ _SPAN_BOILER = (
 def span_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spans import duplicate_spans, span_stats
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the shingle-hash explode is expression-dense and this
+    # plan has no repartition of its own (round-10 A/B: -28% at sf0.1)
+    base = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "text"
+    )
     aug = base.select(
         "doc_id",
         F.concat(

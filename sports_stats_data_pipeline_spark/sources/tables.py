@@ -111,9 +111,82 @@ def _ship_package(spark: SparkSession) -> None:
         spark._ssdp_shipped = zip_path
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: fan-out window for :func:`_fan_out_small_scan` — tables below the
+#: floor are broadcast-tier (the repartition would cost more than it
+#: buys), tables above the cap have enough row groups for Spark's own
+#: split planning to parallelize the scan.
+_FAN_OUT_MIN_BYTES = 256 << 10
+_FAN_OUT_MAX_BYTES_PER_CORE = 8 << 20
+
+
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Escape hatch for the small-file serial-scan pathology (round 10).
+
+    Parquet cannot split below row-group granularity, so a table written
+    as ONE row group scans as ONE task no matter how many cores the
+    cluster has — and every expression-dense map leg above it (n-gram
+    explodes, hash forests, tokenizers) runs serially until the first
+    shuffle (measured at sf0.1: the trigram explode of documents dropped
+    1.94 s -> 0.37 s once fanned out). DuckDB parallelizes INSIDE row
+    groups (morsel-driven), so this is also where the single-node
+    comparison was structurally lopsided.
+
+    When the scan's input files are LOCAL and total between
+    ``_FAN_OUT_MIN_BYTES`` and ``_FAN_OUT_MAX_BYTES_PER_CORE x cores``,
+    a round-robin repartition to the default parallelism costs one tiny
+    shuffle and parallelizes everything downstream. At deployment scale
+    the condition is false three ways — remote object stores return
+    non-file URIs (skip), big tables exceed the cap, broadcast-tier dims
+    sit under the floor — so the operator is a no-op exactly where
+    Spark's own split planning already does the job. Value-safe: no
+    plan in this package depends on row order or partition layout
+    (verified: no monotonically_increasing_id / spark_partition_id /
+    rand in the package), and the driver oracle compares sorted values.
+    """
+    from urllib.parse import unquote, urlparse
+
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                return df
+            total += os.path.getsize(unquote(p.path))
+    except Exception:
+        return df
+    if _FAN_OUT_MIN_BYTES <= total <= _FAN_OUT_MAX_BYTES_PER_CORE * cores:
+        return df.repartition(cores)
+    return df
+
+
+#: tables fanned out by default — EMPTY on purpose: whether the extra
+#: exchange pays is a property of the QUERY, not the table (round-10
+#: alternating A/B at sf0.1: -28% for the span shingle explode, -9% for
+#: the LM scorer, but +126% for BM25's index build and +49% for the
+#: prefix-sum sharder — the losers either write many small files after
+#: the shuffle or do their own partition-count-sensitive layout).
+#: Expression-dense plans opt in with ``fan_out=True``.
+_FAN_OUT_AUTO: tuple[str, ...] = ()
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    fan_out: bool | None = None,
+) -> DataFrame:
+    """Load one corpus table; ``fan_out`` overrides the per-table
+    default in ``_FAN_OUT_AUTO`` (pass False at call sites that already
+    repartition — a second exchange is pure cost)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if fan_out is None:
+        fan_out = name in _FAN_OUT_AUTO
+    if fan_out:
+        df = _fan_out_small_scan(df)
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -101,3 +101,83 @@ def test_fetch_urls_end_to_end_through_spark(spark, live_server):
     assert len(out) == 6  # the 404 row dropped
     for i in range(6):
         assert f"page:/doc/{i}" in out[f"{base}/doc/{i}"]
+
+
+@pytest.fixture()
+def fighter_server():
+    """A per-test server (own hit log) serving synthetic fighter pages:
+    /fighter/<i> -> a parseable detail page, /fighter/5 503s twice then
+    recovers (retry over the wire), /fighter/9 404s forever."""
+    from . import fixtures_html as fx
+
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib contract)
+            with lock:
+                hits[self.path] = hits.get(self.path, 0) + 1
+                n = hits[self.path]
+            i = int(self.path.rsplit("/", 1)[-1])
+            if i == 9 or (i == 5 and n < 3):
+                self.send_response(404 if i == 9 else 503)
+                self.end_headers()
+                return
+            body = fx.fighter_page(f"Fighter {i}", record=f"{i}-1-0").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}", hits
+    finally:
+        srv.shutdown()
+
+
+def test_full_ingest_through_live_transport(spark, fighter_server, tmp_path):
+    """Round-10 verdict #6: the ENTIRE reference pipeline — discover ->
+    anti-join resume skip -> distributed fetch with retry over a real
+    TCP socket -> parse -> first-wins merge -> staged-promote sink —
+    green through requests_transport against a localhost http.server.
+    The fixture-transport twin of this is test_ingest.py's
+    test_ingest_end_to_end_and_resume_safety; values must line up the
+    same way here with requests on the wire."""
+    from sports_stats_data_pipeline_spark.sources.scrape_pipeline import (
+        ingest,
+    )
+
+    base, hits = fighter_server
+    cfg = FetchConfig(sleep=lambda s: None, retries=3)
+    transport = requests_transport(cfg)
+    urls = [f"{base}/fighter/{i}" for i in range(10)]
+    sink = str(tmp_path / "live_sink")
+
+    # run 1: a prefix ("crash" after 6) — /fighter/5's two 503s are
+    # retried through the real socket inside the Spark fetch stage
+    df1 = ingest(spark, urls[:6], transport, sink, cfg=cfg, concurrency=2)
+    assert df1.count() == 6
+    assert hits["/fighter/5"] == 3  # 503, 503, 200 — over the wire
+
+    # run 2: full set — already-sunk URLs must not touch the server
+    # again; the permanent 404 retries then drops its row, not the job
+    before = dict(hits)
+    df2 = ingest(spark, urls, transport, sink, cfg=cfg, concurrency=2)
+    assert df2.count() == 9  # 10 minus the permanent 404
+    for i in range(6):
+        assert hits[f"/fighter/{i}"] == before[f"/fighter/{i}"], (
+            "already-sunk URL re-fetched through the live transport"
+        )
+    assert hits["/fighter/9"] == cfg.retries
+    names = sorted(r["Name"] for r in df2.select("Name").collect())
+    assert names == sorted(f"Fighter {i}" for i in range(9))
+    # parsed field values survived the wire round-trip
+    rec = {r["Name"]: r["Record"] for r in df2.collect()}
+    assert rec["Fighter 3"] == "3-1-0"

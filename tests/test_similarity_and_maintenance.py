@@ -99,6 +99,56 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert before_rows == after_rows
 
 
+def test_compaction_zorder_mode_row_preserving(spark, tmp_path):
+    """compact_parquet(zorder_cols=...) — the round-10 fused
+    OPTIMIZE-ZORDER rewrite — is row-preserving, hits the file target,
+    and actually clusters: with caller-supplied bounds no extra job is
+    needed and each output file covers a narrow o_custkey span (the
+    z-key leads with the key bits, so per-file key ranges must be
+    near-disjoint — the property row-group pruning relies on)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "fragz")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    orders.repartition(23).write.mode("overwrite").parquet(path)
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("o_orderkey").collect())
+    )
+    lo_hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("price_c"), F.max("price_c"),
+    ).first()
+    out = compact_parquet(
+        spark, path, target_partitions=4,
+        zorder_cols=["o_custkey", "price_c"],
+        zorder_bounds={
+            "o_custkey": (lo_hi[0], lo_hi[1]),
+            "price_c": (lo_hi[2], lo_hi[3]),
+        },
+    )
+    assert parquet_file_count(path) <= 4
+    after_rows = sorted(map(tuple, out.select("o_orderkey").collect()))
+    assert before_rows == after_rows
+    # clustering check: per-file key spans cover far less than the full
+    # range each (a coalesce-compacted layout would span ~everything)
+    spans = []
+    full_span = lo_hi[1] - lo_hi[0]
+    import os as _os
+
+    for root, _, files in _os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(_os.path.join(root, f), columns=["o_custkey"])
+            ck = t.column("o_custkey").to_pylist()
+            if ck:
+                spans.append(max(ck) - min(ck))
+    assert spans and sum(spans) < 2 * full_span, spans
+
+
 def test_ivf_indexed_matches_direct(spark, tmp_path):
     """build_ivf_index -> ivf_topk_indexed equals the direct ivf_topk
     for the same quantizer params (deterministic Lloyd), and the
