@@ -178,6 +178,29 @@ EXTENDED_ASYMMETRIC = {
     ),
 }
 
+#: calibrated slots whose wall is SF-INVARIANT — measured round 10 over
+#: a 100x data sweep (sf0.001 -> sf0.01 -> sf0.1, min-of-2 each): the
+#: data term sits below Spark's per-job scheduling constant at these
+#: scales, so the slot's ratio vs an in-process DuckDB is a fixed-cost
+#: artifact, not a plan pathology. Emitted in BENCH_DETAILS.json; the
+#: README renderer footnotes the rows. (Plans audited in the round-9
+#: verdict: broadcast range join + binned interval join; single-shuffle
+#: union-trick as-of; prefix-sum sharding — nothing scales badly.)
+EXTENDED_FIXED_OVERHEAD = {
+    "orders_by_period_rangejoin": (
+        "wall flat at 1.91/1.62/1.56 s across sf0.001/0.01/0.1 — "
+        "per-job constant dominates the two broadcast/binned join legs"
+    ),
+    "asof_join_purchase_click": (
+        "wall flat at 1.21/1.18/1.38 s across sf0.001/0.01/0.1 — "
+        "per-job constant dominates the single-shuffle union-trick as-of"
+    ),
+    "corpus_mix_split_shards": (
+        "wall flat at 2.20/1.84/1.94 s across sf0.001/0.01/0.1 — "
+        "per-job constant dominates the prefix-sum shard layout"
+    ),
+}
+
 _TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -362,6 +385,7 @@ def main() -> None:
         extended_duckdb_total=ext_duck_total,
         extended_duckdb_total_full=ext_duck_full,
         extended_asymmetric=EXTENDED_ASYMMETRIC,
+        extended_fixed_overhead=EXTENDED_FIXED_OVERHEAD,
     )
     details_path = Path(__file__).resolve().parent / "BENCH_DETAILS.json"
     details_path.write_text(json.dumps(details, indent=1) + "\n")

@@ -89,6 +89,43 @@ def test_derive_marker_gates_reuse(tmp_path, monkeypatch):
     _MOD.derive("/src", workdir, factor=100, force=False)
 
 
+def test_derive_trust_existing_adopts_without_rebuild(
+    tmp_path, monkeypatch
+):
+    """--trust-existing (round-10 advice): a known-good pre-marker (or
+    mismatched-marker) workdir can be ADOPTED — the marker is written
+    from the requested recipe and the multi-hour deriver is never
+    invoked; a later plain derive() then reuses it."""
+    import json
+
+    workdir = str(tmp_path / "scale")
+    os.makedirs(workdir)
+    for t in _MOD.TABLES:
+        open(os.path.join(workdir, f"{t}.parquet"), "w").close()
+    monkeypatch.setattr(
+        _MOD.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("derived!")),
+    )
+
+    # no marker at all -> adopt writes the recipe
+    _MOD.derive("/src", workdir, factor=100, force=False, trust=True)
+    with open(os.path.join(workdir, "DERIVED.json")) as fh:
+        assert json.load(fh) == {
+            "src": "/src", "mode": "replicate", "factor": 100,
+        }
+    # and the adopted marker satisfies a subsequent normal derive
+    _MOD.derive("/src", workdir, factor=100, force=False)
+
+    # trust on a MISSING corpus must still derive (adoption only skips
+    # the rebuild when every table file is already present)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    import pytest
+
+    with pytest.raises(AssertionError, match="derived!"):
+        _MOD.derive("/src", empty, factor=100, force=False, trust=True)
+
+
 def test_missing_junit_preserves_exit_code(tmp_path, monkeypatch, capsys):
     """If pytest dies before flushing the junit XML (the documented
     OOM failure mode), the wrapper must report and exit with pytest's

@@ -109,6 +109,10 @@ def render(rec: dict) -> str:
         # footnote on exactly the honesty annotation this exists for.
         # Pre-round-9 records simply render unmarked.
         asym = rec.get("extended_asymmetric") or {}
+        # slots whose wall measured SF-INVARIANT (round 10): their ratio
+        # is Spark's per-job constant, not data work — marked ⁴ with the
+        # measured sweep rendered below. Same own-field-only rule as ³.
+        fixed = rec.get("extended_fixed_overhead") or {}
         lines += [
             "",
             "| Extended (composites) | Spark | DuckDB | ratio |",
@@ -116,7 +120,9 @@ def render(rec: dict) -> str:
         ]
         for name, s in ext.items():
             d = ext_duck.get(name)
-            mark = "³" if name in asym and d is not None else ""
+            mark = ""
+            if d is not None:
+                mark = "³" if name in asym else ("⁴" if name in fixed else "")
             d_cell = (
                 f"{max(d, _TINY):.2f} s{mark}" if d is not None else "—"
             )
@@ -125,17 +131,31 @@ def render(rec: dict) -> str:
             )
         ext_ratio = rec.get("extended_ratio")
         ext_total_d = rec.get("extended_duckdb_total")
-        # full-tier Spark total on its own row; the two-engine cells on
-        # a SUBSET row whose Spark total covers the same slots the
-        # DuckDB total does — never pair a full-tier number with a
-        # subset-only one
-        lines.append(
-            f"| **Extended total (all slots)** "
-            f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
+        # full-tier two-engine row when the record carries walls for
+        # every slot (round 10+); else the legacy bare Spark total +
+        # calibrated-subset rows — never pair a full-tier number with a
+        # subset-only one. Gate on None (missing), not truthiness: 0.0
+        # is a real, tiny time (the module's _TINY convention).
+        ext_ratio_full = rec.get("extended_ratio_full")
+        ext_total_d_full = rec.get("extended_duckdb_total_full")
+        full_tier = (
+            ext_ratio_full is not None
+            and ext_total_d_full is not None
+            and set(ext) <= set(ext_duck)
         )
-        # gate on None (missing), not truthiness: 0.0 is a real, tiny
-        # time (the module's _TINY convention) and must not hide the row
-        if ext_duck and ext_total_d is not None and ext_ratio is not None:
+        if not full_tier:
+            lines.append(
+                f"| **Extended total (all slots)** "
+                f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
+            )
+        if full_tier:
+            lines.append(
+                f"| **Whole tier ({len(ext_duck)} slots)** "
+                f"| **{sum(ext.values()):.2f} s** "
+                f"| **{max(ext_total_d_full, _TINY):.2f} s**² "
+                f"| **{ext_ratio_full:.2f}×**² |"
+            )
+        elif ext_duck and ext_total_d is not None and ext_ratio is not None:
             sub_s = sum(ext[n] for n in ext_duck if n in ext)
             lines.append(
                 f"| **Calibrated subset ({len(ext_duck)} slots)** "
@@ -152,6 +172,16 @@ def render(rec: dict) -> str:
             )
             for name in marked:
                 lines.append(f"  - `{name}`: {asym[name]}")
+        fixed_marked = [n for n in fixed if n in ext_duck]
+        if fixed_marked:
+            lines.append("")
+            lines.append(
+                "⁴ fixed-overhead at this scale — the wall measured "
+                "SF-INVARIANT over a 100× data sweep, so the ratio "
+                "prices Spark's per-job constant, not the plan:"
+            )
+            for name in fixed_marked:
+                lines.append(f"  - `{name}`: {fixed[name]}")
     return "\n".join(lines)
 
 
