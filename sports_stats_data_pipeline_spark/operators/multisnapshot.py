@@ -79,13 +79,66 @@ def _load(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _footer_count(data_dir: str) -> int:
+    """Exact row count of a parquet dir from file footers — metadata
+    bytes only, zero Spark jobs (a count() job per committed table was
+    a measurable slice of the mart slot's 28-job lifecycle)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _adopt_parquet_dir(src: str, data_dir: str, spark) -> tuple[str, int]:
+    """Commit-by-reference leg of :func:`write_group_snapshot`: link the
+    parquet data files of ``src`` into ``data_dir`` and return
+    ``(schema_ddl, row_count)`` — the count summed from parquet footers
+    (metadata-only) and the schema read lazily off the footer, so the
+    whole adoption runs zero Spark jobs. ``errorifexists`` semantics
+    via the makedirs failure, matching the DataFrame write path."""
+    os.makedirs(data_dir)  # raises FileExistsError like errorifexists
+    adopted = 0
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        sp = os.path.join(src, f)
+        dst = os.path.join(data_dir, f)
+        try:
+            os.link(sp, dst)
+        except OSError:
+            shutil.copy2(sp, dst)
+        adopted += 1
+    if adopted == 0:
+        raise ValueError(f"no parquet data files to adopt under {src!r}")
+    schema_ddl = spark.read.parquet(data_dir).schema.simpleString()
+    return schema_ddl, _footer_count(data_dir)
+
+
 def write_group_snapshot(
-    tables: dict[str, DataFrame], root: str, *, mode: str = "overwrite"
+    tables: dict[str, DataFrame | str],
+    root: str,
+    *,
+    mode: str = "overwrite",
+    spark: SparkSession | None = None,
 ) -> int:
     """Commit ``tables`` as ONE new version of the group; returns the
     version number. All tables' data is fully written BEFORE the single
     manifest rename makes any of it visible — a crash mid-write leaves
     only invisible garbage (vacuum's job).
+
+    A table value may be a DataFrame (materialized by a Spark write) or
+    a PATH STRING to an existing parquet directory, which is ADOPTED:
+    its data files are hard-linked (copied where the filesystem refuses
+    links) into the versioned layout and the row count comes from the
+    parquet footers — commit-by-reference, the way Delta/Iceberg commit
+    an already-written OPTIMIZE result without rewriting it. Zero Spark
+    jobs on the adopt path (round 10; the mart slot's v2 commit was a
+    full rewrite of files that already existed on disk). Pass ``spark``
+    when EVERY value is a path (otherwise the session comes from any
+    DataFrame in the group).
 
     ``mode='overwrite'``: the version contains exactly the given
     tables. ``mode='append'``: given tables append to their previous
@@ -109,11 +162,24 @@ def write_group_snapshot(
     written_dirs: list[str] = []
     try:
         entries: dict[str, dict] = {}
-        spark = next(iter(tables.values())).sparkSession
+        for v in tables.values():
+            if isinstance(v, DataFrame):
+                spark = v.sparkSession
+                break
+        if spark is None:
+            raise ValueError(
+                "all table values are paths — pass spark= explicitly"
+            )
         for name, df in tables.items():
             data_dir = os.path.join(root, name, "data", f"v{version}")
-            df.write.mode("errorifexists").parquet(data_dir)
-            written_dirs.append(data_dir)
+            if isinstance(df, str):
+                schema_ddl, count = _adopt_parquet_dir(df, data_dir, spark)
+                written_dirs.append(data_dir)
+            else:
+                df.write.mode("errorifexists").parquet(data_dir)
+                written_dirs.append(data_dir)
+                schema_ddl = df.schema.simpleString()
+                count = _footer_count(data_dir)
             files = sorted(
                 os.path.join(name, "data", f"v{version}", f)
                 for f in os.listdir(data_dir)
@@ -121,19 +187,16 @@ def write_group_snapshot(
             )
             prev_entry = prev["tables"].get(name)
             if prev_entry is not None:
-                if prev_entry["schema_ddl"] != df.schema.simpleString():
+                if prev_entry["schema_ddl"] != schema_ddl:
                     raise ValueError(
                         f"append schema mismatch for table {name!r}: "
-                        f"{prev_entry['schema_ddl']} vs "
-                        f"{df.schema.simpleString()}"
+                        f"{prev_entry['schema_ddl']} vs {schema_ddl}"
                     )
                 files = prev_entry["files"] + files
-            count = spark.read.parquet(data_dir).count() + (
-                prev_entry["count"] if prev_entry else 0
-            )
+                count += prev_entry["count"]
             entries[name] = {
                 "files": files,
-                "schema_ddl": df.schema.simpleString(),
+                "schema_ddl": schema_ddl,
                 "count": count,
             }
         # untouched tables carry forward (append mode only)

@@ -714,7 +714,7 @@ def outer_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _zorder_pruned_readback(
     spark: SparkSession,
-    zpath: str,
+    zpath: str | DataFrame,
     key_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The z-ordered mart read back as two complementary o_custkey
@@ -734,8 +734,12 @@ def _zorder_pruned_readback(
     aggregate when the writer already measured them — e.g. off the
     publish scan's observe metrics (round-10 fusion); the split point
     only has to land INSIDE the key range for both branches to be
-    non-trivial, so any sound bounds work."""
-    full = spark.read.parquet(zpath)
+    non-trivial, so any sound bounds work.
+
+    ``zpath`` may also be an already-built parquet-backed relation
+    (e.g. a versioned ``read_group_table`` over the ADOPTED z-ordered
+    files) — the range predicates push into its scans identically."""
+    full = spark.read.parquet(zpath) if isinstance(zpath, str) else zpath
     lo, hi = key_bounds or full.agg(
         F.min("o_custkey"), F.max("o_custkey")
     ).first()
@@ -927,19 +931,27 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "volume_c": (vals["min_vol"], vals["max_vol"]),
             },
         )
-        zmart = _zorder_pruned_readback(
-            spark, mart_path, key_bounds=(vals["min_ck"], vals["max_ck"])
-        )
         # atomic group snapshot: the z-ordered mart and its dimension
         # become visible as ONE version (v2 — v1 carries the pre-merge
-        # state); the join below reads back THROUGH the pinned v2, so
-        # the slot's value hash covers commit, time travel, and layout
+        # state). The mart is committed BY REFERENCE (round 10): the
+        # compacted z-ordered files are hard-linked into the versioned
+        # layout, counts come from parquet footers — the Delta/Iceberg
+        # way to commit an OPTIMIZE result, replacing the round-9 full
+        # rewrite of bytes that already existed on disk.
         v2 = write_group_snapshot(
-            {"mart": zmart, "customer_dim": cust}, group_root
+            {"mart": mart_path, "customer_dim": cust}, group_root
+        )
+        # the pruned complementary read-back now runs THROUGH the
+        # pinned-v2 relation, so the slot's value hash covers commit,
+        # time travel, layout AND row-group pruning in one lineage leg
+        zmart = _zorder_pruned_readback(
+            spark,
+            read_group_table(spark, group_root, "mart", version=v2),
+            key_bounds=(vals["min_ck"], vals["max_ck"]),
         )
         # bucketing: mart ⋈ customer dim bucket-to-bucket on custkey
         write_bucketed(
-            read_group_table(spark, group_root, "mart", version=v2),
+            zmart,
             "graft_mart_b",
             ["o_custkey"],
             n_buckets=4,

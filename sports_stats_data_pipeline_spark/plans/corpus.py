@@ -80,12 +80,12 @@ def _sql_bucket(salt: str) -> str:
 #: the corpus_quality_filter oracle and the streaming-quality family of
 #: streaming_tumbling_hourly (plans/events.py) — the batch and
 #: streaming gates score against ONE oracle text so they cannot drift.
-SQL_LM_NLL3_BLOCK = """g AS (
+SQL_LM_NLL3_BLOCK = """g AS MATERIALIZED (
       SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram
       FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
       WHERE length(text) >= 3
     ),
-    gc AS (
+    gc AS MATERIALIZED (
       SELECT gram, COUNT(*) AS cnt FROM g WHERE lang = 'en' GROUP BY gram
     ),
     cc AS (
@@ -140,7 +140,7 @@ SQL_LM_NLL3_BLOCK = """g AS (
       QUALIFY row_number() OVER (
         PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
                THEN list_transform(range(1, len(toks) - 1),

@@ -1957,8 +1957,8 @@ _SPAN_BOILER = (
                           ELSE '' END AS text
       FROM documents
     ),
-    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
-    w AS (
+    t AS MATERIALIZED (SELECT doc_id, {_SQL_TOKS} AS toks FROM d),
+    w AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,
              array_to_string(
                toks[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ') AS sh

@@ -265,3 +265,61 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path):
                         ).collect()
                     )
                     assert got == rows, (seed, step, v, t)
+
+
+def test_adopt_path_commits_by_reference(spark, tmp_path):
+    """A path-valued table is ADOPTED: data files hard-link into the
+    versioned layout (same inode — no rewrite), the manifest count
+    comes from parquet footers, reads and time travel behave exactly
+    as a DataFrame-committed table, and append/overwrite semantics
+    compose. A later rewrite of the SOURCE dir must not affect the
+    committed version (link, not reference-in-place)."""
+    root = str(tmp_path / "grp")
+    src = str(tmp_path / "zmart")
+    _docs(spark, 7, "z").write.parquet(src)
+
+    v1 = write_group_snapshot(
+        {"mart": src, "dim": _docs(spark, 3, "d")}, root
+    )
+    m = read_group_table(spark, root, "mart", version=v1)
+    assert m.count() == 7
+    assert {r["body"] for r in m.collect()} == {"z"}
+    # manifest count taken from footers, not a Spark job
+    assert list_group_snapshots(root)[0]["tables"]["mart"]["count"] == 7
+    # hard link: same inode as the source file (copy fallback aside)
+    src_files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    data_dir = os.path.join(root, "mart", "data", "v1")
+    linked = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    assert linked == src_files
+    assert os.stat(os.path.join(src, src_files[0])).st_ino == os.stat(
+        os.path.join(data_dir, linked[0])
+    ).st_ino
+
+    # overwriting the source later must not disturb the committed v1
+    import shutil
+
+    shutil.rmtree(src)
+    _docs(spark, 2, "other").write.parquet(src)
+    assert read_group_table(spark, root, "mart", version=v1).count() == 7
+
+    # append mode: adopted files extend the previous list
+    v2 = write_group_snapshot({"mart": src}, root, mode="append",
+                              spark=spark)
+    assert read_group_table(spark, root, "mart", version=v2).count() == 9
+
+    # all-path commit without spark= is refused with a clear error
+    with pytest.raises(ValueError, match="pass spark="):
+        write_group_snapshot({"mart": src}, str(tmp_path / "g2"))
+
+    # empty adopt dir is refused
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet data files"):
+        write_group_snapshot(
+            {"mart": empty, "dim": _docs(spark, 1, "d")},
+            str(tmp_path / "g3"),
+        )

@@ -70,6 +70,12 @@ REPLICA_QUERIES = [
     "asof_join_purchase_click",
     "data_quality_report",
     "incremental_mart_maintenance",
+    # round 10: the two slots whose plan shape changed this round
+    # (compact one-job LM training + scan fan-out; fan-out alone) join
+    # the replica gate — their oracles' heavy shared CTEs are
+    # AS MATERIALIZED so the referee pays each explode once.
+    "corpus_quality_filter",
+    "span_redaction_stats",
 ]
 REPLICA_HEAVY = [
     "neardup_minhash_pairs",
