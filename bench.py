@@ -234,14 +234,25 @@ def _duckdb_calibration(
                 if source is None:
                     continue
                 sql = reg.oracles.get(source)
-                if sql is None:
-                    return {}, 0.0
-                best = float("inf")
-                for _ in range(passes):
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
-                out[name] = round(best, 3)
+                try:
+                    if sql is None:
+                        raise KeyError(f"no oracle named {source!r}")
+                    best = float("inf")
+                    for _ in range(passes):
+                        t0 = time.perf_counter()
+                        con.execute(sql).fetchall()
+                        best = min(best, time.perf_counter() - t0)
+                    out[name] = round(best, 3)
+                except Exception as exc:
+                    # skip THIS slot only: one renamed/erroring oracle
+                    # must not zero out the other slots' walls (and with
+                    # them the subset ratio series) — callers guard
+                    # their ratios on key completeness.
+                    print(
+                        f"duckdb calibration skipped for {name}: "
+                        f"{exc!r}",
+                        file=sys.stderr,
+                    )
             return out, round(sum(out.values()), 3)
         finally:
             con.close()
@@ -302,7 +313,17 @@ def main() -> None:
     duck, duck_total = _duckdb_calibration(
         reg, sf_dir, HEADLINE, ORACLE_PROXY, passes=3
     )
-    ratio = round(total / duck_total, 3) if duck_total else None
+    # completeness guard: per-slot calibration skips mean duck_total can
+    # cover FEWER slots than the Spark total — never pair mismatched
+    # sums into a ratio
+    headline_required = {
+        n for n in HEADLINE if ORACLE_PROXY.get(n, n) is not None
+    }
+    ratio = (
+        round(total / duck_total, 3)
+        if duck_total and headline_required <= set(duck)
+        else None
+    )
 
     # extended tier: one warmup + min-of-2 timed passes per query (see
     # EXTENDED doc comment). Runs AFTER the headline timings so its
@@ -334,7 +355,9 @@ def main() -> None:
     )
     ext_ratio = (
         round(ext_spark_subset / ext_duck_total, 3)
-        if ext_duck_total and set(EXTENDED_CALIBRATED) <= set(extended)
+        if ext_duck_total
+        and set(EXTENDED_CALIBRATED) <= set(extended)
+        and set(EXTENDED_CALIBRATED) <= set(ext_duck)
         else None
     )
     # series-compatible ratio over the round-8 six-slot subset (doc
@@ -387,12 +410,24 @@ def main() -> None:
         extended_asymmetric=EXTENDED_ASYMMETRIC,
         extended_fixed_overhead=EXTENDED_FIXED_OVERHEAD,
     )
-    details_path = Path(__file__).resolve().parent / "BENCH_DETAILS.json"
-    details_path.write_text(json.dumps(details, indent=1) + "\n")
+    # the printed line comes FIRST and unconditionally — nothing below
+    # may discard the expensive pass that just finished (and nothing
+    # below may write to stdout: the driver parses the tail).
     line = json.dumps(summary)
-    # hard guard: never regress past the driver's tail-capture window
-    assert len(line) < 1800, f"bench line {len(line)} chars (cap 1800)"
     print(line)
+    if len(line) >= 1800:
+        # tail-capture regression guard (round 9 lost its record this
+        # way) — loud, but never at the cost of the record itself
+        print(
+            f"WARNING: bench line {len(line)} chars — approaching the "
+            "driver's 2000-char tail window; slim the summary keys",
+            file=sys.stderr,
+        )
+    details_path = Path(__file__).resolve().parent / "BENCH_DETAILS.json"
+    try:
+        details_path.write_text(json.dumps(details, indent=1) + "\n")
+    except OSError as exc:
+        print(f"details write skipped: {exc!r}", file=sys.stderr)
     spark.stop()
 
 

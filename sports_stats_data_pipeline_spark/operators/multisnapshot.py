@@ -79,12 +79,17 @@ def _load(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _footer_count(data_dir: str) -> int:
+def _footer_count(data_dir: str, spark: SparkSession) -> int:
     """Exact row count of a parquet dir from file footers — metadata
     bytes only, zero Spark jobs (a count() job per committed table was
-    a measurable slice of the mart slot's 28-job lifecycle)."""
-    import pyarrow.parquet as pq
-
+    a measurable slice of the mart slot's 28-job lifecycle). pyarrow is
+    an OPTIONAL pyspark dependency, so a cluster without it falls back
+    to the pre-round-10 Spark count rather than failing a commit whose
+    data is already written."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return spark.read.parquet(data_dir).count()
     return sum(
         pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
         for f in os.listdir(data_dir)
@@ -92,29 +97,36 @@ def _footer_count(data_dir: str) -> int:
     )
 
 
-def _adopt_parquet_dir(src: str, data_dir: str, spark) -> tuple[str, int]:
+def _adopt_parquet_dir(
+    src: str, data_dir: str, spark, written_dirs: list[str]
+) -> tuple[str, int]:
     """Commit-by-reference leg of :func:`write_group_snapshot`: link the
     parquet data files of ``src`` into ``data_dir`` and return
     ``(schema_ddl, row_count)`` — the count summed from parquet footers
     (metadata-only) and the schema read lazily off the footer, so the
     whole adoption runs zero Spark jobs. ``errorifexists`` semantics
-    via the makedirs failure, matching the DataFrame write path."""
+    via the makedirs failure, matching the DataFrame write path.
+
+    Ordering contract: the source is validated BEFORE the version dir
+    exists, and ``data_dir`` is registered in ``written_dirs`` the
+    moment it is created — so a failure at ANY later point (a copy
+    error, an unreadable footer) is cleaned up by the caller's
+    written-dirs sweep instead of leaving an orphan v-dir that would
+    make the retry of the same version die on FileExistsError."""
+    files = [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+    if not files:
+        raise ValueError(f"no parquet data files to adopt under {src!r}")
     os.makedirs(data_dir)  # raises FileExistsError like errorifexists
-    adopted = 0
-    for f in sorted(os.listdir(src)):
-        if not f.endswith(".parquet"):
-            continue
+    written_dirs.append(data_dir)
+    for f in files:
         sp = os.path.join(src, f)
         dst = os.path.join(data_dir, f)
         try:
             os.link(sp, dst)
         except OSError:
             shutil.copy2(sp, dst)
-        adopted += 1
-    if adopted == 0:
-        raise ValueError(f"no parquet data files to adopt under {src!r}")
     schema_ddl = spark.read.parquet(data_dir).schema.simpleString()
-    return schema_ddl, _footer_count(data_dir)
+    return schema_ddl, _footer_count(data_dir, spark)
 
 
 def write_group_snapshot(
@@ -173,13 +185,14 @@ def write_group_snapshot(
         for name, df in tables.items():
             data_dir = os.path.join(root, name, "data", f"v{version}")
             if isinstance(df, str):
-                schema_ddl, count = _adopt_parquet_dir(df, data_dir, spark)
-                written_dirs.append(data_dir)
+                schema_ddl, count = _adopt_parquet_dir(
+                    df, data_dir, spark, written_dirs
+                )
             else:
                 df.write.mode("errorifexists").parquet(data_dir)
                 written_dirs.append(data_dir)
                 schema_ddl = df.schema.simpleString()
-                count = _footer_count(data_dir)
+                count = _footer_count(data_dir, spark)
             files = sorted(
                 os.path.join(name, "data", f"v{version}", f)
                 for f in os.listdir(data_dir)

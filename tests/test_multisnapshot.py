@@ -315,11 +315,19 @@ def test_adopt_path_commits_by_reference(spark, tmp_path):
     with pytest.raises(ValueError, match="pass spark="):
         write_group_snapshot({"mart": src}, str(tmp_path / "g2"))
 
-    # empty adopt dir is refused
+    # empty adopt dir is refused — and the refusal leaves NO orphan
+    # v-dir behind (source validated before the version dir exists), so
+    # a corrected retry of the same version succeeds instead of dying
+    # on FileExistsError
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
+    g3 = str(tmp_path / "g3")
     with pytest.raises(ValueError, match="no parquet data files"):
         write_group_snapshot(
-            {"mart": empty, "dim": _docs(spark, 1, "d")},
-            str(tmp_path / "g3"),
+            {"dim": _docs(spark, 1, "d"), "mart": empty}, g3
         )
+    assert not os.path.exists(os.path.join(g3, "mart", "data", "v1"))
+    assert not os.path.exists(os.path.join(g3, "dim", "data", "v1"))
+    assert write_group_snapshot(
+        {"dim": _docs(spark, 1, "d"), "mart": src}, g3
+    ) == 1

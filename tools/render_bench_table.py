@@ -132,10 +132,13 @@ def render(rec: dict) -> str:
         ext_ratio = rec.get("extended_ratio")
         ext_total_d = rec.get("extended_duckdb_total")
         # full-tier two-engine row when the record carries walls for
-        # every slot (round 10+); else the legacy bare Spark total +
-        # calibrated-subset rows — never pair a full-tier number with a
-        # subset-only one. Gate on None (missing), not truthiness: 0.0
-        # is a real, tiny time (the module's _TINY convention).
+        # every slot (round 10+); else the legacy bare Spark total row.
+        # The calibrated-subset row renders EITHER WAY — it is the
+        # cross-round series bench.py preserves by name — with its
+        # slots taken from bench.EXTENDED_CALIBRATED when the duck dict
+        # covers the whole tier (ext_duck keys no longer identify the
+        # subset then). Gate on None (missing), not truthiness: 0.0 is
+        # a real, tiny time (the module's _TINY convention).
         ext_ratio_full = rec.get("extended_ratio_full")
         ext_total_d_full = rec.get("extended_duckdb_total_full")
         full_tier = (
@@ -143,22 +146,29 @@ def render(rec: dict) -> str:
             and ext_total_d_full is not None
             and set(ext) <= set(ext_duck)
         )
-        if not full_tier:
-            lines.append(
-                f"| **Extended total (all slots)** "
-                f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
-            )
         if full_tier:
             lines.append(
                 f"| **Whole tier ({len(ext_duck)} slots)** "
                 f"| **{sum(ext.values()):.2f} s** "
-                f"| **{max(ext_total_d_full, _TINY):.2f} s**² "
-                f"| **{ext_ratio_full:.2f}×**² |"
+                f"| **{max(ext_total_d_full, _TINY):.2f} s** "
+                f"| **{ext_ratio_full:.2f}×** |"
             )
-        elif ext_duck and ext_total_d is not None and ext_ratio is not None:
-            sub_s = sum(ext[n] for n in ext_duck if n in ext)
+        else:
             lines.append(
-                f"| **Calibrated subset ({len(ext_duck)} slots)** "
+                f"| **Extended total (all slots)** "
+                f"| **{rec.get('extended_total', 0.0):.2f} s** | — | — |"
+            )
+        if ext_duck and ext_total_d is not None and ext_ratio is not None:
+            from bench import EXTENDED_CALIBRATED
+
+            subset = (
+                [n for n in EXTENDED_CALIBRATED if n in ext]
+                if full_tier
+                else [n for n in ext_duck if n in ext]
+            )
+            sub_s = sum(ext[n] for n in subset)
+            lines.append(
+                f"| **Calibrated subset ({len(subset)} slots)** "
                 f"| **{sub_s:.2f} s** "
                 f"| **{max(ext_total_d, _TINY):.2f} s**² "
                 f"| **{ext_ratio:.2f}×**² |"
@@ -185,6 +195,48 @@ def render(rec: dict) -> str:
     return "\n".join(lines)
 
 
+def _load_record(path: str) -> dict:
+    """Load a bench record, following its ``details`` pointer when the
+    per-query dicts were split out of the printed line (round 10): the
+    driver-captured slim line carries only totals/ratios, so rendering
+    it directly would degrade every DuckDB cell to '—' on a healthy
+    run. The pointer resolves relative to the record file, then to the
+    repo root (where bench.py writes it)."""
+    with open(path) as fh:
+        rec = json.load(fh)
+    inner = rec.get("parsed") or rec
+    details_name = inner.get("details")
+    if details_name and "extended_queries" not in inner:
+        here = os.path.dirname(os.path.abspath(path))
+        repo = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        for cand in (
+            os.path.join(here, details_name),
+            os.path.join(repo, details_name),
+        ):
+            if os.path.exists(cand):
+                with open(cand) as fh:
+                    details = json.load(fh)
+                # the details file is only THIS record's if its summary
+                # fields match — a driver-archived slim record rendered
+                # after a newer bench run must degrade, not borrow the
+                # newer run's per-query walls
+                if all(
+                    details.get(k) == inner.get(k)
+                    for k in ("value", "extended_total", "load_avg_1m")
+                ):
+                    merged = dict(details)
+                    merged.update(inner)
+                    return merged
+                print(
+                    f"note: {cand} is from a different run than "
+                    f"{path} (summary fields differ) — rendering the "
+                    "slim record degraded",
+                    file=sys.stderr,
+                )
+    return rec
+
+
 if __name__ == "__main__":
-    with open(sys.argv[1]) as fh:
-        print(render(json.load(fh)))
+    print(render(_load_record(sys.argv[1])))
