@@ -167,8 +167,9 @@ assert set(EXTENDED_CALIBRATED_R8) <= set(EXTENDED_CALIBRATED)
 #: rows and prints the reasons mechanically.
 EXTENDED_ASYMMETRIC = {
     "incremental_mart_maintenance": (
-        "Spark wall includes validated publish, compaction, Z-order "
-        "rewrite, two atomic group commits and versioned read-backs; "
+        "Spark wall includes validated publish, a fused compact+Z-order "
+        "staged rewrite, two atomic group commits (v2 adopts the "
+        "z-ordered files by reference) and versioned pruned read-backs; "
         "the oracle computes the final values only"
     ),
     "data_quality_report": (

@@ -132,8 +132,15 @@ def test_compaction_zorder_mode_row_preserving(spark, tmp_path):
     assert parquet_file_count(path) <= 4
     after_rows = sorted(map(tuple, out.select("o_orderkey").collect()))
     assert before_rows == after_rows
-    # clustering check: per-file key spans cover far less than the full
-    # range each (a coalesce-compacted layout would span ~everything)
+    # clustering check: EVERY file's key span must cover well under the
+    # full range (a coalesce-compacted layout holds a random row subset
+    # per file, spanning ~the whole range). With 2 interleaved columns
+    # a z-contiguous file covers about HALF the key range by
+    # construction (the top bit pair splits key space first, the next
+    # splits price space), so 0.75 discriminates cleanly — and unlike a
+    # sum-of-spans cap it is robust to repartitionByRange's sampled
+    # (session-nondeterministic) boundary placement, which flipped a
+    # borderline sum assertion in the round-10 full-suite run.
     spans = []
     full_span = lo_hi[1] - lo_hi[0]
     import os as _os
@@ -146,7 +153,7 @@ def test_compaction_zorder_mode_row_preserving(spark, tmp_path):
             ck = t.column("o_custkey").to_pylist()
             if ck:
                 spans.append(max(ck) - min(ck))
-    assert spans and sum(spans) < 2 * full_span, spans
+    assert spans and max(spans) <= 0.75 * full_span, spans
 
 
 def test_ivf_indexed_matches_direct(spark, tmp_path):
