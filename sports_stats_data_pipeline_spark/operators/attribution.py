@@ -25,9 +25,13 @@ Scale design (100 TB event log):
 - The touch<->conversion pairing is an equi-join on the user key with a
   residual time-range predicate — Spark plans it as one shuffle join on
   ``user``; no cross join, no window over the whole log. Hot users are
-  the usual skew risk: compose with operators.skewjoin, or bound blast
-  radius with ``max_touches_per_conversion`` (earliest-N, deterministic,
-  applied BEFORE credit so the models see the capped set).
+  the usual skew risk — and PER USER the pairing is quadratic, so a
+  bot-grade account blows the join up before any post-join cap can
+  help. ``max_events_per_user`` (default 10k, funnel_steps' cap)
+  excludes such accounts from both sides up front; bound the credited
+  set further with ``max_touches_per_conversion`` (earliest-N,
+  deterministic, applied BEFORE credit so the models see the capped
+  set).
 - Ranking/credit is one window partitioned by the conversion id —
   partitions are bounded by touches-per-conversion (<= lookback x user
   rate), never by user or table size.
@@ -57,6 +61,7 @@ def attribute_conversions(
     event_id: str = "event_id",
     event_type: str = "event_type",
     max_touches_per_conversion: int | None = None,
+    max_events_per_user: int | None = 10_000,
 ) -> DataFrame:
     """One row per (conversion, touch) pair with the credit models.
 
@@ -75,6 +80,29 @@ def attribute_conversions(
         raise ValueError("lookback_s must be positive")
     if max_touches_per_conversion is not None and max_touches_per_conversion < 1:
         raise ValueError("max_touches_per_conversion must be >= 1")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
+
+    # Bot guard (round-10 skew finding): the conv x touch pairing is
+    # quadratic PER USER, and max_touches_per_conversion only trims the
+    # window AFTER the join has materialized the pairs — a single
+    # account holding 40% of a 30x-replica event log produced ~1e11
+    # join-candidate pairs in ONE shuffle partition and hung the stage.
+    # Users whose event count exceeds the cap are excluded from
+    # attribution entirely (both sides) — the industry treatment of
+    # bot-grade accounts, same cap and default as funnel_steps'
+    # max_events_per_user. The aggregate is map-side combinable and the
+    # semi-join shares the pairing join's user-key shuffle; at driver
+    # SFs (<~1k events/user) the cap is unhittable, and the DuckDB
+    # oracle (plans/events.py attrib leg) mirrors it exactly.
+    if max_events_per_user is not None:
+        eligible = (
+            events.groupBy(F.col(user).alias("__u"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_events_per_user)
+            .select(F.col("__u").alias(user))
+        )
+        events = events.join(eligible, user, "left_semi")
 
     conv = events.filter(F.col(event_type) == conversion_type).select(
         F.col(user).alias("user"),

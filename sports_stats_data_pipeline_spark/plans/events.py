@@ -791,11 +791,22 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
                                 ORDER BY touch_us, touch_id) AS rk,
              COUNT(*) OVER (PARTITION BY conv_id) AS n
       FROM (
+        -- bot guard mirror (operators/attribution.py
+        -- max_events_per_user=10000): users past the cap are excluded
+        -- from BOTH sides — unhittable at driver SFs, binding on the
+        -- adversarial-skew corpus where one account holds 40% of the
+        -- log and the unguarded pairing is quadratic
         SELECT c.event_id AS conv_id, c.user_id AS usr,
                CAST(epoch_us(c.ts) AS BIGINT) AS conv_us,
                t.event_id AS touch_id,
                CAST(epoch_us(t.ts) AS BIGINT) AS touch_us
-        FROM events c JOIN events t ON t.user_id = c.user_id
+        FROM (SELECT * FROM events WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id
+                HAVING COUNT(*) <= 10000)) c
+        JOIN (SELECT * FROM events WHERE user_id IN (
+                SELECT user_id FROM events GROUP BY user_id
+                HAVING COUNT(*) <= 10000)) t
+          ON t.user_id = c.user_id
         WHERE c.event_type = 'purchase'
           AND t.event_type IN ('click', 'view')
           AND epoch_us(t.ts) < epoch_us(c.ts)

@@ -401,11 +401,17 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
         F.rank().over(wd).cast("int").alias("date_rank"),
         F.dense_rank().over(wd).cast("int").alias("date_dense_rank"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
+        # row_number() is INT; widen BEFORE the basis-point multiply or
+        # a partition past 214,748 rows overflows int32 under ANSI —
+        # found by the 30x adversarial-skew run (hot customer with
+        # ~1.35M orders; DuckDB's ROW_NUMBER is BIGINT so only the
+        # Spark side tripped).
         F.when(
             F.count(F.lit(1)).over(wp) > 1,
             F.expr(
-                "((row_number() over (partition by o_custkey "
-                "order by o_orderdate, o_orderkey) - 1) * 10000) div "
+                "((cast(row_number() over (partition by o_custkey "
+                "order by o_orderdate, o_orderkey) as bigint) - 1) "
+                "* 10000) div "
                 "(count(1) over (partition by o_custkey) - 1)"
             ),
         )
@@ -413,8 +419,8 @@ def customer_order_history_window(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("pr_bp"),
         F.expr(
-            "(row_number() over (partition by o_custkey "
-            "order by o_orderdate, o_orderkey) * 10000) div "
+            "(cast(row_number() over (partition by o_custkey "
+            "order by o_orderdate, o_orderkey) as bigint) * 10000) div "
             "count(1) over (partition by o_custkey)"
         )
         .cast("long")
