@@ -27,11 +27,13 @@ Scale design (100 TB event log):
   ``user``; no cross join, no window over the whole log. Hot users are
   the usual skew risk — and PER USER the pairing is quadratic, so a
   bot-grade account blows the join up before any post-join cap can
-  help. ``max_events_per_user`` (default 10k, funnel_steps' cap)
-  excludes such accounts from both sides up front; bound the credited
-  set further with ``max_touches_per_conversion`` (earliest-N,
-  deterministic, applied BEFORE credit so the models see the capped
-  set).
+  help. ``max_events_per_user`` (default 10k — the same THRESHOLD as
+  funnel_steps, but different semantics: this EXCLUDES the user from
+  both sides based on relevant-type counts, funnel TRUNCATES to
+  earliest-N and still emits) guards the join up front; bound the
+  credited set further with ``max_touches_per_conversion``
+  (earliest-N, deterministic, applied BEFORE credit so the models see
+  the capped set).
 - Ranking/credit is one window partitioned by the conversion id —
   partitions are bounded by touches-per-conversion (<= lookback x user
   rate), never by user or table size.
@@ -71,6 +73,15 @@ def attribute_conversions(
     is a statement about touchpoints, and "unattributed conversions" is
     an anti-join the caller can do in one line.
 
+    ``max_events_per_user`` (default 10 000) EXCLUDES — entirely, both
+    conversion and touch side — any user whose count of relevant
+    events (``conversion_type`` + ``touch_types``; other event types
+    don't count) exceeds the cap: the per-user pairing is quadratic and
+    a bot-grade account otherwise explodes the join itself (see the
+    in-body comment). Pass ``None`` to disable. This differs from
+    funnel_steps' same-named parameter, which TRUNCATES instead of
+    excluding — only the threshold value is shared.
+
     Returns (conv_id, user, conv_us, touch_id, touch_us, touch_type,
     n_touches, touch_rank, first_touch_bp, last_touch_bp, linear_bp,
     position_bp) with all epochs in microseconds BIGINT and all credits
@@ -88,16 +99,23 @@ def attribute_conversions(
     # window AFTER the join has materialized the pairs — a single
     # account holding 40% of a 30x-replica event log produced ~1e11
     # join-candidate pairs in ONE shuffle partition and hung the stage.
-    # Users whose event count exceeds the cap are excluded from
-    # attribution entirely (both sides) — the industry treatment of
-    # bot-grade accounts, same cap and default as funnel_steps'
-    # max_events_per_user. The aggregate is map-side combinable and the
-    # semi-join shares the pairing join's user-key shuffle; at driver
-    # SFs (<~1k events/user) the cap is unhittable, and the DuckDB
-    # oracle (plans/events.py attrib leg) mirrors it exactly.
+    # Users whose count of RELEVANT events (conversion_type +
+    # touch_types — the quantities that actually drive the quadratic;
+    # unrelated event types don't count against a user) exceeds the
+    # cap are EXCLUDED from attribution entirely, both sides —
+    # truncating a touch history would silently misassign credit, so
+    # exclusion is the honest treatment of bot-grade accounts. NOTE:
+    # funnel_steps shares only the 10k THRESHOLD, not the semantics
+    # (it TRUNCATES to each user's earliest-N step-type events and
+    # still emits the user). The aggregate is map-side combinable and
+    # the semi-join shares the pairing join's user-key shuffle; at
+    # driver SFs (<~1k events/user) the cap is unhittable, and the
+    # DuckDB oracle (plans/events.py attrib leg) mirrors it exactly.
     if max_events_per_user is not None:
+        relevant_types = [conversion_type, *touch_types]
         eligible = (
-            events.groupBy(F.col(user).alias("__u"))
+            events.filter(F.col(event_type).isin(relevant_types))
+            .groupBy(F.col(user).alias("__u"))
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") <= max_events_per_user)
             .select(F.col("__u").alias(user))

@@ -701,6 +701,19 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 @REGISTRY.register(
     "asof_join_purchase_click",
     oracle="""
+    -- fev mirrors operators/funnel.py's max_events_per_user=10000
+    -- TRUNCATION exactly: each user's earliest 10k step-type events by
+    -- (ts, event_id). Unhittable at driver SFs; binding on bot-grade
+    -- accounts (round-10 skew review finding — the funnel leg
+    -- previously ran uncapped and diverged from the Spark fold there).
+    WITH fev AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS __rn
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+      ) WHERE __rn <= 10000
+    )
     SELECT 'asof' AS family, event_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
            asof_click_us, asof_click_value_c,
@@ -734,13 +747,13 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
                   + (s3.user_id IS NOT NULL)::INT AS INTEGER),
            s1.t1, s2.t2, s3.t3
     FROM (
-      SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+      SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM fev
       WHERE event_type = 'view' GROUP BY user_id
     ) s1
     LEFT JOIN (
       SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t2
-      FROM events e JOIN (
-        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+      FROM fev e JOIN (
+        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM fev
         WHERE event_type = 'view' GROUP BY user_id
       ) p ON p.user_id = e.user_id
       WHERE e.event_type = 'click'
@@ -750,15 +763,15 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     ) s2 ON s2.user_id = s1.user_id
     LEFT JOIN (
       SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t3
-      FROM events e
+      FROM fev e
       JOIN (
-        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+        SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM fev
         WHERE event_type = 'view' GROUP BY user_id
       ) p ON p.user_id = e.user_id
       JOIN (
         SELECT e2.user_id, min(epoch_us(e2.ts) // 1000000) AS t2
-        FROM events e2 JOIN (
-          SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM events
+        FROM fev e2 JOIN (
+          SELECT user_id, min(epoch_us(ts) // 1000000) AS t1 FROM fev
           WHERE event_type = 'view' GROUP BY user_id
         ) p2 ON p2.user_id = e2.user_id
         WHERE e2.event_type = 'click'
@@ -792,8 +805,10 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
              COUNT(*) OVER (PARTITION BY conv_id) AS n
       FROM (
         -- bot guard mirror (operators/attribution.py
-        -- max_events_per_user=10000): users past the cap are excluded
-        -- from BOTH sides — unhittable at driver SFs, binding on the
+        -- max_events_per_user=10000): users whose RELEVANT-type event
+        -- count (purchase/click/view — the quantities driving the
+        -- quadratic pairing) exceeds the cap are EXCLUDED from both
+        -- sides — unhittable at driver SFs, binding on the
         -- adversarial-skew corpus where one account holds 40% of the
         -- log and the unguarded pairing is quadratic
         SELECT c.event_id AS conv_id, c.user_id AS usr,
@@ -801,11 +816,13 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
                t.event_id AS touch_id,
                CAST(epoch_us(t.ts) AS BIGINT) AS touch_us
         FROM (SELECT * FROM events WHERE user_id IN (
-                SELECT user_id FROM events GROUP BY user_id
-                HAVING COUNT(*) <= 10000)) c
+                SELECT user_id FROM events
+                WHERE event_type IN ('purchase', 'click', 'view')
+                GROUP BY user_id HAVING COUNT(*) <= 10000)) c
         JOIN (SELECT * FROM events WHERE user_id IN (
-                SELECT user_id FROM events GROUP BY user_id
-                HAVING COUNT(*) <= 10000)) t
+                SELECT user_id FROM events
+                WHERE event_type IN ('purchase', 'click', 'view')
+                GROUP BY user_id HAVING COUNT(*) <= 10000)) t
           ON t.user_id = c.user_id
         WHERE c.event_type = 'purchase'
           AND t.event_type IN ('click', 'view')

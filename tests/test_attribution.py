@@ -181,3 +181,37 @@ def test_bad_args_rejected(spark):
         attribute_conversions(df, lookback_s=0)
     with pytest.raises(ValueError):
         attribute_conversions(df, max_touches_per_conversion=0)
+
+
+def test_bot_guard_excludes_on_relevant_counts_only(spark):
+    """max_events_per_user (round-10 skew guard): a user past the cap
+    in CONVERSION+TOUCH-type events is excluded entirely; a user past
+    the cap only in unrelated event types is untouched; None disables.
+    """
+    rows = (
+        # user 1: 4 relevant events (under any cap we set) -> kept
+        [(0, 1, "view"), (10, 1, "click"), (20, 1, "click"),
+         (30, 1, "purchase")]
+        # user 2: 3 relevant events + a flood of irrelevant 'error'
+        # events — must NOT count against the cap
+        + [(0, 2, "view"), (5, 2, "click"), (9, 2, "purchase")]
+        + [(m, 2, "error") for m in range(40, 52)]
+        # user 3: a bot — 12 relevant events, all clicks + purchases
+        + [(m, 3, "click") for m in range(10)]
+        + [(35, 3, "purchase"), (36, 3, "purchase")]
+    )
+    df = _ev(spark, rows)
+    out = attribute_conversions(
+        df, lookback_s=3600, max_events_per_user=10
+    )
+    users = {r["user"] for r in out.select("user").distinct().collect()}
+    assert users == {1, 2}, users  # bot (user 3) excluded entirely
+    # user 2's 12 'error' rows did not count: 3 relevant <= 10 -> kept
+    assert out.filter(F.col("user") == 2).count() == 2  # view+click
+    # disabling the guard brings the bot back
+    out_all = attribute_conversions(
+        df, lookback_s=3600, max_events_per_user=None
+    )
+    assert out_all.filter(F.col("user") == 3).count() > 0
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        attribute_conversions(df, max_events_per_user=0)
