@@ -64,6 +64,7 @@ def attribute_conversions(
     event_type: str = "event_type",
     max_touches_per_conversion: int | None = None,
     max_events_per_user: int | None = 10_000,
+    exclusion_metric: "str | Observation | None" = "attribution_excluded_users",
 ) -> DataFrame:
     """One row per (conversion, touch) pair with the credit models.
 
@@ -81,6 +82,17 @@ def attribute_conversions(
     in-body comment). Pass ``None`` to disable. This differs from
     funnel_steps' same-named parameter, which TRUNCATES instead of
     excluding — only the threshold value is shared.
+
+    Exclusion is never silent: an observed metric (``df.observe`` /
+    CollectMetrics — computed by the same action that runs the query,
+    zero extra jobs) named ``exclusion_metric`` reports
+    ``excluded_users``, the number of accounts the cap dropped. Pass a
+    ``pyspark.sql.Observation`` to read it programmatically
+    (``obs.get["excluded_users"]`` after any action on the result), a
+    string to surface it to QueryExecutionListeners / the Spark UI, or
+    ``None`` to disable. Observed-metric names must be unique within
+    one query — compose two attributions in a single plan by giving
+    each its own name.
 
     Returns (conv_id, user, conv_us, touch_id, touch_us, touch_type,
     n_touches, touch_rank, first_touch_bp, last_touch_bp, linear_bp,
@@ -113,12 +125,24 @@ def attribute_conversions(
     # DuckDB oracle (plans/events.py attrib leg) mirrors it exactly.
     if max_events_per_user is not None:
         relevant_types = [conversion_type, *touch_types]
-        eligible = (
+        counts = (
             events.filter(F.col(event_type).isin(relevant_types))
             .groupBy(F.col(user).alias("__u"))
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_events_per_user)
-            .select(F.col("__u").alias(user))
+        )
+        if exclusion_metric is not None:
+            # CollectMetrics over the per-user counts: rides the same
+            # action as the query itself (no extra job), and makes the
+            # cap's row loss detectable (round-10 ADVICE) instead of
+            # users silently vanishing from the output.
+            counts = counts.observe(
+                exclusion_metric,
+                F.sum(
+                    (F.col("__n") > max_events_per_user).cast("long")
+                ).alias("excluded_users"),
+            )
+        eligible = counts.filter(F.col("__n") <= max_events_per_user).select(
+            F.col("__u").alias(user)
         )
         events = events.join(eligible, user, "left_semi")
 

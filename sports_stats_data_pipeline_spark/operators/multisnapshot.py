@@ -152,6 +152,15 @@ def write_group_snapshot(
     when EVERY value is a path (otherwise the session comes from any
     DataFrame in the group).
 
+    ADOPTED FILES MUST BE IMMUTABLE: a hard link shares the inode, so
+    mutating an adopted source file IN PLACE afterwards silently
+    corrupts every committed version that references it. Deleting the
+    source path or rewriting it via rename-swap (what every writer in
+    this repo does — a new file replaces the directory entry, the
+    linked inode survives untouched) is always safe; only in-place
+    writes (open('r+'), truncate, append) violate the contract. Callers
+    who cannot guarantee that must copy instead of passing a path.
+
     ``mode='overwrite'``: the version contains exactly the given
     tables. ``mode='append'``: given tables append to their previous
     file lists; tables NOT in ``tables`` carry forward unchanged —

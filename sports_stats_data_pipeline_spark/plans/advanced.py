@@ -20,6 +20,15 @@ from .relational import cents
 
 REGISTRY = QueryRegistry()
 
+#: per-phase wall seconds of the LAST incremental_mart_maintenance
+#: invocation (round-10 verdict #2: the slot's wall grew 3.01 -> 4.29 s
+#: across rounds as lifecycle legs were added, and without a breakdown
+#: scope growth is inseparable from regression). Overwritten per call;
+#: bench.py copies it into BENCH_DETAILS.json next to the slot's wall.
+#: The returned join is lazy, so the caller's action (noop write /
+#: driver collect) pays everything NOT in these phases.
+MART_PHASE_WALLS: dict[str, float] = {}
+
 #: CMS leg of expression_profile_orders (width × depth; small enough
 #: that the oracle's SQL twin stays cheap, wide enough that the five
 #: priority values rarely collide — and when they do, BOTH engines
@@ -866,6 +875,17 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call, the dedup_lsh wrapper's cleanup contract).
     import shutil
 
+    import time
+    from contextlib import contextmanager
+
+    MART_PHASE_WALLS.clear()
+
+    @contextmanager
+    def _phase(label: str):
+        t0 = time.perf_counter()
+        yield
+        MART_PHASE_WALLS[label] = round(time.perf_counter() - t0, 3)
+
     mart_root = tempfile.mkdtemp(prefix="graft_mart_")
     group_root = tempfile.mkdtemp(prefix="graft_mart_grp_")
     try:
@@ -882,7 +902,8 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fully materializes every table it is given — carrying the
         # dim here would add a full dim write + read-back scan to a
         # calibrated slot for nothing (round-9 self-review catch).
-        v1 = write_group_snapshot({"mart": state_agg}, group_root)
+        with _phase("v1_commit"):
+            v1 = write_group_snapshot({"mart": state_agg}, group_root)
         state = read_group_table(spark, group_root, "mart", version=v1)
         merged = merge_aggregate_state(
             state,
@@ -894,24 +915,25 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the publish scan's observe metrics double as the Z-order grid
         # bounds and the read-back split bounds (round-10 fusion: the
         # bounds aggregates ride the write job instead of re-scanning)
-        vals = write_validated(
-            merged.repartition(16),
-            mart_path,
-            metrics={
-                "n": F.count(F.lit(1)),
-                "null_keys": F.sum(
-                    F.col("o_custkey").isNull().cast("long")
-                ),
-                "min_ck": F.min("o_custkey"),
-                "max_ck": F.max("o_custkey"),
-                "min_vol": F.min("volume_c"),
-                "max_vol": F.max("volume_c"),
-            },
-            gates={
-                "nonempty": lambda m: m["n"] > 0,
-                "keys_present": lambda m: m["null_keys"] == 0,
-            },
-        )
+        with _phase("publish"):
+            vals = write_validated(
+                merged.repartition(16),
+                mart_path,
+                metrics={
+                    "n": F.count(F.lit(1)),
+                    "null_keys": F.sum(
+                        F.col("o_custkey").isNull().cast("long")
+                    ),
+                    "min_ck": F.min("o_custkey"),
+                    "max_ck": F.max("o_custkey"),
+                    "min_vol": F.min("volume_c"),
+                    "max_vol": F.max("volume_c"),
+                },
+                gates={
+                    "nonempty": lambda m: m["n"] > 0,
+                    "keys_present": lambda m: m["null_keys"] == 0,
+                },
+            )
         # Z-order leg (round 9; fused round 10): compaction and the
         # (o_custkey, volume_c) Morton layout are ONE staged rewrite —
         # the small validated files are read once and land z-ordered
@@ -921,16 +943,17 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value-neutral, but each branch's parquet reader actually
         # skips the files outside its z-rectangle (plan pin:
         # tests/test_plans.py::test_mart_zorder_readback_prunes).
-        compact_parquet(
-            spark,
-            mart_path,
-            target_partitions=4,
-            zorder_cols=["o_custkey", "volume_c"],
-            zorder_bounds={
-                "o_custkey": (vals["min_ck"], vals["max_ck"]),
-                "volume_c": (vals["min_vol"], vals["max_vol"]),
-            },
-        )
+        with _phase("compact_zorder"):
+            compact_parquet(
+                spark,
+                mart_path,
+                target_partitions=4,
+                zorder_cols=["o_custkey", "volume_c"],
+                zorder_bounds={
+                    "o_custkey": (vals["min_ck"], vals["max_ck"]),
+                    "volume_c": (vals["min_vol"], vals["max_vol"]),
+                },
+            )
         # atomic group snapshot: the z-ordered mart and its dimension
         # become visible as ONE version (v2 — v1 carries the pre-merge
         # state). The mart is committed BY REFERENCE (round 10): the
@@ -938,9 +961,10 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # layout, counts come from parquet footers — the Delta/Iceberg
         # way to commit an OPTIMIZE result, replacing the round-9 full
         # rewrite of bytes that already existed on disk.
-        v2 = write_group_snapshot(
-            {"mart": mart_path, "customer_dim": cust}, group_root
-        )
+        with _phase("v2_commit"):
+            v2 = write_group_snapshot(
+                {"mart": mart_path, "customer_dim": cust}, group_root
+            )
         # the pruned complementary read-back now runs THROUGH the
         # pinned-v2 relation, so the slot's value hash covers commit,
         # time travel, layout AND row-group pruning in one lineage leg
@@ -949,19 +973,24 @@ def incremental_mart_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_group_table(spark, group_root, "mart", version=v2),
             key_bounds=(vals["min_ck"], vals["max_ck"]),
         )
-        # bucketing: mart ⋈ customer dim bucket-to-bucket on custkey
-        write_bucketed(
-            zmart,
-            "graft_mart_b",
-            ["o_custkey"],
-            n_buckets=4,
-        )
-        write_bucketed(
-            read_group_table(spark, group_root, "customer_dim", version=v2),
-            "graft_cust_b",
-            ["o_custkey"],
-            n_buckets=4,
-        )
+        # bucketing: mart ⋈ customer dim bucket-to-bucket on custkey.
+        # This phase's wall includes the pruned read-back scans (zmart
+        # is lazy until the bucketed write materializes it).
+        with _phase("bucketed_writes"):
+            write_bucketed(
+                zmart,
+                "graft_mart_b",
+                ["o_custkey"],
+                n_buckets=4,
+            )
+            write_bucketed(
+                read_group_table(
+                    spark, group_root, "customer_dim", version=v2
+                ),
+                "graft_cust_b",
+                ["o_custkey"],
+                n_buckets=4,
+            )
     finally:
         shutil.rmtree(mart_root, ignore_errors=True)
         shutil.rmtree(group_root, ignore_errors=True)

@@ -787,22 +787,26 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", url.alias("url"))
     )
-    host = url_host("url")
-    # LOUD oracle-regime contract (NOTES watch list -> named assert):
-    # every synthesized URL must parse to a host — the sanitize above
-    # makes that true for any source value, and this check keeps it
-    # true by NAME if a regenerated corpus finds a hole in it (a NULL
-    # host would silently merge rows into the '' domain bucket on both
-    # sides and shift quota ranks).
-    from .contracts import require
-
-    require(
-        docs.select(host.alias("h"), "doc_id"),
-        F.count(F.lit(1)) == F.count("h"),
-        "url_synth_hosts_parse",
-        "a synthesized URL produced a NULL host (hostname-unsafe "
-        "source survived the sanitizer)",
-        (F.count(F.lit(1)) - F.count("h")).alias("null_hosts"),
+    host_parsed = url_host("url")
+    # LOUD oracle-regime contract (NOTES watch list -> named assert),
+    # fused IN-PLAN (round-10 verdict #1: the eager require() here was
+    # a full extra scan+agg Spark job on every invocation): every
+    # synthesized URL must parse to a host — the sanitize above makes
+    # that true for any source value, and this raise_error keeps it
+    # true by NAME from inside the main job if a regenerated corpus
+    # finds a hole in it (a NULL host would silently merge rows into
+    # the '' domain bucket on both sides and shift quota ranks).
+    host = F.when(host_parsed.isNotNull(), host_parsed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "url_synth_hosts_parse: a synthesized URL produced "
+                    "a NULL host (hostname-unsafe source survived the "
+                    "sanitizer): "
+                ),
+                F.col("url"),
+            )
+        )
     )
     host_nw = F.regexp_replace(host, "^(www\\.)+", "")
     norm = docs.select(
@@ -821,15 +825,30 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # always parse, so '' never actually appears.
         F.coalesce(registered_domain(host_nw), F.lit("")).alias("domain"),
     )
-    stats = norm.groupBy("domain").agg(
-        F.count("*").alias("n_docs_in_domain"),
-        F.countDistinct("norm_url").alias("n_unique_norm_urls"),
-    )
+    # Domain stats fused into the quota-rank window's single exchange
+    # (round-10 verdict #1): the former groupBy + join-back evaluated
+    # the regex-heavy `norm` projection TWICE and shuffled it twice
+    # (agg side + probe side). count-over-partition and
+    # max(dense_rank by norm_url)-over-partition compute the same
+    # n_docs / distinct-norm_url values inside the ONE
+    # hash-partition-by-domain exchange the rank already needs — three
+    # Window nodes, one Exchange, one evaluation of the URL regexes.
+    # Hot-domain exposure is unchanged: the rank itself already
+    # requires each domain's rows in one partition.
+    w_dom = Window.partitionBy("domain")
+    w_uniq = Window.partitionBy("domain").orderBy("norm_url")
     w = Window.partitionBy("domain").orderBy(
         F.md5(d.cast("string")), "doc_id"
     )
     return (
-        norm.join(stats, "domain")
+        norm.withColumn(
+            "n_docs_in_domain", F.count(F.lit(1)).over(w_dom)
+        )
+        .withColumn("__uniq_dr", F.dense_rank().over(w_uniq))
+        .withColumn(
+            "n_unique_norm_urls",
+            F.max("__uniq_dr").over(w_dom).cast("long"),
+        )
         .withColumn("url_rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "quota_keep",

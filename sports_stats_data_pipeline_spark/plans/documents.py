@@ -1510,10 +1510,11 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constants shared with the oracle CTE chain via _GANN_*).
     # build_knn_graph_index releases the build's checkpoint blocks
     # itself once the parquet lands; the ≤ 24-row indexed search result
-    # is collected and re-created as a local relation so the temp index
-    # can be deleted before returning WITHOUT pinning a checkpoint for
-    # the session lifetime (repeated bench/driver invocations would
-    # otherwise accumulate one small block each).
+    # is materialized with an eager localCheckpoint so the temp index
+    # can be deleted before returning. The checkpoint blocks are
+    # reclaimed by Spark's ContextCleaner once the returned DataFrame
+    # is garbage-collected, so repeated bench/driver invocations do not
+    # accumulate them for the session lifetime.
     import shutil
     import tempfile
 
@@ -1534,7 +1535,7 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_r4") * 10000, 0).cast("int").alias("grp"),
             "rank",
         )
-        hits = spark.createDataFrame(hits.collect(), schema=hits.schema)
+        hits = hits.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
     return ivf.unionByName(mined).unionByName(hits)

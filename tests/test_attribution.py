@@ -215,3 +215,37 @@ def test_bot_guard_excludes_on_relevant_counts_only(spark):
     assert out_all.filter(F.col("user") == 3).count() > 0
     with pytest.raises(ValueError, match="max_events_per_user"):
         attribute_conversions(df, max_events_per_user=0)
+
+
+def test_bot_guard_exclusion_is_observable(spark):
+    """The cap's row loss is not silent (round-10 ADVICE): an observed
+    metric reports how many users the eligibility semi-join dropped,
+    computed by the same action that runs the query."""
+    from pyspark.sql import Observation
+
+    rows = (
+        [(0, 1, "view"), (10, 1, "purchase")]
+        + [(m, 3, "click") for m in range(10)]
+        + [(35, 3, "purchase")]
+        + [(m, 4, "click") for m in range(12)]
+        + [(40, 4, "purchase")]
+    )
+    df = _ev(spark, rows)
+    obs = Observation("excl")
+    out = attribute_conversions(
+        df, lookback_s=3600, max_events_per_user=10,
+        exclusion_metric=obs,
+    )
+    assert out.count() > 0  # action materializes the metric
+    assert obs.get["excluded_users"] == 2  # users 3 (11) and 4 (13)
+    # default string metric must not change results or error
+    out_named = attribute_conversions(
+        df, lookback_s=3600, max_events_per_user=10
+    )
+    assert out_named.count() == out.count()
+    # disabled: no CollectMetrics node in the plan
+    out_off = attribute_conversions(
+        df, lookback_s=3600, max_events_per_user=10,
+        exclusion_metric=None,
+    )
+    assert "CollectMetrics" not in out_off._jdf.queryExecution().toString()

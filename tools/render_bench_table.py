@@ -218,14 +218,22 @@ def _load_record(path: str) -> dict:
             if os.path.exists(cand):
                 with open(cand) as fh:
                     details = json.load(fh)
-                # the details file is only THIS record's if its summary
-                # fields match — a driver-archived slim record rendered
-                # after a newer bench run must degrade, not borrow the
-                # newer run's per-query walls
-                if all(
-                    details.get(k) == inner.get(k)
-                    for k in ("value", "extended_total", "load_avg_1m")
-                ):
+                # the details file is only THIS record's if it is the
+                # same RUN — matched on the unique run_id both carry
+                # since round 11; pre-round-11 records (no run_id) fall
+                # back to matching three summary fields. A
+                # driver-archived slim record rendered after a newer
+                # bench run must degrade, not borrow the newer run's
+                # per-query walls.
+                same_run = (
+                    details.get("run_id") == inner["run_id"]
+                    if "run_id" in inner
+                    else all(
+                        details.get(k) == inner.get(k)
+                        for k in ("value", "extended_total", "load_avg_1m")
+                    )
+                )
+                if same_run:
                     merged = dict(details)
                     merged.update(inner)
                     return merged
