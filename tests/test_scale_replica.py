@@ -96,6 +96,16 @@ SKEW_QUERIES = [
     "topk_orders_per_segment",
     "events_props_pivot",
 ]
+#: round 11 (round-10 verdict #4): the dedup/LSH family under doc skew
+#: — the derived corpus rewrites ~40% of documents into ONE near-dup
+#: cluster, so every band bucket it touches blows past the 64-doc caps
+#: and the caps must BIND (test_skew_docs_caps_bind observes that
+#: directly) while the cap-mirroring oracles stay value-matched.
+SKEW_HEAVY = [
+    "neardup_minhash_pairs",
+    "simhash_neardup_pairs",
+    "neardup_doc_clusters",
+]
 
 
 def _oracle(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -314,9 +324,139 @@ def test_replica_nndescent_incremental_equals_full(spark):
 @pytest.mark.skipif(
     not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
 )
-@pytest.mark.parametrize("name", SKEW_QUERIES)
+@pytest.mark.parametrize(
+    "name", SKEW_QUERIES + (SKEW_HEAVY if HEAVY else [])
+)
 def test_skew_parity(spark, name):
     _check(spark, SKEW_DIR, name)
+
+
+@pytest.mark.skipif(
+    not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
+)
+def test_skew_funnel_cap_is_value_relevant(spark):
+    """Round 11 (round-10 verdict #3): the corpus carries a bot user
+    whose first QUALIFYING funnel chain sits PAST the earliest-10k
+    step-event truncation — 1 view, 15k clicks, then a purchase inside
+    the 240-min entry window but at step-rank 15 002. The capped engine
+    and the cap-mirroring oracle must both stop at max_step 2, and the
+    UNCAPPED oracle must find the full chain (max_step 3) — i.e. the
+    truncation is value-RELEVANT here, not merely unhittable, so this
+    is the first real test of its semantics."""
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.operators.funnel import (
+        funnel_steps,
+    )
+    from sports_stats_data_pipeline_spark.sources.tables import load_table
+
+    BOT = 88_888_777  # tools/derive_scale_corpus.FUNNEL_BOT_USER
+    ev = load_table(spark, SKEW_DIR, "events")
+    rows = (
+        funnel_steps(ev, ["view", "click", "purchase"], within_minutes=240)
+        .filter(F.col("user_id") == BOT)
+        .collect()
+    )
+    assert len(rows) == 1, (
+        f"derived corpus lacks the funnel-cap bot user {BOT} — "
+        "re-derive with round-11 tools/derive_scale_corpus.py"
+    )
+    got = rows[0]
+
+    def chain(con, capped: bool):
+        cap = "WHERE __rn <= 10000" if capped else ""
+        return con.execute(f"""
+          WITH fev AS (
+            SELECT epoch_us(ts) // 1000000 AS t, event_type FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS __rn
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+                AND user_id = {BOT}
+            ) {cap}
+          ),
+          s1 AS (SELECT min(t) AS t1 FROM fev WHERE event_type = 'view'),
+          s2 AS (SELECT min(t) AS t2 FROM fev, s1
+                 WHERE event_type = 'click'
+                   AND t > t1 AND t <= t1 + 14400),
+          s3 AS (SELECT min(t) AS t3 FROM fev, s1, s2
+                 WHERE event_type = 'purchase'
+                   AND t > t2 AND t <= t1 + 14400)
+          SELECT t1, t2, t3 FROM s1, s2, s3
+        """).fetchone()
+
+    con = _oracle(SKEW_DIR)
+    try:
+        t1, t2, t3 = chain(con, capped=True)
+        u1, u2, u3 = chain(con, capped=False)
+    finally:
+        con.close()
+    # engine == cap-mirroring oracle, step for step
+    assert (
+        got["max_step"],
+        got["step_1_epoch_s"],
+        got["step_2_epoch_s"],
+        got["step_3_epoch_s"],
+    ) == (2, t1, t2, None), (got, t1, t2, t3)
+    assert t3 is None
+    # ... and the cap CHANGED the answer (non-vacuity): uncapped, the
+    # same user completes the funnel
+    assert (u1, u2) == (t1, t2) and u3 is not None
+
+
+@pytest.mark.skipif(
+    not SKEW_DIR, reason="set SPARK_GRAFT_SKEW_DIR to a derived skew corpus"
+)
+def test_skew_docs_caps_bind(spark):
+    """Round 11 (round-10 verdict #4): the hot near-dup document
+    cluster must push MinHash band buckets PAST the 64-doc cap — the
+    bucket caps observed actually binding under true hot buckets, not
+    just present. (Value parity of the three dedup slots on this same
+    corpus is the SKEW_HEAVY tier of test_skew_parity.)"""
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.functions.text import (
+        band_keys,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+        shingles,
+    )
+    from sports_stats_data_pipeline_spark.plans.documents import (
+        _MINHASH_BUCKET_CAP,
+        _neardup_docs,
+    )
+
+    docs = _neardup_docs(spark, SKEW_DIR)
+    n = docs.count()
+    banded = (
+        docs.select("doc_id", shingles("text").alias("shingles"))
+        .select("doc_id", shingle_hashes(F.col("shingles")).alias("sh_h"))
+        .select(
+            "doc_id", *minhash_signature_from_hashes(F.col("sh_h"), 8)
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array(*band_keys(8, 2))).alias("band_key"),
+        )
+    )
+    over = (
+        banded.groupBy("band_key")
+        .count()
+        .filter(F.col("count") > _MINHASH_BUCKET_CAP)
+        .agg(
+            F.count(F.lit(1)).alias("n_over"),
+            F.max("count").alias("biggest"),
+        )
+        .first()
+    )
+    assert over["n_over"] and over["n_over"] > 0, (
+        "no band bucket exceeded the cap — the derived corpus lacks "
+        "the hot near-dup cluster (re-derive with round-11 "
+        "tools/derive_scale_corpus.py)"
+    )
+    # the hot cluster's shared-signature bucket holds a large share of
+    # the corpus (≈40% of base docs land on identical band keys)
+    assert over["biggest"] * 10 >= n * 2, (over, n)
 
 
 @pytest.mark.skipif(
@@ -329,7 +469,12 @@ def test_skew_corpus_actually_skewed(spark):
 
     from sports_stats_data_pipeline_spark.sources.tables import load_table
 
-    ev = load_table(spark, SKEW_DIR, "events")
+    # the funnel-cap bot (round 11) rides outside the remap — exclude
+    # it so the ratio guard holds at small factors too (15k bot events
+    # vs 10k corpus events at sf0.01 x1 would swamp the denominator)
+    ev = load_table(spark, SKEW_DIR, "events").filter(
+        F.col("user_id") != 88_888_777
+    )
     hot = ev.filter(F.col("user_id") == 7).count()
     assert hot * 100 >= ev.count() * 30  # ~40% remapped
     cust = load_table(spark, SKEW_DIR, "customer")

@@ -21,6 +21,28 @@ re-validations (NOTES.md rounds 4-6; previously /tmp scripts only):
     (round-4 recipe — 60% -> nationkey 7). Hot keys are chosen to pass
     the driver queries' modular filters so the hot paths execute.
 
+    Round 11 adds two more adversarial shapes (both on by default):
+
+    - ``funnel-cap bot``: a synthetic user appended to events whose
+      first QUALIFYING funnel chain sits PAST the earliest-10k
+      step-event truncation (1 view, 15 000 clicks at 0.5 s spacing,
+      then a purchase 130 min after entry — inside the 240-min window
+      but step-rank 15 002 > 10 000). The capped engine AND the
+      cap-mirroring oracle must both report max_step 2 where an
+      uncapped computation reports 3 — the first corpus where
+      funnel_steps' truncation is value-RELEVANT, not just unhittable
+      (round-10 verdict #3). The bot's 15 002 relevant events also
+      trip attribute_conversions' exclusion guard (different
+      semantics: EXCLUDE, not truncate).
+    - ``hot near-dup document cluster``: ``doc_frac_pct`` (default 40)
+      percent of documents rewritten to one shared base text plus a
+      per-doc suffix token (``zz<doc_id % 23>``) — a single
+      near-duplicate cluster holding ~40% of the corpus. Every LSH
+      band bucket the cluster touches blows past the 64-doc caps, so
+      the minhash/simhash/doc_clusters bucket caps must actually BIND
+      (round-10 verdict #4) while the cold 60% keeps producing normal
+      clone pairs; the cap-mirroring oracles must stay value-matched.
+
 Usage::
 
     python tools/derive_scale_corpus.py --src /root/testdata/sf0.1 \
@@ -134,6 +156,18 @@ def derive_replicate(
     )
 
 
+#: the funnel-cap bot's fixed identity (appended to events in skew
+#: mode): chosen to collide with nothing — replica user ids stay below
+#: STRIDE * (factor + 1) only for factors the key offset produces, and
+#: no remap targets this id.
+FUNNEL_BOT_USER = 88_888_777
+#: clicks between the bot's entry view and its purchase: step-rank of
+#: the purchase is FUNNEL_BOT_CLICKS + 2 — past funnel_steps'
+#: max_events_per_user=10_000 — while 0.5 s spacing keeps the purchase
+#: 130 min after entry, inside the 240-min conversion window.
+FUNNEL_BOT_CLICKS = 15_000
+
+
 def derive_skew(
     src: str,
     out: str,
@@ -143,6 +177,7 @@ def derive_skew(
     order_frac_pct: int = 30,
     hot_nation: int = 7,
     cust_frac_pct: int = 60,
+    doc_frac_pct: int = 40,
 ) -> None:
     """Remaps use ``key % 100 < pct`` — deterministic, scale-free."""
     con = duckdb.connect()
@@ -152,15 +187,44 @@ def derive_skew(
         f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         for t in ALL_TABLES
     }
+    ev_path = f"{src}/events.parquet"
     ev_cols = ", ".join(
         f"CASE WHEN event_id % 100 < {event_frac_pct} "
         f"THEN {hot_user} ELSE user_id END AS user_id"
         if c == "user_id"
         else c
-        for c in _cols(con, f"{src}/events.parquet")
+        for c in _cols(con, ev_path)
+    )
+    # funnel-cap bot (module docstring): one view, FUNNEL_BOT_CLICKS
+    # clicks at 0.5 s spacing, one purchase at entry + 7 800 s. Placed
+    # 30 days after the corpus' last event so it perturbs nothing
+    # else's session/cohort structure; event ids continue from the
+    # corpus max. Column values are in-domain (props mirrors the
+    # corpus' {"k": n} shape) so downstream parsers see nothing new.
+    bot_cols = ", ".join(
+        {
+            "event_id": "(SELECT max(event_id) FROM base) + 1 + i "
+            "AS event_id",
+            "ts": "(SELECT max(ts) FROM base) + INTERVAL 30 DAY "
+            "+ to_microseconds(CASE WHEN i = 0 THEN CAST(0 AS BIGINT) "
+            f"WHEN i <= {FUNNEL_BOT_CLICKS} THEN CAST(i AS BIGINT) "
+            "* 500000 ELSE CAST(7800 AS BIGINT) * 1000000 END) AS ts",
+            "user_id": f"{FUNNEL_BOT_USER} AS user_id",
+            "event_type": "CASE WHEN i = 0 THEN 'view' "
+            f"WHEN i <= {FUNNEL_BOT_CLICKS} THEN 'click' "
+            "ELSE 'purchase' END AS event_type",
+            "value": "1.0 + (i % 100) / 100.0 AS value",
+            "props": "'{\"k\": ' || CAST(i % 100 AS VARCHAR) || '}' "
+            "AS props",
+        }.get(c, f"NULL AS {c}")
+        for c in _cols(con, ev_path)
     )
     passthrough["events"] = (
-        f"COPY (SELECT {ev_cols} FROM read_parquet('{src}/events.parquet'))"
+        f"COPY (WITH base AS "
+        f"(SELECT {ev_cols} FROM read_parquet('{ev_path}')) "
+        f"SELECT * FROM base UNION ALL "
+        f"SELECT {bot_cols} FROM "
+        f"(SELECT unnest(range({FUNNEL_BOT_CLICKS + 2})) AS i))"
         f" TO '{out}/events.parquet' (FORMAT PARQUET)"
     )
     o_cols = ", ".join(
@@ -185,12 +249,43 @@ def derive_skew(
         f"COPY (SELECT {c_cols} FROM read_parquet('{src}/customer.parquet'))"
         f" TO '{out}/customer.parquet' (FORMAT PARQUET)"
     )
+    # hot near-dup document cluster (module docstring): doc_frac_pct%
+    # of docs become the lexicographically-first doc's text plus a
+    # per-doc suffix token — near-duplicates of each other (high
+    # Jaccard through the shared base) whose band buckets hold ~40% of
+    # the corpus, far past the 64-doc LSH caps. n_chars is kept
+    # CONSISTENT with the rewritten text (documents-family oracles
+    # recompute lengths from text, but a derived corpus should never
+    # carry an internally inconsistent row).
+    doc_path = f"{src}/documents.parquet"
+    d_cols = ", ".join(
+        "CASE WHEN doc_id % 100 < "
+        f"{doc_frac_pct} THEN hot.t || ' zz' || "
+        "CAST(doc_id % 23 AS VARCHAR) ELSE text END AS text"
+        if c == "text"
+        else (
+            "CASE WHEN doc_id % 100 < "
+            f"{doc_frac_pct} THEN len(hot.t || ' zz' || "
+            "CAST(doc_id % 23 AS VARCHAR)) ELSE n_chars END AS n_chars"
+            if c == "n_chars"
+            else c
+        )
+        for c in _cols(con, doc_path)
+    )
+    passthrough["documents"] = (
+        f"COPY (SELECT {d_cols} FROM read_parquet('{doc_path}'), "
+        f"(SELECT text AS t FROM read_parquet('{doc_path}') "
+        f"ORDER BY doc_id LIMIT 1) hot)"
+        f" TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
     for t in ALL_TABLES:
         con.execute(passthrough[t])
     print(
         f"skewed: {src} -> {out} (events {event_frac_pct}%->user "
-        f"{hot_user}, orders {order_frac_pct}%->cust {hot_cust}, "
-        f"customers {cust_frac_pct}%->nation {hot_nation})"
+        f"{hot_user} + funnel-cap bot user {FUNNEL_BOT_USER}, orders "
+        f"{order_frac_pct}%->cust {hot_cust}, customers "
+        f"{cust_frac_pct}%->nation {hot_nation}, docs "
+        f"{doc_frac_pct}%->one near-dup cluster)"
     )
 
 
