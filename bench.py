@@ -350,8 +350,19 @@ def main() -> None:
     # extended tier: one warmup + min-of-2 timed passes per query (see
     # EXTENDED doc comment). Runs AFTER the headline timings so its
     # load never pollutes the comparable series.
+    # per-phase walls of the mart lifecycle (round-10 verdict #2: the
+    # slot's wall grew across rounds as legs were added — the breakdown
+    # makes scope growth separable from regression). Captured from the
+    # SAME pass whose wall is reported, so the phases always sum to
+    # less than the recorded slot wall (the returned join runs lazily
+    # under the noop write).
+    from sports_stats_data_pipeline_spark.plans.advanced import (
+        MART_PHASE_WALLS,
+    )
+
     extended: dict[str, float] = {}
     ext_jobs: dict[str, int] = {}
+    mart_phases: dict[str, float] = {}
     tracker = spark.sparkContext.statusTracker()
     for name in EXTENDED:
         fn = reg.queries[name]
@@ -359,35 +370,28 @@ def main() -> None:
         spark.catalog.clearCache()
         best = float("inf")
         for i in range(2):
-            # job-group the final timed pass to COUNT the slot's Spark
-            # jobs (AQE stages land as separate jobs): the structural
-            # input to the constant-netted ratios below — a slot's
-            # fixed cost is n_jobs x the per-job constant, not one
-            # constant (round-10 verdict #6).
-            grp = f"bench_ext_{name}_{run_id}" if i == 1 else None
-            if grp:
-                spark.sparkContext.setJobGroup(grp, name)
+            # job-group EACH timed pass to COUNT the slot's Spark jobs
+            # (AQE stages land as separate jobs): the structural input
+            # to the constant-netted ratios below — a slot's fixed cost
+            # is n_jobs x the per-job constant, not one constant
+            # (round-10 verdict #6). The job count (and the mart phase
+            # dict) is taken from the pass whose wall is the reported
+            # min, never mixed across passes.
+            grp = f"bench_ext_{name}_{run_id}_{i}"
+            spark.sparkContext.setJobGroup(grp, name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            if grp:
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
                 ext_jobs[name] = len(tracker.getJobIdsForGroup(grp))
-                spark.sparkContext.setJobGroup(
-                    f"bench_idle_{run_id}", "between slots"
-                )
+                if name == "incremental_mart_maintenance":
+                    mart_phases = dict(MART_PHASE_WALLS)
+            spark.sparkContext.setJobGroup(
+                f"bench_idle_{run_id}", "between slots"
+            )
             spark.catalog.clearCache()
         extended[name] = round(best, 3)
-
-    # per-phase breakdown of the mart lifecycle's LAST timed invocation
-    # (round-10 verdict #2: the slot's wall grew across rounds as legs
-    # were added — the breakdown makes scope growth separable from
-    # regression). The phases sum to less than the slot wall: the
-    # returned join runs lazily under the noop write.
-    from sports_stats_data_pipeline_spark.plans.advanced import (
-        MART_PHASE_WALLS,
-    )
-
-    mart_phases = dict(MART_PHASE_WALLS)
 
     # same-session DuckDB calibration over ALL extended slots (round-9
     # verdict #3: the 9 formerly-uncalibrated slots now gate

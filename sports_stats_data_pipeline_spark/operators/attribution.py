@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 __all__ = ["attribute_conversions"]
@@ -105,6 +105,17 @@ def attribute_conversions(
         raise ValueError("max_touches_per_conversion must be >= 1")
     if max_events_per_user is not None and max_events_per_user < 1:
         raise ValueError("max_events_per_user must be >= 1")
+    if max_events_per_user is None and isinstance(
+        exclusion_metric, Observation
+    ):
+        # an Observation that never attaches to a plan blocks forever
+        # on .get — refuse loudly instead (the guard is off, so there
+        # is no exclusion count to observe)
+        raise ValueError(
+            "exclusion_metric=Observation requires max_events_per_user "
+            "to be set — with the guard disabled the metric would "
+            "never attach and Observation.get would block forever"
+        )
 
     # Bot guard (round-10 skew finding): the conv x touch pairing is
     # quadratic PER USER, and max_touches_per_conversion only trims the

@@ -656,6 +656,37 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (duplicate-heavy corpora should be exact-deduped first).
 # --------------------------------------------------------------------------
 _MINHASH_BUCKET_CAP = 64
+#: signature width / rows-per-band of the neardup family's LSH banding
+#: (4 bands x 2 rows over 8 hashes) — referenced by name everywhere the
+#: banding is (re)built, incl. _minhash_band_relation, so the scale
+#: harness can never band with stale parameters.
+_MINHASH_HASHES = 8
+_MINHASH_BAND_ROWS = 2
+
+
+def _minhash_band_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — exactly the banding relation
+    neardup_minhash_pairs buckets on, rebuilt standalone (no persist,
+    no cap) for observers: the skew harness' caps-bind guard
+    (tests/test_scale_replica.py) counts over-cap buckets on it, and a
+    100 TB deployment would log the same relation's bucket-size
+    distribution as the skipped-bucket data-quality metric."""
+    return (
+        docs.select("doc_id", shingles("text").alias("shingles"))
+        .select("doc_id", shingle_hashes(F.col("shingles")).alias("sh_h"))
+        .select(
+            "doc_id",
+            *minhash_signature_from_hashes(
+                F.col("sh_h"), _MINHASH_HASHES
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*band_keys(_MINHASH_HASHES, _MINHASH_BAND_ROWS))
+            ).alias("band_key"),
+        )
+    )
 
 _NEARDUP_DOCS_SQL = """
       SELECT doc_id, text FROM documents
@@ -833,8 +864,14 @@ def _minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     )
     sh = sig.select("doc_id", "shingles")
     banded = sig.select(
-        "doc_id", *minhash_signature_from_hashes(F.col("sh_h"), 8)
-    ).select("doc_id", F.explode(F.array(*band_keys(8, 2))).alias("band_key"))
+        "doc_id",
+        *minhash_signature_from_hashes(F.col("sh_h"), _MINHASH_HASHES),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(*band_keys(_MINHASH_HASHES, _MINHASH_BAND_ROWS))
+        ).alias("band_key"),
+    )
     # skew guard (see module comment): super-buckets never reach the join.
     # persist: the capped relation feeds BOTH sides of the self-join —
     # without the boundary the hot-key aggregate + anti-join run twice.
@@ -1514,7 +1551,13 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be deleted before returning. The checkpoint blocks are
     # reclaimed by Spark's ContextCleaner once the returned DataFrame
     # is garbage-collected, so repeated bench/driver invocations do not
-    # accumulate them for the session lifetime.
+    # accumulate them for the session lifetime. Accepted trade for a
+    # <= 24-row relation: localCheckpoint blocks are NOT recomputable
+    # after the index directory is removed, so on a multi-executor
+    # cluster an executor loss between here and the consumer's action
+    # fails the query instead of recomputing (a real deployment keeps
+    # the index until the results are consumed, or persists them to a
+    # table).
     import shutil
     import tempfile
 

@@ -249,3 +249,9 @@ def test_bot_guard_exclusion_is_observable(spark):
         exclusion_metric=None,
     )
     assert "CollectMetrics" not in out_off._jdf.queryExecution().toString()
+    # an Observation with the guard DISABLED would never attach and
+    # .get would block forever — refused loudly instead
+    with pytest.raises(ValueError, match="exclusion_metric"):
+        attribute_conversions(
+            df, max_events_per_user=None, exclusion_metric=Observation()
+        )

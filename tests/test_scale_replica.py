@@ -415,30 +415,17 @@ def test_skew_docs_caps_bind(spark):
     corpus is the SKEW_HEAVY tier of test_skew_parity.)"""
     from pyspark.sql import functions as F
 
-    from sports_stats_data_pipeline_spark.functions.text import (
-        band_keys,
-        minhash_signature_from_hashes,
-        shingle_hashes,
-        shingles,
-    )
     from sports_stats_data_pipeline_spark.plans.documents import (
         _MINHASH_BUCKET_CAP,
+        _minhash_band_relation,
         _neardup_docs,
     )
 
     docs = _neardup_docs(spark, SKEW_DIR)
     n = docs.count()
-    banded = (
-        docs.select("doc_id", shingles("text").alias("shingles"))
-        .select("doc_id", shingle_hashes(F.col("shingles")).alias("sh_h"))
-        .select(
-            "doc_id", *minhash_signature_from_hashes(F.col("sh_h"), 8)
-        )
-        .select(
-            "doc_id",
-            F.explode(F.array(*band_keys(8, 2))).alias("band_key"),
-        )
-    )
+    # the plan's OWN banding construction (shared helper) — this guard
+    # can never observe a stale signature width / band shape
+    banded = _minhash_band_relation(docs)
     over = (
         banded.groupBy("band_key")
         .count()

@@ -113,10 +113,17 @@ def render(rec: dict) -> str:
         # is Spark's per-job constant, not data work — marked ⁴ with the
         # measured sweep rendered below. Same own-field-only rule as ³.
         fixed = rec.get("extended_fixed_overhead") or {}
+        # round 11: job-constant-netted ratios (wall minus the slot's
+        # measured n_jobs x per-job constant) — the mechanical form of
+        # the fixed-overhead argument; rendered as an extra column when
+        # the record carries them, omitted for older records.
+        netted = rec.get("extended_ratios_netted") or {}
+        jobs = rec.get("extended_job_counts") or {}
+        net_hdr = " netted⁵ |" if netted else ""
         lines += [
             "",
-            "| Extended (composites) | Spark | DuckDB | ratio |",
-            "|---|---|---|---|",
+            f"| Extended (composites) | Spark | DuckDB | ratio |{net_hdr}",
+            "|---|---|---|---|" + ("---|" if netted else ""),
         ]
         for name, s in ext.items():
             d = ext_duck.get(name)
@@ -126,8 +133,17 @@ def render(rec: dict) -> str:
             d_cell = (
                 f"{max(d, _TINY):.2f} s{mark}" if d is not None else "—"
             )
+            net_cell = ""
+            if netted:
+                nv = netted.get(name)
+                net_cell = (
+                    f" {nv:.2f}× ({jobs.get(name, '?')} jobs) |"
+                    if nv is not None
+                    else " — |"
+                )
             lines.append(
                 f"| {name} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
+                + net_cell
             )
         ext_ratio = rec.get("extended_ratio")
         ext_total_d = rec.get("extended_duckdb_total")
@@ -192,6 +208,17 @@ def render(rec: dict) -> str:
             )
             for name in fixed_marked:
                 lines.append(f"  - `{name}`: {fixed[name]}")
+        if netted:
+            pjc = rec.get("per_job_constant")
+            lines.append("")
+            lines.append(
+                "⁵ netted = (Spark wall − n_jobs × measured per-job "
+                f"constant{f' of {pjc:.3f} s' if pjc else ''}) / DuckDB "
+                "wall — the slot's data-term ratio upper bound after "
+                "removing Spark's fixed per-job scheduling cost (job "
+                "counts measured per slot via job groups; AQE stages "
+                "run as separate jobs)."
+            )
     return "\n".join(lines)
 
 
