@@ -76,6 +76,11 @@ REPLICA_QUERIES = [
     # AS MATERIALIZED so the referee pays each explode once.
     "corpus_quality_filter",
     "span_redaction_stats",
+    # round 11: url's plan fused to a single exchange (window stats +
+    # in-plan contract) — changed shape joins the gate per the same
+    # rule. span_redaction_stats also changed shape in round 11 (the
+    # groupBy+join -> one-window-over-h rewrite) and stays listed.
+    "url_domain_curation",
 ]
 REPLICA_HEAVY = [
     "neardup_minhash_pairs",
