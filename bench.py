@@ -200,6 +200,18 @@ EXTENDED_FIXED_OVERHEAD = {
         "wall flat at 2.20/1.84/1.94 s across sf0.001/0.01/0.1 — "
         "per-job constant dominates the prefix-sum shard layout"
     ),
+    # round 11, after the single-window rewrites (span: one shuffle of
+    # the exploded shingle relation; url: one exchange, zero joins —
+    # plan shapes re-validated value-exact at 100x replica)
+    "span_redaction_stats": (
+        "wall flat at 1.05/0.75/1.17 s across sf0.001/0.01/0.1 — "
+        "per-job constant dominates the one-window shingle filter"
+    ),
+    "url_domain_curation": (
+        "wall flat at 0.54/0.52/0.70 s across sf0.001/0.01/0.1 — "
+        "per-job constant dominates the single-exchange fusion "
+        "(3 Spark jobs total)"
+    ),
 }
 
 _TABLES = (
