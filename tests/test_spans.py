@@ -162,3 +162,66 @@ def test_spans_are_maximal_islands_not_fragments(spark):
     for d, spans in got.items():
         for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
             assert s2 > e1, (d, spans)  # strictly separated islands
+
+
+# ---------------------------------------------------------------------------
+# Property: the docstring THEOREM, randomized. duplicate_spans must equal
+# a brute-force reference that flags every k-window whose gram appears in
+# >= 2 distinct docs and merges chained windows (gap-and-islands) — the
+# "union of maximal cross-document repeats, token-exact boundaries"
+# claim, exercised across random corpora from a tiny vocabulary (dense
+# repeats, boundary merges, sub-k near-misses). Round 11, after the
+# groupBy+join -> one-window-over-h rewrite.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["a", "b", "c", "d", "e", "f", "g", "h"]
+_CORPUS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=18),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _ref_spans(token_docs, k):
+    """Pure-Python duplicate_spans: tuple-gram counting (no hashes),
+    same window-chaining rule (new span when pos > prev + k)."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    for d, ts in token_docs:
+        for i in range(max(len(ts) - k + 1, 0)):
+            grams[tuple(ts[i : i + k])].add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = set()
+    for d, ts in token_docs:
+        spans = []  # [start, last_pos, n_windows]
+        for p in range(max(len(ts) - k + 1, 0)):
+            if tuple(ts[p : p + k]) not in dup:
+                continue
+            if spans and p <= spans[-1][1] + k:
+                spans[-1][1] = p
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p, 1])
+        out |= {(d, s, last + k, nw) for s, last, nw in spans}
+    return out
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus=_CORPUS)
+def test_duplicate_spans_equals_bruteforce_reference(spark, corpus):
+    token_docs = list(enumerate(corpus))
+    df = spark.createDataFrame(
+        [(d, " ".join(ts)) for d, ts in token_docs],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(df, k=K).collect()
+    }
+    assert got == _ref_spans(token_docs, K)
