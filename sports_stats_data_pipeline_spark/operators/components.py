@@ -76,42 +76,48 @@ def connected_components(
     # plain DataFrame.unpersist is a silent no-op on localCheckpoint
     # state (operators/iterutil.py) — each round frees the previous
     # round's blocks through the explicit handle instead.
-    from .iterutil import eager_checkpoint
+    from .iterutil import eager_checkpoint, no_aqe
 
     free_labels = labels.unpersist
 
     try:
-        for _ in range(max_rounds):
-            # candidate labels flowing across edges this round
-            prop = sym.join(
-                labels.withColumnRenamed("id", "u"), "u"
-            ).select(F.col("v").alias("id"), "lbl")
-            new_labels, free_new = eager_checkpoint(
-                labels.unionByName(prop)
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"))
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            free_labels()
-            labels = new_labels
-            free_labels = free_new
-            if changed == 0:
-                # the final round's blocks stay pinned: the returned
-                # relation reads them
-                return labels.select(
-                    F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+        # AQE OFF for the micro-round loop (iterutil.no_aqe): ~2x fewer
+        # driver-sync jobs per round, bit-identical labels (min() is
+        # plan-independent); the corpus-sized pair generation upstream
+        # stays under AQE.
+        with no_aqe(nodes.sparkSession):
+            for _ in range(max_rounds):
+                # candidate labels flowing across edges this round
+                prop = sym.join(
+                    labels.withColumnRenamed("id", "u"), "u"
+                ).select(F.col("v").alias("id"), "lbl")
+                new_labels, free_new = eager_checkpoint(
+                    labels.unionByName(prop)
+                    .groupBy("id")
+                    .agg(F.min("lbl").alias("lbl"))
                 )
-        free_labels()
-        raise RuntimeError(
-            f"connected_components: no fixpoint within {max_rounds} rounds "
-            "(component diameter too deep — use small-star/large-star)"
-        )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.lbl") != F.col("o.lbl"))
+                    .limit(1)
+                    .count()
+                )
+                free_labels()
+                labels = new_labels
+                free_labels = free_new
+                if changed == 0:
+                    # the final round's blocks stay pinned: the returned
+                    # relation reads them
+                    return labels.select(
+                        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+                    )
+            free_labels()
+            raise RuntimeError(
+                f"connected_components: no fixpoint within {max_rounds} "
+                "rounds (component diameter too deep — use small-star/"
+                "large-star)"
+            )
     finally:
         sym.unpersist()
 
@@ -153,65 +159,68 @@ def connected_components_star(
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
-    from .iterutil import eager_checkpoint
+    from .iterutil import eager_checkpoint, no_aqe
 
     E, free_e = eager_checkpoint(E)
-    for _ in range(max_rounds):
-        # ---- large-star: emit (v, m(u)) for every v ∈ Γ(u), v > u
-        sym = E.unionByName(
-            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m = sym.groupBy("u").agg(
-            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
-        )
-        large = (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # ---- small-star on downward-oriented edges: (u and every
-        # smaller neighbor) all point at the group minimum
-        down = (
-            large.filter(F.col("u") != F.col("v"))
-            .select(
-                F.greatest("u", "v").alias("u"),
-                F.least("u", "v").alias("v"),
+    # AQE OFF for the contraction rounds (iterutil.no_aqe — same
+    # rationale and bit-identical-output argument as the hash-min loop)
+    with no_aqe(nodes.sparkSession):
+        for _ in range(max_rounds):
+            # ---- large-star: emit (v, m(u)) for every v ∈ Γ(u), v > u
+            sym = E.unionByName(
+                E.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .distinct()
-        )
-        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
-        new_e, free_new = eager_checkpoint(
-            down.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m2.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # fixpoint = edge set unchanged (both canonical downward
-        # sets; two existence probes, LIMIT 1 each, not full counts)
-        stable = (
-            new_e.join(E, ["u", "v"], "left_anti").limit(1).count() == 0
-            and E.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
-        )
-        # new_e is materialized — safe to drop the previous round's
-        # blocks (explicit handle; DataFrame.unpersist would silently
-        # no-op on checkpoint state). The FINAL E must stay cached: the
-        # returned DataFrame reads its checkpointed blocks.
-        free_e()
-        E = new_e
-        free_e = free_new
-        if stable:
-            roots = E.groupBy("u").agg(F.min("v").alias("cluster_id"))
-            return (
-                nodes.select(F.col(id_col).alias("id"))
-                .join(roots.withColumnRenamed("u", "id"), "id", "left")
+            m = sym.groupBy("u").agg(
+                F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+            )
+            large = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # ---- small-star on downward-oriented edges: (u and every
+            # smaller neighbor) all point at the group minimum
+            down = (
+                large.filter(F.col("u") != F.col("v"))
                 .select(
-                    F.col("id").alias(id_col),
-                    F.coalesce("cluster_id", F.col("id")).alias(
-                        "cluster_id"
-                    ),
+                    F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"),
                 )
+                .distinct()
             )
+            m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+            new_e, free_new = eager_checkpoint(
+                down.join(m2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # fixpoint = edge set unchanged (both canonical downward
+            # sets; two existence probes, LIMIT 1 each, not full counts)
+            stable = (
+                new_e.join(E, ["u", "v"], "left_anti").limit(1).count() == 0
+                and E.join(new_e, ["u", "v"], "left_anti").limit(1).count() == 0
+            )
+            # new_e is materialized — safe to drop the previous round's
+            # blocks (explicit handle; DataFrame.unpersist would silently
+            # no-op on checkpoint state). The FINAL E must stay cached: the
+            # returned DataFrame reads its checkpointed blocks.
+            free_e()
+            E = new_e
+            free_e = free_new
+            if stable:
+                roots = E.groupBy("u").agg(F.min("v").alias("cluster_id"))
+                return (
+                    nodes.select(F.col(id_col).alias("id"))
+                    .join(roots.withColumnRenamed("u", "id"), "id", "left")
+                    .select(
+                        F.col("id").alias(id_col),
+                        F.coalesce("cluster_id", F.col("id")).alias(
+                            "cluster_id"
+                        ),
+                    )
+                )
     free_e()
     raise RuntimeError(
         f"connected_components_star: no fixpoint within {max_rounds} "

@@ -148,63 +148,68 @@ def _loop(
                 ).alias("rank"),
             )
         )
-    from .iterutil import eager_checkpoint
+    from .iterutil import eager_checkpoint, no_aqe
 
     ranks, free_prev = eager_checkpoint(ranks)
-    for _ in range(iterations):
-        # dangling mass rides the plan as a broadcast 1-row aggregate
-        # (round 6: it used to be a .collect() — one extra driver-sync
-        # job per iteration on top of the checkpoint's; folding it in
-        # halves the per-round job count). The arithmetic is kept
-        # IDENTICAL to the collected form: fixed mode computes
-        # (s * d_num) div (d_den * n) on BIGINTs (floor == truncate for
-        # the non-negative mass), float mode damping * s / n in the
-        # same IEEE op order — so fixed-point results stay bit-exact
-        # and the cross-engine oracle equality holds unchanged.
-        dang_df = ranks.filter("dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("__dang")
-        )
-        if fixed:
-            dang_share = F.expr(
-                f"(__dang * {d_num}) div ({d_den} * {n}L)"
+    # AQE OFF for the micro-round loop (iterutil.no_aqe: AQE runs every
+    # exchange of every round's action as its own bookkeeping job --
+    # measured 44 -> 21 jobs / 6.9 -> 5.3 s for 5 fixed-point rounds at
+    # sf0.1, bit-identical output, hash-verified A/B).
+    with no_aqe(nodes.sparkSession):
+        for _ in range(iterations):
+            # dangling mass rides the plan as a broadcast 1-row aggregate
+            # (round 6: it used to be a .collect() — one extra driver-sync
+            # job per iteration on top of the checkpoint's; folding it in
+            # halves the per-round job count). The arithmetic is kept
+            # IDENTICAL to the collected form: fixed mode computes
+            # (s * d_num) div (d_den * n) on BIGINTs (floor == truncate for
+            # the non-negative mass), float mode damping * s / n in the
+            # same IEEE op order — so fixed-point results stay bit-exact
+            # and the cross-engine oracle equality holds unchanged.
+            dang_df = ranks.filter("dangling").agg(
+                F.coalesce(F.sum("rank"), F.lit(0).cast(rank_t)).alias("__dang")
             )
-            # `div`, not `/`: BIGINT `/` is DOUBLE division in Spark and
-            # floor(double) stops being exact past 2^53 — the whole
-            # point of this variant is order/engine-independent integers.
-            contrib = F.expr(f"(rank * {d_num}) div ({d_den} * out_deg)")
-        else:
-            dang_share = F.lit(damping) * F.col("__dang") / F.lit(n)
-            contrib = F.col("rank") * damping / F.col("out_deg")
-        sums = (
-            contrib_edges.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
-            )
-            .select(F.col("dst").alias("node"), contrib.alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        new_ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(dang_df))
-            .select(
-                "node",
-                "dangling",
-                (
-                    base
-                    + dang_share
-                    + F.coalesce(F.col("in_sum"), F.lit(0).cast(rank_t))
+            if fixed:
+                dang_share = F.expr(
+                    f"(__dang * {d_num}) div ({d_den} * {n}L)"
                 )
-                .cast(rank_t)
-                .alias("rank"),
+                # `div`, not `/`: BIGINT `/` is DOUBLE division in Spark and
+                # floor(double) stops being exact past 2^53 — the whole
+                # point of this variant is order/engine-independent integers.
+                contrib = F.expr(f"(rank * {d_num}) div ({d_den} * out_deg)")
+            else:
+                dang_share = F.lit(damping) * F.col("__dang") / F.lit(n)
+                contrib = F.col("rank") * damping / F.col("out_deg")
+            sums = (
+                contrib_edges.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src"
+                )
+                .select(F.col("dst").alias("node"), contrib.alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
             )
-        )
-        ranks, free_new = eager_checkpoint(new_ranks)
-        # really release the previous round's checkpoint blocks —
-        # DataFrame.unpersist() is a no-op on localCheckpoint state
-        # (operators/iterutil.py); the FINAL round's blocks stay pinned
-        # because the returned relation reads them.
-        free_prev()
-        free_prev = free_new
+            new_ranks = (
+                nodes.join(sums, "node", "left")
+                .crossJoin(F.broadcast(dang_df))
+                .select(
+                    "node",
+                    "dangling",
+                    (
+                        base
+                        + dang_share
+                        + F.coalesce(F.col("in_sum"), F.lit(0).cast(rank_t))
+                    )
+                    .cast(rank_t)
+                    .alias("rank"),
+                )
+            )
+            ranks, free_new = eager_checkpoint(new_ranks)
+            # really release the previous round's checkpoint blocks —
+            # DataFrame.unpersist() is a no-op on localCheckpoint state
+            # (operators/iterutil.py); the FINAL round's blocks stay pinned
+            # because the returned relation reads them.
+            free_prev()
+            free_prev = free_new
     out = ranks.select("node", "rank")
     nodes.unpersist()
     contrib_edges.unpersist()
