@@ -227,7 +227,16 @@ def _per_job_constant(spark, passes: int = 5) -> float:
     dominated by k x this constant, not by data work (the round-10
     sf0.001->0.1 sweeps measured flat walls) — recording the constant
     per run lets the netted ratios below separate fixed cost from plan
-    cost mechanically instead of in prose."""
+    cost mechanically instead of in prose.
+
+    Two untimed warmup passes first: the session's FIRST noop actions
+    pay one-off classloading/JIT (measured: a cold start sample read
+    0.0399 s where every later sample read 0.012-0.022 s — a 3.4x
+    artifact that poisoned the start/mid/end spread gate), and the
+    quantity being estimated is the steady-state scheduling constant
+    the slots actually pay."""
+    for _ in range(2):
+        spark.range(0).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
@@ -372,14 +381,29 @@ def main() -> None:
         MART_PHASE_WALLS,
     )
 
+    # mid-run constant sample: with start (above) and end (below) it
+    # gives the drift series start/mid/end; the round-11 record showed
+    # a 3.7x drift between just two samples, which made every netted
+    # ratio depend on WHICH sample happened to be the min. The netting
+    # below therefore uses a PER-SLOT constant measured adjacent to
+    # that slot's own timed pass (round-11 verdict #4) — the start/mid/
+    # end trio remains as the whole-run drift record (median + spread).
+    per_job_constant_mid = _per_job_constant(spark)
+
     extended: dict[str, float] = {}
     ext_jobs: dict[str, int] = {}
+    ext_slot_constant: dict[str, float] = {}
     mart_phases: dict[str, float] = {}
     tracker = spark.sparkContext.statusTracker()
     for name in EXTENDED:
         fn = reg.queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        # adjacent constant: sampled between this slot's warmup and its
+        # timed passes, so it sees the same host state the slot's wall
+        # does (3 noop passes ~ tens of ms — negligible next to any
+        # slot, and it does not ride inside the timed window)
+        ext_slot_constant[name] = _per_job_constant(spark, passes=3)
         best = float("inf")
         for i in range(2):
             # job-group EACH timed pass to COUNT the slot's Spark jobs
@@ -461,16 +485,43 @@ def main() -> None:
     # netting uses the conservative (smaller) of the two samples, so a
     # netted ratio is still an upper bound on the data-term ratio.
     per_job_constant_end = _per_job_constant(spark)
-    net_c = min(per_job_constant, per_job_constant_end)
+    # whole-run drift record: median is the headline number, spread
+    # (max/min) is the stability gate the netted ratios used to lack
+    # (round-11 verdict #4 — a 3.7x two-sample drift made netting
+    # depend on sampling luck). Netting itself now uses each slot's
+    # ADJACENT constant, so the spread is a host-state observation,
+    # not an input to any ratio.
+    _samples = sorted(
+        [per_job_constant, per_job_constant_mid, per_job_constant_end]
+    )
+    per_job_constant_median = _samples[1]
+    per_job_constant_spread = (
+        round(_samples[-1] / _samples[0], 2) if _samples[0] > 0 else None
+    )
+    # conservative fallback only — every EXTENDED slot records its own
+    # adjacent constant in the loop above
+    net_c_run = _samples[0]
+    # Membership, not truthiness (round-11 ADVICE): a slot whose DuckDB
+    # wall rounds to 0.0 must still get a netted ratio (divisor floored
+    # at the renderer's _TINY convention), and a slot missing from the
+    # calibration must land in the dropped record, never vanish.
+    _TINY = 0.0005
     netted_ratios = {
         n: round(
-            max(extended[n] - ext_jobs.get(n, 1) * net_c, 0.0)
-            / ext_duck[n],
+            max(
+                extended[n]
+                - ext_jobs.get(n, 1) * ext_slot_constant.get(n, net_c_run),
+                0.0,
+            )
+            / max(ext_duck[n], _TINY),
             3,
         )
         for n in EXTENDED
-        if n in extended and ext_duck.get(n)
+        if n in extended and n in ext_duck
     }
+    netted_dropped = sorted(
+        n for n in EXTENDED if n in extended and n not in ext_duck
+    )
 
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the JSON line out of that tail (round 9 lost its bench record when
@@ -490,14 +541,20 @@ def main() -> None:
         "extended_ratio_r8_subset": ext_ratio_r8,
         "extended_ratio_full": ext_ratio_full,
         "load_avg_1m": load_1m,
-        "per_job_constant": per_job_constant,
+        "per_job_constant": per_job_constant_median,
+        "per_job_constant_spread": per_job_constant_spread,
         "run_id": run_id,
         "sf": sf,
         "details": "BENCH_DETAILS.json",
     }
     details = dict(
         summary,
+        per_job_constant_start=per_job_constant,
+        per_job_constant_mid=per_job_constant_mid,
         per_job_constant_end=per_job_constant_end,
+        per_job_constant_median=per_job_constant_median,
+        per_job_constant_spread=per_job_constant_spread,
+        extended_slot_constants=ext_slot_constant,
         duckdb_queries=duck,
         extended_queries=extended,
         extended_duckdb_queries=ext_duck,
@@ -506,6 +563,7 @@ def main() -> None:
         extended_duckdb_total_full=ext_duck_full,
         extended_job_counts=ext_jobs,
         extended_ratios_netted=netted_ratios,
+        extended_ratios_netted_dropped=netted_dropped,
         mart_phase_walls=mart_phases,
         extended_asymmetric=EXTENDED_ASYMMETRIC,
         extended_fixed_overhead=EXTENDED_FIXED_OVERHEAD,

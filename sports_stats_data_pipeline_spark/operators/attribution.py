@@ -42,6 +42,7 @@ Scale design (100 TB event log):
 
 from __future__ import annotations
 
+import itertools
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Observation, Window
@@ -50,6 +51,14 @@ from pyspark.sql import functions as F
 __all__ = ["attribute_conversions"]
 
 FULL_BP = 10_000
+
+# Observed-metric names must be unique within one query; the DEFAULT
+# name is auto-uniquified with this per-process counter so two default
+# attributions composed into one plan (e.g. a union) don't collide
+# with a duplicate-observed-metric AnalysisException (round-11 ADVICE).
+# Callers who pass an explicit string own its uniqueness.
+_DEFAULT_METRIC = "attribution_excluded_users"
+_metric_seq = itertools.count()
 
 
 def attribute_conversions(
@@ -84,15 +93,22 @@ def attribute_conversions(
     excluding — only the threshold value is shared.
 
     Exclusion is never silent: an observed metric (``df.observe`` /
-    CollectMetrics — computed by the same action that runs the query,
-    zero extra jobs) named ``exclusion_metric`` reports
+    CollectMetrics) named ``exclusion_metric`` reports
     ``excluded_users``, the number of accounts the cap dropped. Pass a
     ``pyspark.sql.Observation`` to read it programmatically
-    (``obs.get["excluded_users"]`` after any action on the result), a
-    string to surface it to QueryExecutionListeners / the Spark UI, or
+    (``obs.get["excluded_users"]`` after any action on the result —
+    guaranteed to land even when the result is runtime-empty, at the
+    cost of one extra tiny aggregate stage; see the in-body comment),
+    a string to surface it to QueryExecutionListeners / the Spark UI
+    zero-extra-cost (telemetry-grade: absent from executions whose
+    result AQE folds to empty at runtime), or
     ``None`` to disable. Observed-metric names must be unique within
-    one query — compose two attributions in a single plan by giving
-    each its own name.
+    one query; the DEFAULT name is auto-uniquified with a per-process
+    counter suffix so composing two default attributions in one plan
+    (e.g. a union) just works — an explicitly-passed name is used
+    verbatim, and its uniqueness is the caller's to manage. With the
+    guard on but zero relevant events, ``excluded_users`` reads 0
+    (never NULL).
 
     Returns (conv_id, user, conv_us, touch_id, touch_us, touch_type,
     n_touches, touch_rank, first_touch_bp, last_touch_bp, linear_bp,
@@ -141,21 +157,51 @@ def attribute_conversions(
             .groupBy(F.col(user).alias("__u"))
             .agg(F.count(F.lit(1)).alias("__n"))
         )
-        if exclusion_metric is not None:
-            # CollectMetrics over the per-user counts: rides the same
-            # action as the query itself (no extra job), and makes the
-            # cap's row loss detectable (round-10 ADVICE) instead of
-            # users silently vanishing from the output.
-            counts = counts.observe(
-                exclusion_metric,
-                F.sum(
-                    (F.col("__n") > max_events_per_user).cast("long")
+        counts_raw = counts
+        want_obs = isinstance(exclusion_metric, Observation)
+        if exclusion_metric is not None and not want_obs:
+            # String-named telemetry metric: CollectMetrics over the
+            # per-user counts — rides the same action as the query
+            # itself (no extra job) and makes the cap's row loss
+            # detectable (round-10 ADVICE) instead of users silently
+            # vanishing. The default name gets a per-process suffix so
+            # two default-named attributions compose in one plan;
+            # coalesce because SUM over an empty counts relation is
+            # NULL, and "no relevant events" must read 0, not None.
+            # The range(1) sentinel (NULL key — can never equi-match
+            # the semi join; __n=0 — never counts as excluded) keeps
+            # the node from being statically folded away over an empty
+            # input. CAVEAT (telemetry-grade by design): if the QUERY
+            # RESULT is empty at runtime, AQE's empty-relation
+            # propagation can remove this branch from the final plan
+            # and the metric is simply absent from that execution —
+            # listeners must treat absence as "not observed". The
+            # Observation path below pays one extra tiny aggregate to
+            # guarantee delivery instead.
+            name = exclusion_metric
+            if name == _DEFAULT_METRIC:
+                name = f"{_DEFAULT_METRIC}_{next(_metric_seq)}"
+            utype = events.schema[user].dataType.simpleString()
+            sentinel = events.sparkSession.range(1).select(
+                F.lit(None).cast(utype).alias("__u"),
+                F.lit(0).cast("long").alias("__n"),
+            )
+            counts = counts.unionByName(sentinel).observe(
+                name,
+                F.coalesce(
+                    F.sum(
+                        (F.col("__n") > max_events_per_user).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
                 ).alias("excluded_users"),
             )
         eligible = counts.filter(F.col("__n") <= max_events_per_user).select(
             F.col("__u").alias(user)
         )
         events = events.join(eligible, user, "left_semi")
+    else:
+        counts_raw = None
+        want_obs = False
 
     conv = events.filter(F.col(event_type) == conversion_type).select(
         F.col(user).alias("user"),
@@ -194,7 +240,7 @@ def attribute_conversions(
         .when((rk == 1) | (rk == n), F.lit(4_000))
         .otherwise(F.expr("2000 div (n_touches - 2)"))
     )
-    return (
+    out = (
         pairs.withColumn("n_touches", n)
         .select(
             "conv_id",
@@ -211,3 +257,50 @@ def attribute_conversions(
             position_bp.cast("long").alias("position_bp"),
         )
     )
+    if want_obs:
+        # Observation is a PROGRAMMATIC contract — .get must return
+        # after any action, never block or error. An observe buried on
+        # the counts branch cannot promise that: when the query result
+        # is empty at runtime, AQE's empty-relation propagation folds
+        # the join and the CollectMetrics node vanishes from the final
+        # plan, losing the already-accumulated row (measured: raw
+        # metrics row reads [] with AQE on, [0] with it off). A
+        # CollectMetrics node at the TOP of the plan over a
+        # never-empty child survives (measured), so: compute the
+        # excluded count as a 1-row global aggregate over counts
+        # (ReuseExchange dedupes the counts shuffle with the eligible
+        # leg's — the extra cost is one tiny stage, accepted for
+        # delivery), pad it into the output relation as one marker
+        # row, observe max() over the union, then filter the marker
+        # back out. Global aggregates always emit exactly one row, so
+        # the union is never empty and the metric always lands.
+        excl = counts_raw.agg(
+            F.coalesce(
+                F.sum((F.col("__n") > max_events_per_user).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("__excl")
+        )
+        pad = excl.select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out.schema.fields
+            ],
+            F.col("__excl"),
+            F.lit(1).alias("__pad"),
+        )
+        observed = (
+            out.select(
+                "*",
+                F.lit(None).cast("long").alias("__excl"),
+                F.lit(0).alias("__pad"),
+            )
+            .unionByName(pad)
+            .observe(
+                exclusion_metric,
+                F.coalesce(F.max("__excl"), F.lit(0).cast("long")).alias(
+                    "excluded_users"
+                ),
+            )
+        )
+        out = observed.filter(F.col("__pad") == 0).drop("__excl", "__pad")
+    return out

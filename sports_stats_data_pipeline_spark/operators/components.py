@@ -65,26 +65,31 @@ def connected_components(
     means the input is not a dedup-cluster graph and the small-star/
     large-star variant (module docstring) should be used instead.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .persist()
-    )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).persist()
     # plain DataFrame.unpersist is a silent no-op on localCheckpoint
     # state (operators/iterutil.py) — each round frees the previous
     # round's blocks through the explicit handle instead.
     from .iterutil import eager_checkpoint, no_aqe
 
-    free_labels = labels.unpersist
+    # Materialize sym and the initial labels EAGERLY, BEFORE the no_aqe
+    # scope below: the first round's action is otherwise the first
+    # evaluation of both, which would run the corpus-sized upstream
+    # (near-dup pair generation feeding ``edges``) with AQE off and
+    # lose its skew-join handling at scale (round-11 ADVICE). With the
+    # checkpoint here, only the bounded per-round state joins run
+    # inside the scope — exactly what the scope's rationale claims.
+    sym, free_sym = eager_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    )
+    labels, free_labels = eager_checkpoint(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    )
 
     try:
         # AQE OFF for the micro-round loop (iterutil.no_aqe): ~2x fewer
         # driver-sync jobs per round, bit-identical labels (min() is
         # plan-independent); the corpus-sized pair generation upstream
-        # stays under AQE.
+        # was materialized above, under AQE.
         with no_aqe(nodes.sparkSession):
             for _ in range(max_rounds):
                 # candidate labels flowing across edges this round
@@ -119,7 +124,7 @@ def connected_components(
                 "large-star)"
             )
     finally:
-        sym.unpersist()
+        free_sym()
 
 
 def connected_components_star(

@@ -108,16 +108,35 @@ def duplicate_spans(
     # relation is evaluated ONCE and shuffled ONCE (the join
     # formulation shuffled it for the probe side AND re-evaluated it
     # under the aggregate — Spark cannot reuse that exchange because
-    # the agg side exchanges partially-combined rows). Skew exposure is
-    # unchanged: a hot shingle's occurrences land in one partition
-    # either way; the window sorts them (spilling if huge) where the
-    # join would have hashed them. Self-repeats inside one doc are
+    # the agg side exchanges partially-combined rows). Skew trade-off
+    # (round-11 ADVICE): the window DOES cluster a hot shingle's
+    # occurrences into one task's sort, which the old broadcast-probe
+    # never did on the probe side — under a pathologically hot shingle
+    # (boilerplate present in a large fraction of all docs) that task
+    # becomes the straggler. Mitigation at scale: pre-cap occurrences
+    # per hash (a hash seen in more docs than a threshold is
+    # boilerplate and every occurrence is flaggable without ranking),
+    # or salt the h-partition and combine partial distinct counts —
+    # both preserve the ">= 2 distinct docs" predicate. At driver SFs
+    # and the 30x/100x skew tiers measured so far the sort is the
+    # cheapest formulation. Self-repeats inside one doc are
     # deliberately not flagged (cross-document duplication is the
     # training signal).
+    # NULL-safety (round-11 ADVICE): dense_rank counts a NULL id as one
+    # distinct value (NULLs sort first, all rank 1) where SQL's
+    # COUNT(DISTINCT doc) ignores them — subtract a null-presence
+    # indicator (same w_dom-style partition, shares the exchange) so
+    # the engine matches COUNT(DISTINCT) semantics verbatim even if a
+    # corpus ever carries NULL doc ids.
     w_h = Window.partitionBy("h").orderBy(id_col)
+    w_hp = Window.partitionBy("h")
     flagged = (
         shingled.withColumn("__dr", F.dense_rank().over(w_h))
-        .withColumn("__docs", F.max("__dr").over(Window.partitionBy("h")))
+        .withColumn(
+            "__docs",
+            F.max("__dr").over(w_hp)
+            - F.max(F.col(id_col).isNull().cast("int")).over(w_hp),
+        )
         .filter(F.col("__docs") >= 2)
         .select(id_col, "pos")
     )

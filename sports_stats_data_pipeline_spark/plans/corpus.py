@@ -845,9 +845,20 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_in_domain", F.count(F.lit(1)).over(w_dom)
         )
         .withColumn("__uniq_dr", F.dense_rank().over(w_uniq))
+        # COUNT(DISTINCT) semantics, null-safe (round-11 ADVICE):
+        # dense_rank counts a NULL norm_url as one distinct value
+        # (NULLs sort first, all rank 1) while the oracle's
+        # COUNT(DISTINCT norm_url) ignores NULLs. normalize_url
+        # returns NULL for unparseable URLs — host non-nullness is
+        # raise_error-enforced above but norm_url's is not — so
+        # subtract a null-presence indicator (shares the w_dom
+        # exchange) rather than leave the latent divergence.
         .withColumn(
             "n_unique_norm_urls",
-            F.max("__uniq_dr").over(w_dom).cast("long"),
+            (
+                F.max("__uniq_dr").over(w_dom)
+                - F.max(F.col("norm_url").isNull().cast("int")).over(w_dom)
+            ).cast("long"),
         )
         .withColumn("url_rank", F.row_number().over(w).cast("long"))
         .withColumn(

@@ -255,3 +255,48 @@ def test_bot_guard_exclusion_is_observable(spark):
         attribute_conversions(
             df, max_events_per_user=None, exclusion_metric=Observation()
         )
+
+
+def test_default_metric_composes_and_empty_counts_read_zero(spark):
+    """Round-11 ADVICE: (a) two DEFAULT-named attributions composed
+    into ONE query must not collide on the observed-metric name (the
+    default is auto-uniquified per process); (b) with the guard on but
+    zero relevant events, excluded_users must read 0, not NULL (SUM
+    over an empty relation is NULL without the coalesce)."""
+    rows = [(0, 1, "view"), (10, 1, "purchase"), (5, 2, "click"),
+            (6, 2, "purchase")]
+    df = _ev(spark, rows)
+    a = attribute_conversions(df, lookback_s=3600, max_events_per_user=10)
+    b = attribute_conversions(df, lookback_s=600, max_events_per_user=10)
+    # pre-fix this raised AnalysisException (duplicate observed metric)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+    # Observation delivery is GUARANTEED even when the result is
+    # runtime-empty (AQE would fold an in-branch CollectMetrics away;
+    # the operator pads the metric through the top of the plan).
+    # (a) zero relevant events -> 0, never NULL / never missing.
+    from pyspark.sql import Observation
+
+    obs = Observation("excl_zero")
+    empty_rel = attribute_conversions(
+        load_table(spark, SF_SMOKE, "events"),
+        conversion_type="no_such_type_xyz",
+        touch_types=("also_absent_xyz",),
+        lookback_s=3600, max_events_per_user=10, exclusion_metric=obs,
+    )
+    assert empty_rel.count() == 0
+    assert obs.get["excluded_users"] == 0  # was None pre-coalesce
+    # (b) EVERY user excluded -> result empty but the count must still
+    # read the true number, not 0 — the exclusions CAUSED the
+    # emptiness and hiding that would be the worst possible lie.
+    obs_all = Observation("excl_all")
+    rows_hot = (
+        [(m, 7, "click") for m in range(5)] + [(30, 7, "purchase")]
+        + [(m, 8, "view") for m in range(4)] + [(31, 8, "purchase")]
+    )
+    out_all_excluded = attribute_conversions(
+        _ev(spark, rows_hot), lookback_s=3600,
+        max_events_per_user=3, exclusion_metric=obs_all,
+    )
+    assert out_all_excluded.count() == 0
+    assert obs_all.get["excluded_users"] == 2

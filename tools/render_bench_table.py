@@ -210,15 +210,35 @@ def render(rec: dict) -> str:
                 lines.append(f"  - `{name}`: {fixed[name]}")
         if netted:
             pjc = rec.get("per_job_constant")
+            spread = rec.get("per_job_constant_spread")
+            slot_c = rec.get("extended_slot_constants") or {}
+            how = (
+                "each slot's ADJACENT constant (sampled next to that "
+                "slot's own timed pass)"
+                if slot_c
+                else f"the measured per-job constant"
+                + (f" of {pjc:.3f} s" if pjc else "")
+            )
             lines.append("")
             lines.append(
-                "⁵ netted = (Spark wall − n_jobs × measured per-job "
-                f"constant{f' of {pjc:.3f} s' if pjc else ''}) / DuckDB "
-                "wall — the slot's data-term ratio upper bound after "
-                "removing Spark's fixed per-job scheduling cost (job "
-                "counts measured per slot via job groups; AQE stages "
-                "run as separate jobs)."
+                f"⁵ netted = (Spark wall − n_jobs × {how}) / DuckDB "
+                "wall — the slot's data-term ratio after removing "
+                "Spark's fixed per-job scheduling cost (job counts "
+                "measured per slot via job groups; AQE stages run as "
+                "separate jobs)."
+                + (
+                    f" Run-wide constant median {pjc:.4f} s, "
+                    f"start/mid/end spread {spread:.2f}×."
+                    if pjc and spread
+                    else ""
+                )
             )
+            dropped = rec.get("extended_ratios_netted_dropped") or []
+            if dropped:
+                lines.append(
+                    "  - dropped from netting (no DuckDB calibration): "
+                    + ", ".join(f"`{n}`" for n in dropped)
+                )
     return "\n".join(lines)
 
 
