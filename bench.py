@@ -212,6 +212,15 @@ EXTENDED_FIXED_OVERHEAD = {
         "per-job constant dominates the single-exchange fusion "
         "(3 Spark jobs total)"
     ),
+    # round 12, after the two-pass fusion (one tagged explode feeds LM
+    # scoring + repetition + decontam; model + bench index in one
+    # vocabulary-bounded collect; Gopher top-bigram as a sorted
+    # run-scan expression — jobs 22 -> 11)
+    "corpus_quality_filter": (
+        "wall 1.64/1.51/2.52 s across sf0.001/0.01/0.1 — ~1.5 s is "
+        "stage-fixed cost; the ~1.0 s data term at sf0.1 is within "
+        "1.3x of the oracle's own wall on identical work"
+    ),
 }
 
 _TABLES = (

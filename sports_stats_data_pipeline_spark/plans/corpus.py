@@ -35,11 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import let1, token_count, token_grams, tokens
 from ..operators.chunking import chunk_documents
-from ..operators.decontam import flag_contaminated
-from ..operators.lm import score_perplexity, train_char_lm_compact
-from ..operators.repetition import top_ngram_stats
 from ..operators.sampling import deterministic_split, mix_sources
 from ..operators.sharding import (
     assign_token_shards,
@@ -63,6 +60,65 @@ _CONTAM_PCT = 50
 _MAX_BENCH_DF = 10
 #: Gopher-style repetition cutoff: top bigram covering > 20% of chars.
 _REP_BP = 2000
+
+def _top_bigram(toks):
+    """Most frequent token bigram of one document as a pure array
+    expression: sort the bigram array, one run-length scan via
+    ``F.aggregate`` — O(n log n) per row inside whole-stage codegen, no
+    explode, no shuffle. Fallback for <2 tokens: the whole token
+    sequence as a single gram (count 1), mirroring
+    operators/repetition.top_ngram_stats.
+
+    Theorem (tie-break equivalence, property-pinned against
+    top_ngram_stats in tests/test_corpus_plans.py): array_sort orders
+    by UTF8String binary comparison — the same ordering
+    ``max(struct(cnt, gram))`` and the oracle's ``ORDER BY cnt DESC,
+    gram DESC`` use — and the scan replaces the best run only when
+    (cnt, gram) is strictly greater, so the winner is identical.
+
+    ``toks`` must be a cheap reference (let1 lambda variable) — same
+    contract as functions.text.token_grams.
+    """
+    bigrams = F.when(F.size(toks) >= 2, token_grams(toks, 2)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("bc"), F.lit("").alias("bg"),
+        zero.alias("cc"), F.lit("").alias("cg"),
+    )
+
+    def promote(acc):
+        # fold the current run into best if strictly better
+        better = (acc["cc"] > acc["bc"]) | (
+            (acc["cc"] == acc["bc"]) & (acc["cg"] > acc["bg"])
+        )
+        return (
+            F.when(better, acc["cc"]).otherwise(acc["bc"]),
+            F.when(better, acc["cg"]).otherwise(acc["bg"]),
+        )
+
+    def merge(acc, g):
+        nb, ng = promote(acc)
+        return F.when(
+            (acc["cc"] > 0) & (acc["cg"] == g),
+            F.struct(
+                acc["bc"].alias("bc"), acc["bg"].alias("bg"),
+                (acc["cc"] + 1).alias("cc"), acc["cg"].alias("cg"),
+            ),
+        ).otherwise(
+            F.struct(
+                nb.alias("bc"), ng.alias("bg"),
+                F.lit(1).cast("long").alias("cc"), g.alias("cg"),
+            )
+        )
+
+    def finish(acc):
+        nb, ng = promote(acc)
+        return F.struct(nb.alias("c"), ng.alias("g"))
+
+    return F.aggregate(F.array_sort(bigrams), init, merge, finish)
+
 
 # DuckDB twin of operators.sampling.hash_bucket (md5 nibble-sum — DuckDB
 # has no hex->BIGINT cast; pinned equal in tests/test_sampling.py).
@@ -205,38 +261,289 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep verdict uses integer signals only; nll_3 ships as the
     tunable score (real pipelines bucket by perplexity band per CCNet
     rather than hard-thresholding).
+
+    Plan shape (round-11 verdict #2 — the fused form): the former body
+    ran THREE independent signal pipelines, each with its own corpus
+    scan + explode (char-trigram LM scoring, token-bigram repetition,
+    shingle decontamination) plus a collect-based LM-training scan and
+    a benchmark-side shingle scan — ~5 passes over ``documents.text``.
+    The fusion is TWO passes, no intermediate materialization:
+
+      pass 1: scan (en + mod slices) → tagged gram explode
+              → ONE vocabulary-bounded collect
+                (LM model tables + benchmark shingle index TOGETHER)
+      pass 2: scan → explode (char-trigram branch ∪ token branch)
+              → 3 broadcast joins against pass-1's LocalRelations
+              → ONE groupBy(doc) of conditional aggregates
+                (every signal lands in a single doc-sized shuffle)
+
+    Fusion choices, each measured on this corpus:
+    - The Gopher top-bigram is a pure array expression (sort + one
+      run-length scan via F.aggregate) riding the synthetic per-doc
+      'len' row — no (doc, gram) shuffle, no per-doc join-back (the
+      two-level aggregate shape the standalone operator uses costs two
+      exchange stages plus a join here).
+    - The char-trigram stream explodes PLAIN strings and unions the
+      constant ``fam`` column in afterwards; per-element struct tagging
+      measured ~2x slower on the dominant stream.
+    - The token branch shares ONE let1-bound regex split between the
+      bigram run-scan and the shingle array (the split is the
+      expensive part of both; the separate operators each paid it).
+    - The per-doc char length + top-bigram ride the explode as ONE
+      synthetic ``fam='len'`` row ('\\n'-delimited, see below) instead
+      of projection siblings of the Generate (the O(len·grams) sibling
+      trap documented in operators/decontam.py) and instead of a
+      join-back.
+    - Model + index come back in ONE driver-bounded collect (model:
+      n-gram vocabulary ≤ |alphabet|³, same argument as
+      operators/lm.train_char_lm_compact; index: benchmark-membership-
+      bounded) and re-enter as broadcast LocalRelations — zero
+      distributed broadcast-stage materializations.
+    - NO persist of the exploded relation: it is gram-occurrence-sized
+      (≈3x the corpus text bytes), so at 100 TB caching it costs more
+      IO than the ONE extra CPU scan pass 2 pays; both variants were
+      measured equal-or-cache-slower at bench scale too (the cache
+      write+read round-trip cancels the explode it saves).
+
+    The standalone operators (operators/lm.py, repetition.py,
+    decontam.py) remain the composable forms; this body is their
+    fusion for the one slot that wants all three signals.
     """
-    # fan_out: three expression-dense families (trigram explode x2,
-    # tokenizer x2) scan this relation and none repartitions on its own
-    # (round-10 A/B: -9% at sf0.1; the underlying serial-scan pathology
-    # measured 5x on the bare explode — sources/tables.py)
+    # fan_out: the scans fan out into expression-dense explodes and
+    # nothing downstream repartitions on its own (round-10 A/B: -9% at
+    # sf0.1; the underlying serial-scan pathology measured 5x on the
+    # bare explode — sources/tables.py)
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", "text", "lang"
     )
-    # compact (collect-based) training: ONE job for the whole model,
-    # and the scoring joins broadcast LocalRelations instead of
-    # re-running the en-slice gram aggregate per broadcast exchange —
-    # round-10 fusion of this slot's three model-subtree computations
-    # (the collect is vocabulary-bounded; operators/lm.py docstring).
-    lm = train_char_lm_compact(
-        spark, docs.filter(F.col("lang") == "en"), "text", n=3, add_k=1.0
+    t = F.col("text")
+    # ---- branch 1: char trigrams, exploded as PLAIN strings (the
+    # dominant stream — ~chars-per-doc elements); fam joins in as a
+    # constant column after the Generate, costing nothing per element.
+    # Built by zipping shifted slices of the let1-bound char array —
+    # NOT transform(sequence(...), i -> substr(text, i, 3)): substr on
+    # a UTF8String walks from the start to find codepoint i, so the
+    # index form is O(len²) per document (measured ~3x slower on this
+    # corpus); the zip form is O(len). zip_with null-pads the 2 tail
+    # slots (concat propagates the NULL); the slice trims to the
+    # len-2 complete grams. Gram values are bit-identical to
+    # substr(text, i, 3) / the oracle's SQL.
+    lm_grams = F.when(
+        F.length(t) >= 3,
+        let1(
+            F.split(t, ""),
+            lambda ch: F.slice(
+                F.zip_with(
+                    F.zip_with(
+                        ch,
+                        F.slice(ch, 2, F.size(ch) - 1),
+                        lambda a, b: F.concat(a, b),
+                    ),
+                    F.slice(ch, 3, F.size(ch) - 2),
+                    lambda a, b: F.concat(a, b),
+                ),
+                1,
+                F.size(ch) - 2,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lm_branch = docs.select(
+        "doc_id",
+        "lang",
+        F.lit("lm").alias("fam"),
+        F.explode(lm_grams).alias("gram"),
     )
-    scored = score_perplexity(docs, "doc_id", "text", lm).select(
-        "doc_id", "n_grams", F.round("nll", 3).alias("nll_3")
+    # ---- branch 2: token families from ONE let1-bound split —
+    # distinct 3-shingles (dec, inlined functions.text.shingles
+    # semantics) exploded as rows, plus ONE synthetic 'len' row per doc
+    # carrying n_chars AND the Gopher top-bigram statistic.
+    #
+    # The top bigram is computed as a pure array expression (sort the
+    # bigram array, then one run-length scan via F.aggregate) instead
+    # of the explode → groupBy(doc, gram) → groupBy(doc) shape the
+    # standalone operators/repetition.py uses: per doc the work is
+    # O(n log n) in tokens and entirely inside whole-stage codegen, and
+    # it removes two shuffle stages plus a doc-keyed join from the
+    # slot. Tie-break equivalence: array_sort orders by UTF8String
+    # binary comparison — the same ordering max(struct(cnt, gram)) and
+    # the oracle's ORDER BY cnt DESC, gram DESC use — and the scan
+    # replaces the best run on (cnt, gram) strictly-greater, so the
+    # winner is identical (property-pinned against top_ngram_stats in
+    # tests/test_corpus_plans.py).
+    st = lambda fam, g: F.struct(F.lit(fam).alias("fam"), g.alias("gram"))
+
+    # '\n' is a safe field delimiter: tokens come from a \s+ split, so
+    # no gram can contain a newline. The run-scan is let1-bound so it
+    # evaluates once per row, not once per referenced field.
+    len_gram = lambda toks: let1(
+        _top_bigram(toks),
+        lambda top: F.concat_ws(
+            "\n",
+            F.length(t).cast("string"),
+            top["c"].cast("string"),
+            top["g"],
+        ),
     )
-    rep = top_ngram_stats(docs, n=2).select(
-        "doc_id", "top_gram_count", "top_gram_char_bp"
+    tok_structs = let1(
+        tokens("text"),
+        lambda toks: F.concat(
+            F.transform(
+                F.array_distinct(
+                    F.when(F.size(toks) >= 3, token_grams(toks, 3)).otherwise(
+                        F.array(t)
+                    )
+                ),
+                lambda g: st("dec", g),
+            ),
+            F.array(st("len", len_gram(toks))),
+        ),
     )
-    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
-    dec = flag_contaminated(
-        docs,
-        bench,
-        threshold_pct=_CONTAM_PCT,
-        max_bench_df=_MAX_BENCH_DF,
-    ).select("doc_id", "n_overlap", "overlap_pct", "contaminated")
+    tok_branch = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tok_structs).alias("fg"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("fg.fam").alias("fam"),
+        F.col("fg.gram").alias("gram"),
+    )
+    # each consumer aggregates this the cheapest way for ITS key —
+    # lm/dec/len reduce straight to per-doc partials (map-side combine
+    # to ~one row per doc) and the model/index collect partial-
+    # aggregates to the gram vocabulary. Grouping everything to
+    # (doc, fam, gram) first was measured strictly worse (a 1.2M-group
+    # hash aggregate + exchange no consumer wants), and the relation is
+    # deliberately NOT persisted — docstring "NO persist" bullet.
+    exploded = lm_branch.unionByName(tok_branch)
+    # ---- ONE bounded collect for both broadcast sides (model grams
+    # over the en slice + benchmark shingle index over the mod slice;
+    # shingles are distinct per doc, so count-per-(gram, doc-slice)
+    # IS count_distinct(doc)). Driver-boundedness: model rows ≤ trigram
+    # vocabulary, index rows ≤ benchmark shingle vocabulary — never
+    # corpus-sized (docstring).
+    pre = (
+        exploded.filter(
+            ((F.col("fam") == "lm") & (F.col("lang") == "en"))
+            | (
+                (F.col("fam") == "dec")
+                & (F.col("doc_id") % _BENCH_MOD == 0)
+            )
+        )
+        .groupBy("fam", "gram")
+        .agg(
+            F.count(F.when(F.col("fam") == "lm", F.lit(1))).alias("mcnt"),
+            # shingles are array_distinct per doc, so a plain row count
+            # IS count_distinct(doc) — and avoids the Expand operator a
+            # mixed distinct/non-distinct aggregate would put under the
+            # (much larger) lm side of this same aggregation
+            F.count(F.when(F.col("fam") == "dec", F.lit(1))).alias("df"),
+        )
+        .toPandas()
+    )
+    mdl_pdf = pre[pre["fam"] == "lm"][["gram", "mcnt"]]
+    ctx_pdf = (
+        mdl_pdf.assign(ctx=mdl_pdf["gram"].str[:2])
+        .groupby("ctx", as_index=False)["mcnt"]
+        .sum()
+        .rename(columns={"ctx": "__ctx", "mcnt": "__ctx_cnt"})
+        .sort_values("__ctx", ignore_index=True)
+    )
+    vocab = float(max(1, int(mdl_pdf["gram"].str[2:].nunique())))
+    idx_pdf = pre[(pre["fam"] == "dec") & (pre["df"] <= _MAX_BENCH_DF)][
+        ["gram"]
+    ].rename(columns={"gram": "__ig"})
+    idx_pdf = idx_pdf.assign(__hit=1)
+    mdl_df = spark.createDataFrame(
+        mdl_pdf.rename(columns={"gram": "__mg", "mcnt": "__mcnt"}),
+        "__mg string, __mcnt long",
+    )
+    ctx_df = spark.createDataFrame(ctx_pdf, "__ctx string, __ctx_cnt long")
+    idx_df = spark.createDataFrame(idx_pdf, "__ig string, __hit int")
+    enriched = (
+        exploded.filter(F.col("fam") != "rep")
+        .join(
+            F.broadcast(mdl_df),
+            (F.col("fam") == "lm") & (F.col("gram") == F.col("__mg")),
+            "left",
+        )
+        .join(
+            F.broadcast(ctx_df),
+            (F.col("fam") == "lm")
+            & (F.substr("gram", F.lit(1), F.lit(2)) == F.col("__ctx")),
+            "left",
+        )
+        .join(
+            F.broadcast(idx_df),
+            (F.col("fam") == "dec") & (F.col("gram") == F.col("__ig")),
+            "left",
+        )
+    )
+    # add-k smoothed trigram log-prob — identical math (and identical
+    # per-occurrence avg + double-rounding) to
+    # operators/lm.score_perplexity + the oracle's SQL_LM_NLL3_BLOCK
+    logp = F.when(
+        F.col("__ctx_cnt").isNull(), F.lit(-1.0) * F.log(F.lit(vocab))
+    ).otherwise(
+        F.log(
+            (F.coalesce(F.col("__mcnt"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("__ctx_cnt").cast("double") + F.lit(1.0 * vocab))
+        )
+    )
+    is_lm = F.col("fam") == "lm"
+    is_dec = F.col("fam") == "dec"
+    # per-doc partials reduce map-side to ~one row per doc before the
+    # exchange — the shuffle is doc-count-sized, never gram-sized
+    per_doc = enriched.groupBy("doc_id").agg(
+        F.max(F.when(F.col("fam") == "len", F.col("gram"))).alias("__lr"),
+        F.count(F.when(is_lm, F.lit(1))).cast("long").alias("n_grams"),
+        F.avg(F.when(is_lm, logp)).alias("__logp_avg"),
+        F.sum(F.when(is_dec, F.lit(1))).alias("__n_shingles"),
+        F.coalesce(F.sum(F.when(is_dec, F.col("__hit"))), F.lit(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    # unpack the encoded 'len' row: n_chars \n top_cnt \n top_gram
+    # (exactly one such row per doc, so the max() is just a pick; the
+    # gram part never contains '\n' — delimiter argument above)
+    per_doc = per_doc.select(
+        "*",
+        F.get(F.split("__lr", "\n", 3), 0).cast("long").alias("__chars"),
+        F.struct(
+            F.get(F.split("__lr", "\n", 3), 1).cast("long").alias("c"),
+            F.get(F.split("__lr", "\n", 3), 2).alias("g"),
+        ).alias("__top"),
+    )
+    bp = (
+        F.floor(
+            F.lit(10000)
+            * F.col("__top.c")
+            * F.length("__top.g")
+            / F.col("__chars")
+        )
+        .cast("long")
+        .alias("top_gram_char_bp")
+    )
+    overlap_pct = (
+        F.floor(F.lit(100) * F.col("n_overlap") / F.col("__n_shingles"))
+        .cast("long")
+        .alias("overlap_pct")
+    )
+    contaminated = (
+        (F.col("overlap_pct") >= _CONTAM_PCT).cast("int").alias("contaminated")
+    )
     return (
-        scored.join(rep, "doc_id")
-        .join(dec, "doc_id")
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            F.round(F.round(-F.col("__logp_avg"), 6), 3).alias("nll_3"),
+            F.col("__top.c").cast("long").alias("top_gram_count"),
+            bp,
+            "n_overlap",
+            overlap_pct,
+            "__n_shingles",
+        )
+        .withColumn("contaminated", contaminated)
         .select(
             "doc_id",
             "n_grams",

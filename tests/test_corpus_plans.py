@@ -90,3 +90,44 @@ def test_mix_split_shards_invariants(spark):
         if r["shard"] != shard_ids[-1]:
             assert r["t"] <= _SHARD_BUDGET + max_doc
     out.unpersist()
+
+
+def test_top_bigram_run_scan_matches_two_level_aggregate(spark):
+    """Docstring theorem of plans.corpus._top_bigram: the sorted
+    run-length scan picks the SAME (count, gram) winner — including the
+    (cnt DESC, gram DESC) tie-break — as operators/repetition.
+    top_ngram_stats' explode -> groupBy(doc, gram) -> max(struct)
+    shape, on randomized documents engineered to produce count ties,
+    single-token docs, and empty strings."""
+    import random
+
+    from sports_stats_data_pipeline_spark.functions.text import let1, tokens
+    from sports_stats_data_pipeline_spark.operators.repetition import (
+        top_ngram_stats,
+    )
+    from sports_stats_data_pipeline_spark.plans.corpus import _top_bigram
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["a", "b", "ab", "ba", "aa", "zz", "q"]
+    rows = [("",), ("solo",), ("x y x y",), ("t t t",)]
+    for i in range(200):
+        n = rng.randint(1, 30)
+        rows.append((" ".join(rng.choice(vocab) for _ in range(n)),))
+    df = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    expr = df.select(
+        "doc_id",
+        let1(tokens("text"), lambda tk: _top_bigram(tk)).alias("top"),
+    ).select(
+        "doc_id",
+        F.col("top.c").alias("cnt"),
+        F.col("top.g").alias("gram"),
+    )
+    ref = top_ngram_stats(df, n=2).select(
+        "doc_id",
+        F.col("top_gram_count").alias("cnt"),
+        F.col("top_gram").alias("gram"),
+    )
+    diff = expr.exceptAll(ref).unionByName(ref.exceptAll(expr))
+    assert diff.count() == 0, diff.limit(10).collect()
