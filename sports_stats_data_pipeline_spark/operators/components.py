@@ -46,6 +46,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: edge count at or below which the fixpoint runs driver-side
+#: (union-find over the collected edge list). The bound is what makes
+#: the collect legitimate at 100 TB: at most SMALL_GRAPH_EDGES (u, v)
+#: pairs ever cross to the driver (~64 KB), the node relation stays
+#: distributed (labels return via a broadcast left join + coalesce, so
+#: isolated nodes never materialize anywhere), and a graph above the
+#: bound takes the distributed loop unchanged. Chosen so driver-SF pair
+#: graphs (~1k edges at sf0.1) resolve driver-side while the 30x/100x
+#: replica and skew tiers (~31k+ edges) still exercise the distributed
+#: loop — the scale evidence keeps covering the path that runs at
+#: scale. Tests pin both paths bit-identical across the bound by
+#: monkeypatching this constant.
+SMALL_GRAPH_EDGES = 4_096
+
+
+def _unionfind_min_labels(edge_rows) -> dict:
+    """Driver-side union-find; returns {node: component-min-id} for
+    nodes that appear in the edge list. Same fixpoint as hash-min label
+    propagation (both compute the component minimum), so the two paths
+    are bit-identical on their overlap."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    best: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in best or x < best[r]:
+            best[r] = x
+    return {x: best[find(x)] for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -64,22 +110,63 @@ def connected_components(
     fixpoint is not reached within ``max_rounds`` — a diameter that deep
     means the input is not a dedup-cluster graph and the small-star/
     large-star variant (module docstring) should be used instead.
+
+    Graphs with at most :data:`SMALL_GRAPH_EDGES` edges (known exactly
+    from the materialized edge checkpoint) resolve driver-side via
+    union-find instead of the iterative loop — a dedup slot whose pair
+    graph is a few hundred edges was paying ~12 Spark jobs of pure
+    round scheduling for it. Identical output by construction (both
+    paths compute the component minimum); pinned by
+    tests/test_components.py across the bound.
     """
     # plain DataFrame.unpersist is a silent no-op on localCheckpoint
     # state (operators/iterutil.py) — each round frees the previous
     # round's blocks through the explicit handle instead.
     from .iterutil import eager_checkpoint, no_aqe
 
-    # Materialize sym and the initial labels EAGERLY, BEFORE the no_aqe
-    # scope below: the first round's action is otherwise the first
-    # evaluation of both, which would run the corpus-sized upstream
-    # (near-dup pair generation feeding ``edges``) with AQE off and
-    # lose its skew-join handling at scale (round-11 ADVICE). With the
-    # checkpoint here, only the bounded per-round state joins run
-    # inside the scope — exactly what the scope's rationale claims.
-    sym, free_sym = eager_checkpoint(
+    # Materialize the edges and the initial labels EAGERLY, BEFORE the
+    # no_aqe scope below: the first round's action is otherwise the
+    # first evaluation of both, which would run the corpus-sized
+    # upstream (near-dup pair generation feeding ``edges``) with AQE
+    # off and lose its skew-join handling at scale (round-11 ADVICE).
+    # With the checkpoint here, only the bounded per-round state joins
+    # run inside the scope — exactly what the scope's rationale claims.
+    # Checkpoint the DIRECTED edges and symmetrize OVER the checkpoint,
+    # not the other way around: a union of two projections of `edges`
+    # evaluates the expensive upstream TWICE (semdedup's within-cell
+    # cosine self-join measured ~2x here — the union branches share
+    # exchanges but not the join+filter work above them); the union
+    # over checkpoint blocks is two cheap block reads per round.
+    e_ck, free_sym = eager_checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    )
+    # count() over the fresh checkpoint reads cached blocks — one
+    # trivial job that buys the exact size the fast-path decision needs
+    n_edges = e_ck.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        # driver-side fixpoint (docstring): collect is bounded by the
+        # constant above, labels re-enter as ONE broadcast local
+        # relation, isolated nodes resolve through the coalesce without
+        # ever leaving the executors.
+        lbl_map = _unionfind_min_labels(
+            (r["u"], r["v"]) for r in e_ck.collect()
+        )
+        free_sym()
+        spark = nodes.sparkSession
+        id_t = nodes.schema[id_col].dataType.simpleString()
+        local = spark.createDataFrame(
+            list(lbl_map.items()), f"id {id_t}, lbl {id_t}"
+        )
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(local), "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("lbl", F.col("id")).alias("cluster_id"),
+            )
+        )
+    sym = e_ck.unionByName(
+        e_ck.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     labels, free_labels = eager_checkpoint(
         nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
@@ -92,22 +179,33 @@ def connected_components(
         # was materialized above, under AQE.
         with no_aqe(nodes.sparkSession):
             for _ in range(max_rounds):
-                # candidate labels flowing across edges this round
+                # candidate labels flowing across edges this round. The
+                # convergence probe is FUSED into the round's aggregate
+                # (round-11 verdict #1): the old label rides the union
+                # as the flagged leg, min(old-leg) recovers it in the
+                # same hash aggregate that computes the new min, and
+                # ``chg`` lands in the checkpoint — the probe below is
+                # then a filter over checkpoint blocks (one trivial
+                # stage) instead of a join of two checkpointed
+                # relations per round.
                 prop = sym.join(
-                    labels.withColumnRenamed("id", "u"), "u"
-                ).select(F.col("v").alias("id"), "lbl")
+                    labels.select(F.col("id").alias("u"), "lbl"), "u"
+                ).select(
+                    F.col("v").alias("id"), "lbl", F.lit(False).alias("old")
+                )
                 new_labels, free_new = eager_checkpoint(
-                    labels.unionByName(prop)
+                    labels.select("id", "lbl", F.lit(True).alias("old"))
+                    .unionByName(prop)
                     .groupBy("id")
-                    .agg(F.min("lbl").alias("lbl"))
+                    .agg(
+                        F.min("lbl").alias("lbl"),
+                        (
+                            F.min("lbl")
+                            != F.min(F.when(F.col("old"), F.col("lbl")))
+                        ).alias("chg"),
+                    )
                 )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "id")
-                    .filter(F.col("n.lbl") != F.col("o.lbl"))
-                    .limit(1)
-                    .count()
-                )
+                changed = new_labels.filter("chg").limit(1).count()
                 free_labels()
                 labels = new_labels
                 free_labels = free_new

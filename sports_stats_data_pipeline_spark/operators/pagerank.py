@@ -249,6 +249,40 @@ def pagerank(
     )
 
 
+def _pagerank_fixedpoint_driver(edge_rows, iterations: int) -> dict:
+    """Driver-side mirror of the fixed-point loop — the SAME exact
+    integer recurrence as ``_loop(fixed=True)``, term for term:
+    ``base = SCALE*15 // (100*n)``; per-edge contribution
+    ``rank[src]*85 // (100*out_deg[src])``; dangling share
+    ``(Σ dangling rank)*85 // (100*n)``. Python ``//`` equals Spark's
+    ``div`` on the non-negative BIGINTs involved, and integer addition
+    is order-free, so outputs are bit-identical to the distributed
+    loop. Parallel edges and self-loops are honoured as given (each
+    edge row contributes; out-degree counts rows), matching _prepare.
+    """
+    out_deg: dict = {}
+    nodes = set()
+    for s, d in edge_rows:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    base = (SCALE * 15) // (100 * n)
+    rank = {v: SCALE // n for v in nodes}
+    dangling = [v for v in nodes if v not in out_deg]
+    for _ in range(iterations):
+        dang = sum(rank[v] for v in dangling)
+        dang_share = (dang * 85) // (100 * n)
+        in_sum: dict = {}
+        for s, d in edge_rows:
+            c = (rank[s] * 85) // (100 * out_deg[s])
+            in_sum[d] = in_sum.get(d, 0) + c
+        rank = {v: base + dang_share + in_sum.get(v, 0) for v in nodes}
+    return rank
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     *,
@@ -262,9 +296,34 @@ def pagerank_fixedpoint(
     partitionings. Pair with :func:`pagerank_fixedpoint_sql`.
     ``init_ranks`` resumes from a previous run's output (see
     :func:`pagerank`) — bit-exact: k1+k2 rounds == k2 rounds warm-
-    started from k1 rounds' ranks."""
+    started from k1 rounds' ranks.
+
+    Graphs with at most ``components.SMALL_GRAPH_EDGES`` edges run the
+    k rounds driver-side over the collected edge list — legitimate for
+    the SAME reason the result is oracle-comparable at all: every step
+    is exact BIGINT arithmetic (``//`` on non-negative integers ==
+    ``div``; integer sums are order-free), so the Python rounds are
+    bit-identical to the distributed ones BY CONSTRUCTION, not by
+    tolerance (pinned across the bound in tests/test_pagerank.py). The
+    collect is bounded by the constant; the node set of this operator
+    is edge-derived (≤ 2·|E|), so nothing corpus-sized moves. The
+    float variant has no such path — double sums are order-sensitive,
+    and a driver re-association would NOT be the same function.
+    ``init_ranks`` forces the distributed loop (its relation is not
+    size-bounded by |E|)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    from .components import SMALL_GRAPH_EDGES
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if init_ranks is None and e.count() <= SMALL_GRAPH_EDGES:
+        rows = [(r["src"], r["dst"]) for r in e.collect()]
+        spark = edges.sparkSession
+        node_t = e.schema["src"].dataType.simpleString()
+        ranks = _pagerank_fixedpoint_driver(rows, iterations)
+        return spark.createDataFrame(
+            sorted(ranks.items()), f"node {node_t}, rank bigint"
+        )
     nodes, contrib_edges, n = _prepare(edges, src, dst)
     return _loop(
         nodes,

@@ -18,7 +18,10 @@ on the center node) is sum-of-C(out_deg, 2) instead of
 sum-of-C(deg, 2), so a celebrity node with 10^8 neighbors contributes
 nothing quadratic. The wedge->edge closure check is a plain equi-join
 on the (b, c) pair. Three shuffles total (degree agg, wedge self-join,
-closure join), all on bounded relations; no driver-side state.
+closure join), all on bounded relations; no driver-side state. The normalized edge relation feeds five
+consumers, so it is eagerly checkpointed once (_checkpointed_und) —
+without it each consumer re-evaluates the normalization shuffle and the
+job count explodes under AQE (69 -> 11 jobs measured, output identical).
 """
 
 from __future__ import annotations
@@ -40,11 +43,36 @@ def _normalized(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).distinct()
 
 
+def _checkpointed_und(edges: DataFrame, src: str, dst: str):
+    """Normalize, then eagerly localCheckpoint the undirected edge
+    relation. ``und`` feeds FIVE consumers of the triangle DAG (degree
+    aggregate, two orientation joins, the closure join, the node set);
+    left as a plain subtree each consumer re-evaluates its
+    normalization shuffle and AQE runs every re-evaluated exchange as
+    its own job — measured 69 jobs / 5.6-8.8 s for triangle_counts on
+    the sf0.1 near-dup graph versus 11 jobs / 1.7 s with the
+    checkpoint, identical output. AQE stays ON (unlike the iterative
+    operators' no_aqe loops) because the wedge self-join is exactly
+    where runtime skew handling earns its keep at 100 TB.
+
+    Returns (und, free). The caller attaches ``free`` to the returned
+    relation as ``_graft_release`` (the operators/nndescent.py
+    convention): blocks are reclaimed by the ContextCleaner when the
+    relation is dropped, or eagerly by invoking the handle once the
+    output is consumed/persisted."""
+    from .iterutil import eager_checkpoint
+
+    return eager_checkpoint(_normalized(edges, src, dst))
+
+
 def triangles(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
     """All triangles of the undirected simple graph, one row each, as
     (x, y, z) with x < y < z. Self-loops and edge direction/multiplicity
     are ignored."""
-    return _triangles_from_und(_normalized(edges, src, dst))
+    und, free = _checkpointed_und(edges, src, dst)
+    out = _triangles_from_und(und)
+    out._graft_release = free  # see _checkpointed_und
+    return out
 
 
 def _triangles_from_und(und: DataFrame) -> DataFrame:
@@ -106,7 +134,7 @@ def triangle_counts(
     Nodes of the graph that sit in no triangle are included with 0 (so
     the output is a total function of the node set, join-free for
     callers)."""
-    und = _normalized(edges, src, dst)
+    und, free = _checkpointed_und(edges, src, dst)
     nodes = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -120,6 +148,8 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return nodes.join(member, "node", "left").select(
+    out = nodes.join(member, "node", "left").select(
         "node", F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles")
     )
+    out._graft_release = free  # see _checkpointed_und
+    return out

@@ -41,7 +41,12 @@ def test_duplicate_and_self_edges_are_harmless(spark):
     assert got == {1: 1, 2: 1}
 
 
-def test_max_rounds_guard(spark):
+def test_max_rounds_guard(spark, monkeypatch):
+    # force the DISTRIBUTED loop (the guard under test): below the
+    # small-graph bound the fast path would just solve this instantly
+    from sports_stats_data_pipeline_spark.operators import components as C
+
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
     with pytest.raises(RuntimeError, match="fixpoint"):
         _cc(
             spark,
@@ -78,9 +83,13 @@ def test_star_matches_hashmin_on_clustered_graph(spark):
     assert _ccs(spark, nodes, edges) == _cc(spark, nodes, edges)
 
 
-def test_star_converges_on_chain_where_hashmin_round_budget_fails(spark):
-    # path graph of 120 nodes: diameter 119 — hash-min cannot finish in
-    # 8 rounds, star contraction converges in O(log^2 n)
+def test_star_converges_on_chain_where_hashmin_round_budget_fails(spark, monkeypatch):
+    # path graph of 120 nodes: diameter 119 — hash-min's DISTRIBUTED
+    # loop (forced: the small-graph fast path would solve it driver-
+    # side) cannot finish in 8 rounds, star converges in O(log^2 n)
+    from sports_stats_data_pipeline_spark.operators import components as C
+
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
     nodes = list(range(120))
     edges = [(i, i + 1) for i in range(119)]
     with pytest.raises(RuntimeError, match="fixpoint"):
@@ -97,3 +106,34 @@ def test_star_singletons_duplicates_self_edges(spark):
 def test_star_empty_edges_all_singletons(spark):
     got = _ccs(spark, [4, 5, 6], [])
     assert got == {4: 4, 5: 5, 6: 6}
+
+
+def test_small_graph_fast_path_matches_distributed_loop(spark, monkeypatch):
+    """The driver-side union-find fast path and the distributed
+    hash-min loop are the same function: identical (id, cluster_id)
+    output on a graph with chains, a clique, isolated nodes, and
+    duplicate/reversed edges — run once under each path by moving the
+    SMALL_GRAPH_EDGES bound across the graph's edge count."""
+    import random
+
+    from sports_stats_data_pipeline_spark.operators import components as C
+
+    rng = random.Random(7)
+    edges = (
+        [(i, i + 1) for i in range(0, 40, 2)]          # 20 tiny chains
+        + [(100 + i, 100 + j) for i in range(6) for j in range(i)]
+        + [(200, 201), (201, 200), (200, 201)]          # dup + reversed
+        + [(rng.randint(300, 340), rng.randint(300, 340)) for _ in range(30)]
+    )
+    nodes = sorted({u for e in edges for u in e} | {900, 901})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 10_000)
+    fast = sorted(map(tuple, C.connected_components(ndf, edf).collect()))
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
+    loop = sorted(map(tuple, C.connected_components(ndf, edf).collect()))
+    assert fast == loop
+    # isolated nodes are singleton clusters on both paths
+    as_map = dict(fast)
+    assert as_map[900] == 900 and as_map[901] == 901

@@ -151,3 +151,28 @@ def test_checkpoint_blocks_released_per_round(spark):
     # at most the FINAL round's checkpoint lingers (plus nothing from
     # the 5 freed rounds; the nodes/edges persists were unpersisted)
     assert len(after - before) <= 1, sorted(after - before)
+
+
+def test_fixedpoint_driver_path_matches_distributed_loop(spark, monkeypatch):
+    """Docstring claim of the small-graph fast path: the driver-side
+    integer rounds are BIT-IDENTICAL to the distributed loop (exact
+    BIGINT arithmetic on both sides), on a graph with parallel edges,
+    a self-loop, dangling nodes, and a cycle."""
+    import random
+
+    from sports_stats_data_pipeline_spark.operators import components as C
+    from sports_stats_data_pipeline_spark.operators.pagerank import (
+        pagerank_fixedpoint,
+    )
+
+    rng = random.Random(99)
+    edges = (
+        [(1, 2), (1, 2), (2, 3), (3, 1), (4, 4), (5, 6)]  # 7 dangles
+        + [(rng.randint(10, 30), rng.randint(10, 30)) for _ in range(40)]
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 10_000)
+    fast = sorted(map(tuple, pagerank_fixedpoint(edf, iterations=4).collect()))
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
+    loop = sorted(map(tuple, pagerank_fixedpoint(edf, iterations=4).collect()))
+    assert fast == loop and len(fast) > 0
