@@ -327,10 +327,27 @@ _ORACLE = f"""
 """
 
 
-@REGISTRY.register("data_quality_report", oracle=_ORACLE)
-def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expectations report + PSI drift report over orders, family-tagged
-    into one relation (see module docstring)."""
+#: union order of the report families — shared by the slot (which must
+#: keep a stable row set for the oracle hash) and the per-family wall
+#: probe below.
+_QUALITY_FAMILIES = (
+    "expectations",
+    "drift_bins",
+    "drift_total",
+    "heavy_hitters",
+    "reconcile",
+    "outliers",
+    "small_files",
+)
+
+
+def _quality_family_relations(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The report's seven family relations, keyed by _QUALITY_FAMILIES.
+    Factored out of the slot so bench.py can time each family's own
+    noop action (quality_family_walls) — the slot itself is one lazy
+    union and cannot attribute its wall to families from inside."""
     from ..operators import expectations as X
     from ..operators.drift import psi_report
 
@@ -560,11 +577,49 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("passed"),
         null_l.alias("psi_milli"),
     )
-    return (
-        rep.unionByName(bins)
-        .unionByName(total)
-        .unionByName(hh)
-        .unionByName(rec)
-        .unionByName(out_rows)
-        .unionByName(sf_rows)
+    return {
+        "expectations": rep,
+        "drift_bins": bins,
+        "drift_total": total,
+        "heavy_hitters": hh,
+        "reconcile": rec,
+        "outliers": out_rows,
+        "small_files": sf_rows,
+    }
+
+
+@REGISTRY.register("data_quality_report", oracle=_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report + PSI drift report over orders, family-tagged
+    into one relation (see module docstring)."""
+    fams = _quality_family_relations(spark, sf_dir)
+    out = fams[_QUALITY_FAMILIES[0]]
+    for name in _QUALITY_FAMILIES[1:]:
+        out = out.unionByName(fams[name])
+    return out
+
+
+def quality_family_walls(spark: SparkSession, sf_dir: str) -> "dict[str, float]":
+    """Wall seconds per report family, each measured as its OWN noop
+    action — the exoneration evidence the round-11 verdict asked for:
+    the slot's wall is the sum of seven independent validation families
+    (the oracle computes final values only), and this breakdown makes
+    family scope growth separable from regression. Called by bench.py
+    OUTSIDE the timed passes; one extra evaluation of each family."""
+    import time as _time
+
+    walls: dict[str, float] = {}
+    t0 = _time.perf_counter()
+    fams = _quality_family_relations(spark, sf_dir)
+    # plan build is NOT free here: heavy_hitters runs its bounded
+    # candidate collect (the deliberate first pass of the two-pass
+    # exact recount) eagerly at build time — attribute it its own line
+    # so the breakdown sums to the slot wall instead of hiding it.
+    walls["plan_build_incl_hh_candidate_pass"] = round(
+        _time.perf_counter() - t0, 3
     )
+    for name in _QUALITY_FAMILIES:
+        t0 = _time.perf_counter()
+        fams[name].write.format("noop").mode("overwrite").save()
+        walls[name] = round(_time.perf_counter() - t0, 3)
+    return walls
