@@ -472,3 +472,74 @@ def test_skew_corpus_actually_skewed(spark):
     cust = load_table(spark, SKEW_DIR, "customer")
     hot_n = cust.filter(F.col("c_nationkey") == 7).count()
     assert hot_n * 100 >= cust.count() * 50  # ~60% remapped
+
+
+@pytest.mark.skipif(
+    not SCALE_DIR, reason="set SPARK_GRAFT_SCALE_DIR to a derived replica"
+)
+def test_stream_crash_mid_admission_converges(spark, tmp_path, monkeypatch):
+    """Round-11 verdict #6: kill the streaming LSH admission at scale
+    INSIDE the promote window of a later micro-batch (staging written,
+    live store not yet advanced — the worst crash point the
+    stage→rename-aside→promote protocol defends), then resume with the
+    SAME checkpoint and verify the resumed store is value-identical to
+    an uninterrupted run over the same batch split. Exercises at 30x
+    what test_sink_recovery pins at unit scale: recover_sink's orphan
+    cleanup + the replay guard's doc_id anti-join re-deriving batch
+    decisions idempotently."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from sports_stats_data_pipeline_spark.streaming import dedup_lsh as DL
+
+    docs = (
+        spark.read.parquet(f"{SCALE_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)  # ~1/5 of the corpus: minutes,
+        # not tens of minutes, while staying corpus-scale
+    )
+    landing = str(tmp_path / "landing")
+    # mod-3 batch split (the driver's sneardup convention; modulus 2 is
+    # degenerate — see streaming_neardup_admissions_table), one file
+    # per batch written in order so the file source replays them in the
+    # same sequence for every run against this landing dir
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    # ---- crashed run: die inside batch >= 1's promote window
+    crash_store = str(tmp_path / "crash_store")
+    real_promote = DL.promote_staging
+    calls = {"n": 0}
+
+    def dying_promote(path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # batch 0 promoted; batch 1 staged then die
+            raise RuntimeError("injected crash: killed before promote")
+        return real_promote(path)
+
+    monkeypatch.setattr(DL, "promote_staging", dying_promote)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        DL.run_streaming_neardup_dedup(spark, landing, crash_store)
+    monkeypatch.setattr(DL, "promote_staging", real_promote)
+    assert os.path.exists(crash_store + ".staging")  # the orphan is real
+
+    # ---- resume: same store, same checkpoint — batch 1 replays, the
+    # orphan staging is swept by recover_sink, batch 2 completes
+    resumed = DL.run_streaming_neardup_dedup(spark, landing, crash_store)
+
+    # ---- reference: uninterrupted run, fresh store + checkpoint
+    ref_store = str(tmp_path / "ref_store")
+    reference = DL.run_streaming_neardup_dedup(spark, landing, ref_store)
+
+    got = sorted(r["doc_id"] for r in resumed.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"] for r in reference.select("doc_id").collect()
+    )
+    assert got == want and len(got) > 0
+    # cheap sanity that the run was corpus-scale, not a fixture
+    assert docs.count() > 10_000
+    shutil.rmtree(landing, ignore_errors=True)
