@@ -56,9 +56,21 @@ FULL_BP = 10_000
 # name is auto-uniquified with this per-process counter so two default
 # attributions composed into one plan (e.g. a union) don't collide
 # with a duplicate-observed-metric AnalysisException (round-11 ADVICE).
-# Callers who pass an explicit string own its uniqueness.
+# Callers who pass an explicit string own its uniqueness — and get it
+# VERBATIM, even when it happens to equal the default base name: the
+# default is a private sentinel object, not a magic string value
+# (round-12 self-review — a listener keyed on an explicitly-passed
+# 'attribution_excluded_users' must keep matching).
 _DEFAULT_METRIC = "attribution_excluded_users"
 _metric_seq = itertools.count()
+
+
+class _UseDefaultMetric:
+    def __repr__(self) -> str:  # readable in signatures/help()
+        return f"<default: {_DEFAULT_METRIC}_<n>>"
+
+
+_USE_DEFAULT_METRIC = _UseDefaultMetric()
 
 
 def attribute_conversions(
@@ -73,7 +85,7 @@ def attribute_conversions(
     event_type: str = "event_type",
     max_touches_per_conversion: int | None = None,
     max_events_per_user: int | None = 10_000,
-    exclusion_metric: "str | Observation | None" = "attribution_excluded_users",
+    exclusion_metric: "str | Observation | None" = _USE_DEFAULT_METRIC,
 ) -> DataFrame:
     """One row per (conversion, touch) pair with the credit models.
 
@@ -179,7 +191,7 @@ def attribute_conversions(
             # Observation path below pays one extra tiny aggregate to
             # guarantee delivery instead.
             name = exclusion_metric
-            if name == _DEFAULT_METRIC:
+            if name is _USE_DEFAULT_METRIC:
                 name = f"{_DEFAULT_METRIC}_{next(_metric_seq)}"
             utype = events.schema[user].dataType.simpleString()
             sentinel = events.sparkSession.range(1).select(

@@ -65,7 +65,11 @@ def _unionfind_min_labels(edge_rows) -> dict:
     """Driver-side union-find; returns {node: component-min-id} for
     nodes that appear in the edge list. Same fixpoint as hash-min label
     propagation (both compute the component minimum), so the two paths
-    are bit-identical on their overlap."""
+    are bit-identical on their overlap. Edges with a NULL endpoint are
+    skipped — NULL ids are out of the operator's contract (dedup pair
+    generation never emits them; the distributed loop's equi-joins
+    never match them either, though it can surface a NULL-keyed row,
+    so the two paths are only specified to agree on NULL-free input)."""
     parent: dict = {}
 
     def find(x):
@@ -77,6 +81,8 @@ def _unionfind_min_labels(edge_rows) -> dict:
         return r
 
     for u, v in edge_rows:
+        if u is None or v is None:  # out-of-contract, see docstring
+            continue
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -157,9 +163,20 @@ def connected_components(
         local = spark.createDataFrame(
             list(lbl_map.items()), f"id {id_t}, lbl {id_t}"
         )
-        return (
+        # Output id set matches the distributed loop exactly (round-12
+        # self-review): the loop's groupBy(id) both DEDUPES duplicated
+        # node rows and ADMITS edge endpoints absent from ``nodes``
+        # (they enter through the propagation leg) — so: distinct over
+        # nodes ∪ labeled-endpoint ids, then the broadcast label join.
+        # The distinct shuffles the node relation once, which the
+        # loop's first-round aggregate paid anyway.
+        ids = (
             nodes.select(F.col(id_col).alias("id"))
-            .join(F.broadcast(local), "id", "left")
+            .unionByName(local.select("id"))
+            .distinct()
+        )
+        return (
+            ids.join(F.broadcast(local), "id", "left")
             .select(
                 F.col("id").alias(id_col),
                 F.coalesce("lbl", F.col("id")).alias("cluster_id"),

@@ -314,18 +314,28 @@ def pagerank_fixedpoint(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     from .components import SMALL_GRAPH_EDGES
+    from .iterutil import eager_checkpoint
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if init_ranks is None and e.count() <= SMALL_GRAPH_EDGES:
-        rows = [(r["src"], r["dst"]) for r in e.collect()]
+    # checkpoint FIRST, then count cached blocks: the gate must not
+    # cost a full evaluation of a potentially corpus-sized pair-
+    # generation upstream (round-12 self-review — the same hazard the
+    # components edge checkpoint already defends), and above the bound
+    # _prepare's derivations then read the blocks instead of
+    # re-evaluating that upstream per branch.
+    e_ck, free_e = eager_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    if init_ranks is None and e_ck.count() <= SMALL_GRAPH_EDGES:
+        rows = [(r["src"], r["dst"]) for r in e_ck.collect()]
+        free_e()
         spark = edges.sparkSession
-        node_t = e.schema["src"].dataType.simpleString()
+        node_t = e_ck.schema["src"].dataType.simpleString()
         ranks = _pagerank_fixedpoint_driver(rows, iterations)
         return spark.createDataFrame(
             sorted(ranks.items()), f"node {node_t}, rank bigint"
         )
-    nodes, contrib_edges, n = _prepare(edges, src, dst)
-    return _loop(
+    nodes, contrib_edges, n = _prepare(e_ck, "src", "dst")
+    out = _loop(
         nodes,
         contrib_edges,
         n,
@@ -334,6 +344,12 @@ def pagerank_fixedpoint(
         damping=0.85,
         init_ranks=init_ranks,
     )
+    # _loop runs every round eagerly and the returned relation reads
+    # the FINAL rank checkpoint, not the edges — the edge blocks can be
+    # released now (nodes/contrib persists were already dropped inside
+    # _loop; nothing re-reads this lineage).
+    free_e()
+    return out
 
 
 def pagerank_fixedpoint_cte_parts(

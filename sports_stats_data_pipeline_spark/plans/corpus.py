@@ -374,12 +374,16 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # '\n' is a safe field delimiter: tokens come from a \s+ split, so
     # no gram can contain a newline. The run-scan is let1-bound so it
-    # evaluates once per row, not once per referenced field.
+    # evaluates once per row, not once per referenced field. NULL text
+    # encodes its (NULL) char length as '' — concat_ws would otherwise
+    # silently DROP the NULL field and shift the layout (round-12
+    # self-review); the unpack maps '' back to NULL, mirroring
+    # top_ngram_stats' NULL n_chars on NULL text.
     len_gram = lambda toks: let1(
         _top_bigram(toks),
         lambda top: F.concat_ws(
             "\n",
-            F.length(t).cast("string"),
+            F.coalesce(F.length(t).cast("string"), F.lit("")),
             top["c"].cast("string"),
             top["g"],
         ),
@@ -461,8 +465,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx_df = spark.createDataFrame(ctx_pdf, "__ctx string, __ctx_cnt long")
     idx_df = spark.createDataFrame(idx_pdf, "__ig string, __hit int")
     enriched = (
-        exploded.filter(F.col("fam") != "rep")
-        .join(
+        exploded.join(
             F.broadcast(mdl_df),
             (F.col("fam") == "lm") & (F.col("gram") == F.col("__mg")),
             "left",
@@ -505,10 +508,16 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unpack the encoded 'len' row: n_chars \n top_cnt \n top_gram
     # (exactly one such row per doc, so the max() is just a pick; the
-    # gram part never contains '\n' — delimiter argument above)
+    # gram part never contains '\n' — delimiter argument above; ''
+    # chars = NULL-text doc, decoded back to NULL — ANSI cast of ''
+    # would throw)
+    _chars_s = F.get(F.split("__lr", "\n", 3), 0)
     per_doc = per_doc.select(
         "*",
-        F.get(F.split("__lr", "\n", 3), 0).cast("long").alias("__chars"),
+        F.when(_chars_s == "", F.lit(None))
+        .otherwise(_chars_s)
+        .cast("long")
+        .alias("__chars"),
         F.struct(
             F.get(F.split("__lr", "\n", 3), 1).cast("long").alias("c"),
             F.get(F.split("__lr", "\n", 3), 2).alias("g"),
