@@ -328,10 +328,6 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_registries()
-    # measured AFTER session init (so it never includes JVM startup) and
-    # BEFORE the warmups add load; re-sampled once more at the end so a
-    # host-state drift across the run is visible in the record.
-    per_job_constant = _per_job_constant(spark)
 
     # Untimed warmup passes (TPC-style): first executions pay one-off JVM
     # JIT + whole-stage-codegen compilation + parquet reader init (~2s on
@@ -348,6 +344,16 @@ def main() -> None:
                 "overwrite"
             ).save()
         spark.catalog.clearCache()  # drop persist() reuse — time real compute
+
+    # START constant sample: taken AFTER the warmup passes, not after
+    # bare session init — a session-cold sample reads ~0.039 s where
+    # every post-warmup sample reads 0.012-0.017 (measured round 12
+    # even with the sampler's own warmup noops: real queries, not noop
+    # sinks, are what warm the scheduler path), which poisoned the
+    # start/mid/end spread gate with a systematic artifact rather than
+    # genuine host drift. All three samples now measure the same
+    # steady state the timed passes run in.
+    per_job_constant = _per_job_constant(spark)
 
     # three timed executions per query, report the min: single-shot wall
     # times on a busy host carry ±15% scheduler/GC noise, and the min of
