@@ -76,6 +76,7 @@ def duplicate_spans(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_occ_cap: "int | None" = None,
 ) -> DataFrame:
     """Maximal repeated token spans per document.
 
@@ -83,9 +84,31 @@ def duplicate_spans(
     offsets (0-based, end exclusive) of each maximal span covered by
     k-shingles appearing in >= 2 documents; ``n_windows`` counts the
     flagged k-windows merged into the span.
+
+    ``hot_occ_cap`` — the hot-shingle straggler relief for skewed
+    corpora at scale (the window formulation clusters every occurrence
+    of one hash into a single task's SORT; a boilerplate shingle in a
+    large fraction of all documents makes that task the straggler).
+    When set, hashes with more than ``hot_occ_cap`` occurrences are
+    routed around the window: their ">= 2 distinct docs" decision is
+    re-derived with hash AGGREGATES only (occurrence count per hash,
+    then distinct (hash, doc) pairs, then docs per hash) — every one of
+    which partial-aggregates map-side, so no stage materializes a hot
+    hash's occurrences in one task's sort buffer; the occurrence rows
+    rejoin through a broadcast of the (tiny) hot-hash lists. The
+    flagged set is IDENTICAL to the window path by construction (same
+    predicate, computed per hash either way — equivalence-pinned in
+    tests/test_spans.py on a corpus with both a hot CROSS-DOC shingle
+    and a hot SELF-REPEAT shingle, which must stay unflagged). Default
+    None = pure window plan (cheapest at the measured 30x/100x skew
+    tiers, where the caps upstream already bound bucket sizes); set it
+    when one shingle's occurrence count approaches what one task's
+    sort should hold.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if hot_occ_cap is not None and hot_occ_cap < 1:
+        raise ValueError("hot_occ_cap must be >= 1")
     from ..functions.text import let1, token_grams
 
     # let1-bound split: an index lambda re-evaluates the split per
@@ -113,25 +136,55 @@ def duplicate_spans(
     # occurrences into one task's sort, which the old broadcast-probe
     # never did on the probe side — under a pathologically hot shingle
     # (boilerplate present in a large fraction of all docs) that task
-    # becomes the straggler. Mitigation at scale: pre-cap occurrences
-    # per hash (a hash seen in more docs than a threshold is
-    # boilerplate and every occurrence is flaggable without ranking),
-    # or salt the h-partition and combine partial distinct counts —
-    # both preserve the ">= 2 distinct docs" predicate. At driver SFs
-    # and the 30x/100x skew tiers measured so far the sort is the
-    # cheapest formulation. Self-repeats inside one doc are
-    # deliberately not flagged (cross-document duplication is the
-    # training signal).
+    # becomes the straggler. Mitigation: the ``hot_occ_cap`` option
+    # below routes over-cap hashes through skew-immune hash aggregates
+    # instead of the sort (same predicate, identical output — see the
+    # docstring). At driver SFs and the 30x/100x skew tiers measured
+    # so far the pure sort is the cheapest formulation, so it stays
+    # the default. Self-repeats inside one doc are deliberately not
+    # flagged (cross-document duplication is the training signal).
     # NULL-safety (round-11 ADVICE): dense_rank counts a NULL id as one
     # distinct value (NULLs sort first, all rank 1) where SQL's
     # COUNT(DISTINCT doc) ignores them — subtract a null-presence
     # indicator (same w_dom-style partition, shares the exchange) so
     # the engine matches COUNT(DISTINCT) semantics verbatim even if a
     # corpus ever carries NULL doc ids.
+    cold = shingled
+    hot_flagged = None
+    if hot_occ_cap is not None:
+        # hot-hash relief (docstring): classify by plain occurrence
+        # count (algebraic — partial aggregation crushes a hot hash
+        # map-side, unlike the window's sort), decide ">= 2 distinct
+        # non-null docs" for the hot set with two more hash
+        # aggregates, and rejoin the occurrence rows through
+        # broadcasts of the tiny hash lists (no hint — AQE broadcasts
+        # them; an adversarial corpus with a HUGE hot list degrades to
+        # shuffled joins rather than OOMing a forced broadcast).
+        hot = (
+            shingled.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") > hot_occ_cap)
+            .select("h")
+        )
+        hot_rows = shingled.join(hot, "h")
+        cold = shingled.join(hot, "h", "left_anti")
+        hot_multi = (
+            hot_rows.select("h", id_col)
+            .distinct()
+            .groupBy("h")
+            .agg(
+                F.count(F.when(F.col(id_col).isNotNull(), 1)).alias(
+                    "__docs"
+                )
+            )
+            .filter(F.col("__docs") >= 2)
+            .select("h")
+        )
+        hot_flagged = hot_rows.join(hot_multi, "h").select(id_col, "pos")
     w_h = Window.partitionBy("h").orderBy(id_col)
     w_hp = Window.partitionBy("h")
     flagged = (
-        shingled.withColumn("__dr", F.dense_rank().over(w_h))
+        cold.withColumn("__dr", F.dense_rank().over(w_h))
         .withColumn(
             "__docs",
             F.max("__dr").over(w_hp)
@@ -140,6 +193,8 @@ def duplicate_spans(
         .filter(F.col("__docs") >= 2)
         .select(id_col, "pos")
     )
+    if hot_flagged is not None:
+        flagged = flagged.unionByName(hot_flagged)
     # gap-and-islands per doc: a new span starts when this window's
     # start exceeds the previous window's end (pos > prev_pos + k - 1
     # would leave a gap; overlapping/adjacent windows chain).

@@ -225,3 +225,38 @@ def test_duplicate_spans_equals_bruteforce_reference(spark, corpus):
         for r in duplicate_spans(df, k=K).collect()
     }
     assert got == _ref_spans(token_docs, K)
+
+
+def test_hot_occ_cap_path_is_value_identical(spark):
+    """duplicate_spans(hot_occ_cap=...) docstring claim: the hash-
+    aggregate hot path and the window path flag the SAME spans, on a
+    corpus engineered so the cap BINDS both ways — a boilerplate
+    shingle present in many docs (hot AND cross-doc: must be flagged)
+    and a shingle self-repeated many times inside ONE doc (hot but
+    single-doc: must stay unflagged), alongside ordinary sub-cap
+    duplicates and unique text."""
+    boiler = "all rights reserved by the original content owner"
+    self_rep = "spam spam spam spam spam"
+    rows = []
+    for i in range(30):  # boilerplate in 30 docs -> 30+ occurrences
+        rows.append((i, f"doc {i} unique words here {boiler} tail{i} t{i}"))
+    rows.append((100, " ".join([self_rep] * 12) + " closing unique bits"))
+    rows.append((101, "an ordinary pair of duplicated sentences right here"))
+    rows.append((102, "an ordinary pair of duplicated sentences right here"))
+    rows.append((103, "totally singular text with no duplication at all ok"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = sorted(
+        map(tuple, duplicate_spans(df, k=5).collect())
+    )
+    capped = sorted(
+        map(tuple, duplicate_spans(df, k=5, hot_occ_cap=10).collect())
+    )
+    assert capped == base and len(base) > 0
+    # the cap actually bound: the boilerplate hashes exceed 10
+    # occurrences, so the hot branch carried real rows (non-vacuity —
+    # if nothing were hot the two plans would be trivially equal)
+    flagged_docs = {r[0] for r in base}
+    assert set(range(30)) <= flagged_docs          # boilerplate flagged
+    assert 100 not in flagged_docs                 # self-repeat not
+    assert {101, 102} <= flagged_docs
