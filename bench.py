@@ -189,28 +189,35 @@ EXTENDED_ASYMMETRIC = {
 #: union-trick as-of; prefix-sum sharding — nothing scales badly.)
 EXTENDED_FIXED_OVERHEAD = {
     "orders_by_period_rangejoin": (
-        "wall flat at 1.91/1.62/1.56 s across sf0.001/0.01/0.1 — "
-        "per-job constant dominates the two broadcast/binned join legs"
+        "wall flat at 1.55/1.37/1.37 s across sf0.001/0.01/0.1 "
+        "(round-12 re-sweep; r10: 1.91/1.62/1.56) — per-job constant "
+        "dominates the two broadcast/binned join legs"
     ),
     "asof_join_purchase_click": (
-        "wall flat at 1.21/1.18/1.38 s across sf0.001/0.01/0.1 — "
-        "per-job constant dominates the single-shuffle union-trick as-of"
+        "wall flat at 1.35/1.34/1.61 s across sf0.001/0.01/0.1 "
+        "(round-12 re-sweep on the metric-delivery restructure; r10: "
+        "1.21/1.18/1.38) — per-job constant dominates the "
+        "single-shuffle union-trick as-of"
     ),
     "corpus_mix_split_shards": (
-        "wall flat at 2.20/1.84/1.94 s across sf0.001/0.01/0.1 — "
-        "per-job constant dominates the prefix-sum shard layout"
+        "wall flat at 1.92/1.95/1.95 s across sf0.001/0.01/0.1 "
+        "(round-12 re-sweep; r10: 2.20/1.84/1.94) — per-job constant "
+        "dominates the prefix-sum shard layout"
     ),
     # round 11, after the single-window rewrites (span: one shuffle of
     # the exploded shingle relation; url: one exchange, zero joins —
     # plan shapes re-validated value-exact at 100x replica)
     "span_redaction_stats": (
-        "wall flat at 1.05/0.75/1.17 s across sf0.001/0.01/0.1 — "
-        "per-job constant dominates the one-window shingle filter"
+        "wall flat at 0.58/0.60/1.29 s across sf0.001/0.01/0.1 "
+        "(round-12 re-sweep on the null-safe distinct count; r11: "
+        "1.05/0.75/1.17) — per-job constant dominates the one-window "
+        "shingle filter"
     ),
     "url_domain_curation": (
-        "wall flat at 0.54/0.52/0.70 s across sf0.001/0.01/0.1 — "
-        "per-job constant dominates the single-exchange fusion "
-        "(3 Spark jobs total)"
+        "wall flat at 0.51/0.50/0.63 s across sf0.001/0.01/0.1 "
+        "(round-12 re-sweep on the null-safe distinct count; r11: "
+        "0.54/0.52/0.70) — per-job constant dominates the "
+        "single-exchange fusion (3 Spark jobs total)"
     ),
     # round 12, after the two-pass fusion (one tagged explode feeds LM
     # scoring + repetition + decontam; model + bench index in one
