@@ -369,13 +369,31 @@ def main() -> None:
     # min-of-2; a third pass per engine halves the spread).
     # clearCache between runs so persist() reuse never crosses a timing.
     timings: dict[str, float] = {}
+    # same per-slot bookkeeping as the extended tier (round 12): an
+    # ADJACENT per-job constant sampled next to each slot's timed
+    # passes plus the job count of the min-wall pass, so the headline
+    # tier's fixed-cost story ("sub-second relational slots pay
+    # Spark's scheduling floor") is mechanical per slot instead of
+    # prose — headline_ratios_netted in BENCH_DETAILS.
+    hl_jobs: dict[str, int] = {}
+    hl_slot_constant: dict[str, float] = {}
+    hl_tracker = spark.sparkContext.statusTracker()
     for name in HEADLINE:
         fn = DIRECT.get(name) or reg.queries[name]
+        hl_slot_constant[name] = _per_job_constant(spark, passes=3)
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
+            grp = f"bench_hl_{name}_{run_id}_{i}"
+            spark.sparkContext.setJobGroup(grp, name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            if wall < best:
+                best = wall
+                hl_jobs[name] = len(hl_tracker.getJobIdsForGroup(grp))
+            spark.sparkContext.setJobGroup(
+                f"bench_hl_idle_{run_id}", "between passes"
+            )
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
@@ -398,6 +416,23 @@ def main() -> None:
         if duck_total and headline_required <= set(duck)
         else None
     )
+    # job-netted headline ratios (same formula and membership rules as
+    # the extended tier; folded pairs net their summed walls and summed
+    # job counts against the covering oracle)
+    _TINY_HL = 0.0005
+    headline_netted: dict[str, float] = {}
+    for n in HEADLINE:
+        if n in FOLDED_INTO or n not in duck or n not in timings:
+            continue
+        wall, jobs, c = timings[n], hl_jobs.get(n, 1), hl_slot_constant.get(n, 0.0)
+        folded = [f for f, cov in FOLDED_INTO.items() if cov == n]
+        key = "+".join([n, *folded])
+        for f in folded:
+            wall += timings.get(f, 0.0)
+            jobs += hl_jobs.get(f, 0)
+        headline_netted[key] = round(
+            max(wall - jobs * c, 0.0) / max(duck[n], _TINY_HL), 3
+        )
 
     # extended tier: one warmup + min-of-2 timed passes per query (see
     # EXTENDED doc comment). Runs AFTER the headline timings so its
@@ -600,6 +635,9 @@ def main() -> None:
         per_job_constant_median=per_job_constant_median,
         per_job_constant_spread=per_job_constant_spread,
         extended_slot_constants=ext_slot_constant,
+        headline_job_counts=hl_jobs,
+        headline_slot_constants=hl_slot_constant,
+        headline_ratios_netted=headline_netted,
         duckdb_queries=duck,
         extended_queries=extended,
         extended_duckdb_queries=ext_duck,

@@ -55,26 +55,38 @@ def render(rec: dict) -> str:
     #: Spark slots against one covering oracle (FOLDED_INTO)
     proxied = {k for k, v in ORACLE_PROXY.items() if v is not None}
     proxied |= set(FOLDED_INTO.values())
+    # round 12: the headline tier gets the same job-netted column the
+    # extended tier has (records without the fields render the old
+    # 4-column table)
+    hl_netted = rec.get("headline_ratios_netted") or {}
+    hl_jobs = rec.get("headline_job_counts") or {}
+    hl_hdr = " netted⁵ |" if hl_netted else ""
     lines = [
-        "| Query | Spark | DuckDB | ratio |",
-        "|---|---|---|---|",
+        "| Query | Spark | DuckDB | ratio |" + hl_hdr,
+        "|---|---|---|---|" + ("---|" if hl_netted else ""),
     ]
     for name, s in rec["queries"].items():
         if name in FOLDED_INTO:
             continue  # summed into the covering slot's row below
         label = name
+        jobs = hl_jobs.get(name, 0)
         for folded, cover in FOLDED_INTO.items():
             if cover == name and folded in rec["queries"]:
                 s += rec["queries"][folded]
                 label += f" + {folded}"
+                jobs += hl_jobs.get(folded, 0)
         d = duck.get(name)
         mark = "¹" if name in proxied and d is not None else ""
         d_cell = (
             f"{max(d, _TINY):.2f} s{mark}" if d is not None else "—"
         )
-        lines.append(
-            f"| {label} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
-        )
+        row = f"| {label} | {s:.2f} s | {d_cell} | {_ratio_cell(s, d)} |"
+        if hl_netted:
+            nv = hl_netted.get(label.replace(" + ", "+"))
+            row += (
+                f" {nv:g}× ({jobs} jobs) |" if nv is not None else " — |"
+            )
+        lines.append(row)
     total_s = rec["value"]
     total_d = rec.get("duckdb_total")
     ratio = rec.get("ratio_vs_duckdb")
@@ -90,7 +102,7 @@ def render(rec: dict) -> str:
     ratio_cell = f"**{ratio:.2f}×**" if ratio is not None else "—"
     lines.append(
         f"| **Headline total** | **{total_s:.2f} s** | {total_d_cell} "
-        f"| {ratio_cell} |"
+        f"| {ratio_cell} |" + (" |" if hl_netted else "")
     )
     # extended calibrated subset (round 8): the expensive composites'
     # drift-immune two-engine comparison; uncalibrated extended slots
