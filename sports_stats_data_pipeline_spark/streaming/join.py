@@ -62,13 +62,19 @@ def _stage_with_typed_flush(spark: SparkSession, sf_dir: str) -> str:
     staging = tempfile.mkdtemp(prefix="events_join_flush_")
     stage_parquet(os.path.join(sf_dir, "events.parquet"), staging)
     flush_ts = datetime.datetime(2100, 1, 1)
-    spark.createDataFrame(
-        [
-            (-1, flush_ts, -1, "click", 0.0, "{}"),
-            (-2, flush_ts, -2, "purchase", 0.0, "{}"),
-        ],
-        schema=EVENTS_RAW_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(
+    # range+literals, not createDataFrame([rows]).coalesce(1) — the
+    # latter serialized 32 Python-worker slice evaluations into one
+    # task (~4 s for two rows; streaming/pipeline.py has the full note)
+    spark.range(2).select(
+        (-F.col("id") - 1).cast("long").alias("event_id"),
+        F.lit(flush_ts).alias("ts"),
+        (-F.col("id") - 1).cast("long").alias("user_id"),
+        F.when(F.col("id") == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(
         os.path.join(staging, "flush.parquet")
     )
     return staging

@@ -108,15 +108,25 @@ def _stage_with_flush(spark: SparkSession, sf_dir: str) -> str:
     stage_parquet(os.path.join(sf_dir, "events.parquet"), staging)
     # 2100-01-01 — beyond any corpus event time. Naive datetime into an
     # LTZ column = wall clock in the session TZ (pinned UTC).
+    # Built from spark.range(1) + literals, NOT createDataFrame([row]):
+    # a Python-list DataFrame is a Python-RDD-backed relation sliced
+    # over defaultParallelism, and the former coalesce(1) evaluated all
+    # 32 slices' Python-worker rounds SEQUENTIALLY in one task —
+    # measured 4 s for this one-row file vs ~0.2 s pure-JVM (the single
+    # range partition also writes the single file the old coalesce
+    # bought). Round-12 finding; same fix in streaming/join.py and
+    # streaming/quality.py.
     import datetime
 
     flush_ts = datetime.datetime(2100, 1, 1)
-    spark.createDataFrame(
-        [(-1, flush_ts, -1, _FLUSH_TYPE, 0.0, "{}")],
-        schema=EVENTS_RAW_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(staging, "flush.parquet")
-    )
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(flush_ts).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(_FLUSH_TYPE).alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(os.path.join(staging, "flush.parquet"))
     return staging
 
 

@@ -46,10 +46,14 @@ def save_char_lm(lm: CharLM, path: str) -> None:
         os.path.join(path, "contexts")
     )
     spark = lm.grams.sparkSession
-    spark.createDataFrame(
-        [(lm.n, lm.add_k, lm.vocab_size)],
-        "n int, add_k double, vocab_size int",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # range+literals, not createDataFrame([row]).coalesce(1) — the
+    # latter serialized 32 Python-worker slice evaluations into one
+    # task (~4 s per call; streaming/pipeline.py has the full note)
+    spark.range(1).select(
+        F.lit(lm.n).cast("int").alias("n"),
+        F.lit(lm.add_k).cast("double").alias("add_k"),
+        F.lit(lm.vocab_size).cast("int").alias("vocab_size"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def load_char_lm(spark: SparkSession, path: str) -> CharLM:
