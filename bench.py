@@ -458,6 +458,7 @@ def main() -> None:
 
     extended: dict[str, float] = {}
     ext_jobs: dict[str, int] = {}
+    ext_stages: dict[str, int] = {}
     ext_slot_constant: dict[str, float] = {}
     mart_phases: dict[str, float] = {}
     tracker = spark.sparkContext.statusTracker()
@@ -486,7 +487,19 @@ def main() -> None:
             wall = time.perf_counter() - t0
             if wall < best:
                 best = wall
-                ext_jobs[name] = len(tracker.getJobIdsForGroup(grp))
+                job_ids = tracker.getJobIdsForGroup(grp)
+                ext_jobs[name] = len(job_ids)
+                # stage count of the SAME pass (round-12 backlog #4):
+                # the per-JOB noop constant understates a real stage's
+                # fixed cost (~0.15-0.3 s wall on this host), so the
+                # stage count is recorded as DATA next to the netted
+                # ratio — the SF-flatness records carry the argument,
+                # this makes it inspectable per slot.
+                ext_stages[name] = sum(
+                    len(tracker.getJobInfo(j).stageIds)
+                    for j in job_ids
+                    if tracker.getJobInfo(j) is not None
+                )
                 if name == "incremental_mart_maintenance":
                     mart_phases = dict(MART_PHASE_WALLS)
             spark.sparkContext.setJobGroup(
@@ -645,6 +658,7 @@ def main() -> None:
         extended_duckdb_total=ext_duck_total,
         extended_duckdb_total_full=ext_duck_full,
         extended_job_counts=ext_jobs,
+        extended_stage_counts=ext_stages,
         extended_ratios_netted=netted_ratios,
         extended_ratios_netted_dropped=netted_dropped,
         mart_phase_walls=mart_phases,
