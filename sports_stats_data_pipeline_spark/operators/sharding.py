@@ -41,15 +41,26 @@ def assign_token_shards(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     n_buckets: int = 64,
+    max_id: int | None = None,
 ) -> DataFrame:
     """Add ``start_offset`` and ``shard`` columns (see module docstring).
 
     ``id_col`` must be unique and non-negative; shard layout follows
     ascending ``id_col`` order. ``budget`` is in tokens.
+
+    ``max_id`` — optional pre-computed ``max(id_col)``: the bucket-width
+    decision is the operator's ONE driver-side action, and a caller
+    laying out the same relation more than once (shards + sequence
+    packing over one id space) can pay that job once and share it. Only
+    the bucketing granularity depends on it, not the output: any value
+    >= the true max yields identical offsets (buckets are contiguous id
+    ranges either way), so a caller-supplied stale-but-larger bound is
+    safe.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    max_id = docs.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        max_id = docs.agg(F.max(id_col)).first()[0]
     if max_id is None:
         return docs.select(
             "*",
@@ -104,6 +115,7 @@ def pack_training_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     n_buckets: int = 64,
+    max_id: int | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: lay documents out contiguously in
     ``id_col`` order and cut the token stream into fixed ``seq_len``
@@ -130,7 +142,7 @@ def pack_training_sequences(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     laid = assign_token_shards(
         docs, budget=seq_len, id_col=id_col, token_col=token_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, max_id=max_id,
     ).drop("shard")
     start, n = F.col("start_offset"), F.col(token_col)
     seq_lo = F.floor(start / seq_len).cast("long")

@@ -684,14 +684,27 @@ def corpus_mix_split_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="v1",
     )
     mixed = mix_sources(split, "doc_id", "source", _MIX_WEIGHTS, salt="mix")
+    # persist the shared metadata relation (round-12 #2): five consumers
+    # (two prefix-sum layouts, the epoch shuffle, and the two max-id
+    # actions they used to run separately) each re-evaluated the
+    # token_count regex split plus two md5 hash buckets per row. The
+    # relation is metadata-narrow (no text column — ~40 B/row at any
+    # scale), exactly the "decide with small rows" proxy the optimization
+    # guide's worked example stages; bench's clearCache() between passes
+    # releases it.
     with_uid = mixed.withColumn(
         "uid", F.col("doc_id") * 4 + F.col("copy")
-    )
+    ).persist()
+    # ONE max-id action shared by both layouts (operators/sharding.py:
+    # any shared upper bound yields identical offsets) — this action also
+    # materializes the persist above, so every later leg reads the cache.
+    max_uid = with_uid.agg(F.max("uid")).first()[0]
     sharded = assign_token_shards(
-        with_uid, budget=_SHARD_BUDGET, id_col="uid", token_col="n_tokens"
+        with_uid, budget=_SHARD_BUDGET, id_col="uid", token_col="n_tokens",
+        max_id=max_uid,
     )
     packed = pack_training_sequences(
-        with_uid, 512, id_col="uid", token_col="n_tokens"
+        with_uid, 512, id_col="uid", token_col="n_tokens", max_id=max_uid,
     )
     pstats = packed.groupBy("uid").agg(
         F.min("seq_id").cast("long").alias("first_seq"),
