@@ -74,31 +74,68 @@ def semantic_dedup(
         raise ValueError(
             f"threshold_micro must be in (0, 1e6], got {threshold_micro}"
         )
-    if centroids is not None:
-        from .kmeans import _assign
+    # ONE projected scan of the input feeds everything downstream
+    # (assignment, membership, the node relation) through the single
+    # ``members`` persist below: the caller's ``embeddings`` is often a
+    # union of scans/derivations, and every un-persisted reference
+    # re-evaluated all of them (round-12 A/B on the doc_clusters slot:
+    # the input was re-scanned 6+ times). The per-vector norm is
+    # precomputed here too, so the within-cell self-join pays ONE array
+    # fold per pair (the dot product) instead of three —
+    # dot(a,b)/(norm(a)*norm(b)) with norms read from the cache is
+    # bit-identical to computing the norms per pair (same folds, same
+    # op order). The cache footprint is what the previous ``members``
+    # persist already carried (id, vector, +1 double).
+    from ..functions.vectors import dot
 
-        vecs = embeddings.select(
-            F.col(id_col).alias("__id"),
-            as_double(F.col(vec_col)).alias("__v"),
+    base = embeddings.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", F.sqrt(dot(F.col("v"), F.col("v"))))
+    if centroids is not None:
+        # Caller-supplied quantizer: the k×dim centroid table is tiny
+        # and BOUNDED BY CONSTRUCTION (a trained coarse quantizer —
+        # k cells, the same boundedness argument as every broadcast in
+        # this family), so collect it and fold the argmin into the SAME
+        # projection that computes the norm: one scan, zero crossJoin /
+        # groupBy / join-back stages. F.least over the per-centroid
+        # (dist, cell) structs is exactly the old
+        # min(struct(dist, cell)) aggregate — identical squared-L2
+        # folds per centroid (array order), identical (d, then c)
+        # tie-break — pinned against _assign in tests.
+        from .kmeans import _sq_l2
+
+        cent_rows = sorted(
+            (r["cell"], list(r["centroid"])) for r in centroids.collect()
         )
-        assigned = _assign(vecs, centroids).select(
-            F.col("__id").alias(id_col), "cell"
+        if not cent_rows:
+            raise ValueError("centroids relation is empty")
+        dcs = [
+            F.struct(
+                _sq_l2(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("d"),
+                F.lit(int(cell)).alias("c"),
+            )
+            for cell, c in cent_rows
+        ]
+        members = base.withColumn(
+            "cell", F.least(*dcs)["c"] if len(dcs) > 1 else dcs[0]["c"]
         ).persist()
     else:
+        base = base.persist()
         assigned, _centroids = kmeans_fit_assign(
-            embeddings,
+            base,
             k=n_cells,
             iters=kmeans_iters,
             id_col=id_col,
-            vec_col=vec_col,
+            vec_col="v",
         )
-    members = (
-        embeddings.select(
-            F.col(id_col), as_double(F.col(vec_col)).alias("v")
+        members = (
+            base.join(assigned.select(id_col, "cell"), id_col)
+            .persist()
         )
-        .join(assigned.select(id_col, "cell"), id_col)
-        .persist()
-    )
     # skew guard: over-cap cells never reach the self-join (see module
     # docstring). No broadcast hint — AQE broadcasts the tiny hot list.
     hot = (
@@ -109,37 +146,58 @@ def semantic_dedup(
     )
     capped = members.join(hot, "cell", "left_anti")
     a = capped.select(
-        "cell", F.col(id_col).alias("ida"), F.col("v").alias("va")
+        "cell",
+        F.col(id_col).alias("ida"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
     )
     b = capped.select(
-        "cell", F.col(id_col).alias("idb"), F.col("v").alias("vb")
+        "cell",
+        F.col(id_col).alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
+    from ..functions.vectors import dot as _dot
+
     edges = (
         a.join(b, "cell")
         .filter(F.col("ida") < F.col("idb"))
         .withColumn(
             "cos_micro",
-            F.floor(cosine(F.col("va"), F.col("vb")) * 1_000_000).cast(
-                "long"
-            ),
+            # same value as functions.vectors.cosine(va, vb): the norms
+            # come precomputed from the base cache (identical folds),
+            # only the dot is per-pair work
+            F.floor(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 1_000_000
+            ).cast("long"),
         )
         .filter(F.col("cos_micro") >= threshold_micro)
         .select("ida", "idb")
     )
-    # labels come back eagerly checkpointed (components.py), so the
-    # edge/member lineage is dead after this call; the tiny (id, cell)
-    # relation is checkpointed too so the caches can be released now
-    # rather than handed to the caller (GC-scoped, cf. quantize.py).
+    # labels come back eagerly checkpointed (components.py) on the
+    # distributed path, or as a broadcast-joined local relation on the
+    # small-graph fast path — either way the edge lineage is dead after
+    # this call.
     labels = connected_components(
-        embeddings.select(id_col),
+        members.select(id_col),
         edges,
         id_col=id_col,
         src="ida",
         dst="idb",
     )
-    cells = assigned.select(id_col, "cell").localCheckpoint(eager=True)
-    members.unpersist()
-    assigned.unpersist()
+    # members stays persisted to the end: the RETURNED relation's cell
+    # join (and, on the fast path, the node-id leg components builds at
+    # action time) read it lazily — unpersisting here would re-evaluate
+    # the caller's input scans per downstream action. Released by the
+    # session's clearCache / GC like the doc_clusters pair cache. The
+    # kmeans-path internals (base, assigned) are dead now and released
+    # eagerly.
+    if centroids is None:
+        assigned.unpersist()
+        base.unpersist()
+    cells = members.select(id_col, "cell")
 
     from pyspark.sql import Window
 

@@ -1171,9 +1171,15 @@ def neardup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         _minhash_verified_pairs(docs).select("doc_a", "doc_b").persist()
     )
+    # persist: three families (minhash rows, pagerank keep, triangles)
+    # consume labels; on the small-graph fast path the label relation is
+    # otherwise re-derived per consumer, re-evaluating the node leg's
+    # document scans each time (round-12 A/B: ~1.2 s per evaluation).
+    # Narrow (id, cluster_id) rows — corpus-count-sized, not corpus-
+    # byte-sized — the same footprint class as the pair cache above.
     labels = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", src="doc_a", dst="doc_b"
-    )
+    ).persist()
     w = Window.partitionBy("cluster_id")
     minhash_rows = labels.select(
         F.lit("minhash").alias("family"),
