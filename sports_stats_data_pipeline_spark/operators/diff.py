@@ -116,28 +116,39 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     - ``kind='column'``: per-column changed-row counts (only columns
       that actually changed appear).
     """
-    # ONE aggregation over the diff's data rows — grouping by (status,
-    # changed-column set) collapses to a tiny relation (distinct column
-    # subsets that actually co-change, not rows). Computing status and
-    # column counts as two separate aggregates over an unpersisted diff
-    # would re-execute the full-outer join twice, and an internal
-    # persist() would pin an orphaned cache entry per call; instead the
-    # tiny grouped relation is collected EAGERLY and the report built
-    # as a literal frame — one job over the data, nothing cached.
-    rows = (
-        diff.groupBy("diff_status", "changed_cols")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    # ONE lazy aggregation over the diff's data rows, no collect and no
+    # reuse of any subtree (so the full-outer join upstream executes
+    # exactly once, INSIDE the caller's action where it overlaps with
+    # the rest of the plan — the previous eager collect ran it as a
+    # serial driver-blocking job at plan-build time, ~1 s per build of
+    # the quality slot; round-12 finding). Shape: every diff row
+    # explodes to one weight-1 status marker (NULL name) plus one
+    # weight-1 row per changed column; four injected weight-0 markers
+    # 0-fill the statuses; a single map-side-combinable groupBy over
+    # (status|column, name) keys — tiny, bounded by 4 + |columns| —
+    # yields the report directly.
+    spark = diff.sparkSession
+    exploded = diff.select(
+        "diff_status",
+        F.explode(
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.col("changed_cols"),
+            )
+        ).alias("__c"),
+        F.lit(1).cast("long").alias("__w"),
     )
-    status_counts = {s: 0 for s in STATUSES}
-    col_counts: dict[str, int] = {}
-    for r in rows:
-        status_counts[r["diff_status"]] += r["n"]
-        for c in r["changed_cols"]:
-            col_counts[c] = col_counts.get(c, 0) + r["n"]
-    out = [("status", s, status_counts[s]) for s in STATUSES] + [
-        ("column", c, n) for c, n in sorted(col_counts.items())
-    ]
-    return diff.sparkSession.createDataFrame(
-        out, "kind string, name string, n long"
+    zero_fill = spark.createDataFrame(
+        [(s, None, 0) for s in STATUSES],
+        "diff_status string, __c string, __w long",
+    )
+    return (
+        exploded.unionByName(zero_fill)
+        .groupBy(
+            F.when(F.col("__c").isNull(), F.lit("status"))
+            .otherwise(F.lit("column"))
+            .alias("kind"),
+            F.coalesce("__c", "diff_status").alias("name"),
+        )
+        .agg(F.sum("__w").alias("n"))
     )
