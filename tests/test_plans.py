@@ -194,15 +194,19 @@ def test_data_quality_report_plan_shape(spark):
     # count: expectations row-level agg (1) + unique (1) + FK probe (1)
     # + FK customer (1) + two PSI sides (2) + heavy-hitters summary and
     # exact passes over events (2, the two-scan contract) + reconcile's
-    # old/new snapshot sides (2, both derived from orders) + the MAD
-    # outlier family's median/deviation branches (2 in the STATIC plan;
-    # at runtime AQE collapses them into one ReusedExchange stage —
-    # pinned in test_outliers) + the round-6 small_files advisor's
-    # stats/median branches over the synthesized inventory (2, both
-    # from documents — same AQE-reuse story) + plan-reuse artifacts
-    # = 16 on Spark 4.1; a jump past this means some family started
-    # rescanning per constraint.
-    assert plan.count("Location: InMemoryFileIndex") <= 16
+    # old/new snapshot sides — 2×2 since round 12 made diff_summary
+    # lazy: its full-outer join now executes inside THIS action instead
+    # of as a build-time collect job, so the status leg's two orders
+    # scans appear in the static plan alongside the (previously
+    # hidden) literal report; same two underlying scans, now visible
+    # and AQE-reusable — + the MAD outlier family's median/deviation
+    # branches (2 in the STATIC plan; at runtime AQE collapses them
+    # into one ReusedExchange stage — pinned in test_outliers) + the
+    # round-6 small_files advisor's stats/median branches over the
+    # synthesized inventory (2, both from documents — same AQE-reuse
+    # story) + plan-reuse artifacts = 18 on Spark 4.1; a jump past
+    # this means some family started rescanning per constraint.
+    assert plan.count("Location: InMemoryFileIndex") <= 18
 
 
 def test_streaming_join_batch_twin_is_shuffle_bounded(spark):

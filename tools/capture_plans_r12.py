@@ -83,10 +83,15 @@ def _sentinel_df(spark, suffix: str):
 def main() -> None:
     out_dir = Path(sys.argv[1])
     suffix = sys.argv[2]
+    # optional explicit slot list (3rd+ args) — used by the optimization
+    # round's continuation session to (re)capture only the slots IT
+    # touched; no list = the original round-12 TOUCHED set + sentinel.
+    slots = tuple(sys.argv[3:]) or TOUCHED
+    capture_sentinel = not sys.argv[3:]
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{suffix}")
     reg = all_registries().queries
-    for name in TOUCHED:
+    for name in slots:
         df = reg[name](spark, SF_DIR)
         text = _explain_text(df)
         path = out_dir / f"{name}_{suffix}.txt"
@@ -96,6 +101,9 @@ def main() -> None:
             f"tools/capture_plans_r12.py\n\n{text}"
         )
         print(f"wrote {path}")
+    if not capture_sentinel:
+        spark.stop()
+        return
     df = _sentinel_df(spark, suffix)
     path = out_dir / f"streaming_flush_sentinel_{suffix}.txt"
     path.write_text(
