@@ -233,9 +233,10 @@ EXTENDED_FIXED_OVERHEAD = {
     # recorded per run in BENCH_DETAILS.quality_family_walls
     "data_quality_report": (
         "wall flat at 4.94/3.97/4.69 s across sf0.001/0.01/0.1 (40 "
-        "jobs at every SF) — seven validation families of fixed stage "
-        "cost incl. the deliberate two-pass heavy-hitter recount; "
-        "per-family walls recorded in quality_family_walls"
+        "jobs at every SF when swept; 35-36 jobs since the lazy "
+        "diff_summary + schema memo) — seven validation families of "
+        "fixed stage cost incl. the deliberate two-pass heavy-hitter "
+        "recount; per-family walls recorded in quality_family_walls"
     ),
 }
 

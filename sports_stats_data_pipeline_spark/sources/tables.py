@@ -171,6 +171,25 @@ def _fan_out_small_scan(df: DataFrame) -> DataFrame:
 _FAN_OUT_AUTO: tuple[str, ...] = ()
 
 
+#: per-process memo of table SCHEMAS keyed by file identity
+#: (path, mtime_ns, size). This is metadata caching, not result (or
+#: even plan) caching: schema inference reads the parquet footer on
+#: the DRIVER on every ``spark.read.parquet`` call (~0.12 s measured —
+#: a 6-table join re-paid ~0.7 s of footer reads per plan rebuild);
+#: supplying the schema explicitly cuts the build to ~0.02 s (the
+#: production analog is a catalog serving table schemas instead of
+#: per-query footer reads — guide §6's listing/metadata point). Every
+#: call still builds a FRESH relation: an earlier round-12 variant
+#: memoized the DataFrame itself, and self-referencing plans (as-of /
+#: range-join / SCD2 union tricks over one table) then saw the SAME
+#: relation object on both sides — DeduplicateRelations plus
+#: exchange-reuse serialization measured +0.2-0.6 s per slot, more
+#: than the saved footer reads. Staleness guard: the key carries
+#: (mtime_ns, size), so a regenerated corpus misses and re-infers; a
+#: pyspark StructType is a plain Python value, valid across sessions.
+_TABLE_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -182,9 +201,26 @@ def load_table(
     default in ``_FAN_OUT_AUTO`` (pass False at call sites that already
     repartition — a second exchange is pure cost)."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if fan_out is None:
         fan_out = name in _FAN_OUT_AUTO
+    try:
+        st = os.stat(path)
+        key: tuple | None = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local / missing path: no identity to key on — infer
+        # uncached and let the reader raise its own error
+        key = None
+    schema = _TABLE_SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            if len(_TABLE_SCHEMA_CACHE) >= 4096:
+                for k in list(_TABLE_SCHEMA_CACHE)[:2048]:
+                    _TABLE_SCHEMA_CACHE.pop(k, None)
+            _TABLE_SCHEMA_CACHE[key] = df.schema
     if fan_out:
         df = _fan_out_small_scan(df)
     if name == "events":
