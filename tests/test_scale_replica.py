@@ -81,6 +81,10 @@ REPLICA_QUERIES = [
     # rule. span_redaction_stats also changed shape in round 11 (the
     # groupBy+join -> one-window-over-h rewrite) and stays listed.
     "url_domain_curation",
+    # round 12 continuation: shared max-id action + persisted metadata
+    # relation changed the slot's plan shape — joins the gate per the
+    # same rule.
+    "corpus_mix_split_shards",
 ]
 REPLICA_HEAVY = [
     "neardup_minhash_pairs",
