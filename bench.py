@@ -496,10 +496,11 @@ def main() -> None:
                 # stage count is recorded as DATA next to the netted
                 # ratio — the SF-flatness records carry the argument,
                 # this makes it inspectable per slot.
+                # bind each job info once (round-12 ADVICE): an info
+                # expiring between the guard and .stageIds raises on None
+                _infos = [tracker.getJobInfo(j) for j in job_ids]
                 ext_stages[name] = sum(
-                    len(tracker.getJobInfo(j).stageIds)
-                    for j in job_ids
-                    if tracker.getJobInfo(j) is not None
+                    len(i.stageIds) for i in _infos if i is not None
                 )
                 if name == "incremental_mart_maintenance":
                     mart_phases = dict(MART_PHASE_WALLS)

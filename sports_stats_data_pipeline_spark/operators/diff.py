@@ -133,14 +133,29 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         F.explode(
             F.concat(
                 F.array(F.lit(None).cast("string")),
-                F.col("changed_cols"),
+                # NULL-safe: concat(array(null), NULL) is NULL and
+                # explode of NULL emits ZERO rows, silently dropping
+                # the row's status marker. table_diff never emits NULL
+                # arrays, but diff_summary is a public operator over
+                # any diff-shaped input (round-12 ADVICE).
+                F.coalesce(
+                    F.col("changed_cols"),
+                    F.array().cast("array<string>"),
+                ),
             )
         ).alias("__c"),
         F.lit(1).cast("long").alias("__w"),
     )
-    zero_fill = spark.createDataFrame(
-        [(s, None, 0) for s in STATUSES],
-        "diff_status string, __c string, __w long",
+    # pure-JVM literal relation (explode over a range(1) row), NOT
+    # createDataFrame([rows]): a Python-list DataFrame is a Python-RDD-
+    # backed relation whose every evaluation pays a Python-worker round
+    # per slice (the round-12 streaming-sentinel finding).
+    zero_fill = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s) for s in STATUSES])
+        ).alias("diff_status"),
+        F.lit(None).cast("string").alias("__c"),
+        F.lit(0).cast("long").alias("__w"),
     )
     return (
         exploded.unionByName(zero_fill)

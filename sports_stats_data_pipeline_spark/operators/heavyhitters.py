@@ -157,7 +157,14 @@ def heavy_hitters(
     )
     if total == 0 or not cands:
         return empty
-    cand_df = spark.createDataFrame([(v,) for v in cands], "value string")
+    # pandas-backed (Arrow) relation, not a Python tuple list: the
+    # list path is a Python-RDD-backed relation that re-pays a
+    # Python-worker round per slice on every evaluation (and this one
+    # is re-evaluated per broadcast build); the Arrow path evaluates
+    # JVM-side (round-12 streaming-sentinel finding applied here).
+    cand_df = spark.createDataFrame(
+        pd.DataFrame({"value": cands}), "value string"
+    )
     exact = (
         src.join(F.broadcast(cand_df), "value", "left_semi")
         .groupBy("value")
@@ -282,11 +289,16 @@ def heavy_hitters_grouped(
             "group string, value string, n long, total long, "
             "freq_bp long",
         )
+    # pandas-backed (Arrow) relations — same rationale as heavy_hitters
     cand_df = spark.createDataFrame(
-        sorted(cands), "group string, value string"
+        pd.DataFrame(sorted(cands), columns=["group", "value"]),
+        "group string, value string",
     )
     totals = spark.createDataFrame(
-        sorted(totals_map.items()), "group string, total long"
+        pd.DataFrame(
+            sorted(totals_map.items()), columns=["group", "total"]
+        ),
+        "group string, total long",
     )
     exact = (
         src.join(F.broadcast(cand_df), ["group", "value"], "left_semi")

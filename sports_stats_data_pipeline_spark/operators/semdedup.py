@@ -190,10 +190,14 @@ def semantic_dedup(
     # members stays persisted to the end: the RETURNED relation's cell
     # join (and, on the fast path, the node-id leg components builds at
     # action time) read it lazily — unpersisting here would re-evaluate
-    # the caller's input scans per downstream action. Released by the
-    # session's clearCache / GC like the doc_clusters pair cache. The
-    # kmeans-path internals (base, assigned) are dead now and released
-    # eagerly.
+    # the caller's input scans per downstream action. CALLER CONTRACT
+    # (round-12 ADVICE): DataFrame persists are held by the
+    # CacheManager, NOT garbage-collected — a long-lived session
+    # calling semantic_dedup repeatedly must release the previous
+    # call's cache (spark.catalog.clearCache(), as bench.py does
+    # between passes) or corpus-sized (id, vector, norm) entries
+    # accumulate. The kmeans-path internals (base, assigned) are dead
+    # now and released eagerly.
     if centroids is None:
         assigned.unpersist()
         base.unpersist()

@@ -210,8 +210,16 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.intervaljoin import overlap_join
 
     orders = load_table(spark, sf_dir, "orders")
+    # pandas-backed (Arrow) literal relations: the tuple-list path is
+    # Python-RDD-backed and re-pays a Python-worker round per broadcast
+    # build (round-12 sentinel finding)
+    import pandas as _pd
+
     periods = spark.createDataFrame(
-        [(n, s, e) for n, s, e in _QUARTERS],
+        _pd.DataFrame(
+            list(_QUARTERS),
+            columns=["period_name", "period_start", "period_end"],
+        ),
         schema="period_name string, period_start string, period_end string",
     ).select(
         "period_name",
@@ -239,7 +247,10 @@ def orders_by_period_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(day).alias("ls"), (F.max(day) + 1).alias("le")
     )
     quarter_days = spark.createDataFrame(
-        _QUARTER_DAYS, "period_name string, ps long, pe long"
+        _pd.DataFrame(
+            list(_QUARTER_DAYS), columns=["period_name", "ps", "pe"]
+        ),
+        "period_name string, ps long, pe long",
     )
     active_rows = (
         overlap_join(

@@ -379,13 +379,24 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently DROP the NULL field and shift the layout (round-12
     # self-review); the unpack maps '' back to NULL, mirroring
     # top_ngram_stats' NULL n_chars on NULL text.
+    #
+    # The encoded payload is (n_chars, top_cnt, LENGTH(top_gram)) — the
+    # gram string itself is never output (only its length feeds
+    # top_gram_char_bp), and keeping every field NUMERIC is what lets
+    # the per-doc groupBy below run as a HashAggregate: a max(STRING)
+    # aggregate has an immutable buffer type, which forces Spark into
+    # SortAggregate — two full sorts of the exploded gram stream per
+    # pass (round-13 plan finding; the r12 plan shows SortAggregate ×4).
+    # NULL propagation is unchanged: a NULL-text doc has top.c/top.g
+    # NULL, length(NULL) is NULL, and concat_ws drops both TAIL fields
+    # together, so the decode reads them back as NULL.
     len_gram = lambda toks: let1(
         _top_bigram(toks),
         lambda top: F.concat_ws(
             "\n",
             F.coalesce(F.length(t).cast("string"), F.lit("")),
             top["c"].cast("string"),
-            top["g"],
+            F.length(top["g"]).cast("string"),
         ),
     )
     tok_structs = let1(
@@ -495,10 +506,28 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_lm = F.col("fam") == "lm"
     is_dec = F.col("fam") == "dec"
+    # unpack the encoded 'len' row BEFORE the aggregation: n_chars \n
+    # top_cnt \n top_gram_len (exactly one such row per doc, so each
+    # max() is just a pick — and every aggregate buffer stays NUMERIC,
+    # keeping the groupBy a HashAggregate; see the len_gram comment).
+    # '' chars = NULL-text doc, decoded back to NULL — ANSI cast of ''
+    # would throw. The split is guarded by the fam test, so it runs
+    # once per doc, not once per gram row.
+    _lr = F.split("gram", "\n", 3)
+    _chars_s = F.get(_lr, 0)
+    is_len = F.col("fam") == "len"
     # per-doc partials reduce map-side to ~one row per doc before the
     # exchange — the shuffle is doc-count-sized, never gram-sized
     per_doc = enriched.groupBy("doc_id").agg(
-        F.max(F.when(F.col("fam") == "len", F.col("gram"))).alias("__lr"),
+        F.max(
+            F.when(
+                is_len & (_chars_s != ""), _chars_s.cast("long")
+            )
+        ).alias("__chars"),
+        F.max(F.when(is_len, F.get(_lr, 1).cast("long"))).alias("__top_c"),
+        F.max(F.when(is_len, F.get(_lr, 2).cast("long"))).alias(
+            "__top_glen"
+        ),
         F.count(F.when(is_lm, F.lit(1))).cast("long").alias("n_grams"),
         F.avg(F.when(is_lm, logp)).alias("__logp_avg"),
         F.sum(F.when(is_dec, F.lit(1))).alias("__n_shingles"),
@@ -506,28 +535,11 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_overlap"),
     )
-    # unpack the encoded 'len' row: n_chars \n top_cnt \n top_gram
-    # (exactly one such row per doc, so the max() is just a pick; the
-    # gram part never contains '\n' — delimiter argument above; ''
-    # chars = NULL-text doc, decoded back to NULL — ANSI cast of ''
-    # would throw)
-    _chars_s = F.get(F.split("__lr", "\n", 3), 0)
-    per_doc = per_doc.select(
-        "*",
-        F.when(_chars_s == "", F.lit(None))
-        .otherwise(_chars_s)
-        .cast("long")
-        .alias("__chars"),
-        F.struct(
-            F.get(F.split("__lr", "\n", 3), 1).cast("long").alias("c"),
-            F.get(F.split("__lr", "\n", 3), 2).alias("g"),
-        ).alias("__top"),
-    )
     bp = (
         F.floor(
             F.lit(10000)
-            * F.col("__top.c")
-            * F.length("__top.g")
+            * F.col("__top_c")
+            * F.col("__top_glen")
             / F.col("__chars")
         )
         .cast("long")
@@ -546,7 +558,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             F.round(F.round(-F.col("__logp_avg"), 6), 3).alias("nll_3"),
-            F.col("__top.c").cast("long").alias("top_gram_count"),
+            F.col("__top_c").alias("top_gram_count"),
             bp,
             "n_overlap",
             overlap_pct,

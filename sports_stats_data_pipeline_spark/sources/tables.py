@@ -187,6 +187,12 @@ _FAN_OUT_AUTO: tuple[str, ...] = ()
 #: than the saved footer reads. Staleness guard: the key carries
 #: (mtime_ns, size), so a regenerated corpus misses and re-infers; a
 #: pyspark StructType is a plain Python value, valid across sessions.
+#: SINGLE-FILE ASSUMPTION (round-12 ADVICE): the stat is of the top-
+#: level path, which is sound for the corpus's one-file-per-table
+#: layout; for a DIRECTORY-style dataset, rewriting one part file in
+#: place changes neither the dir mtime nor its size, so a directory
+#: path would need a child-file fingerprint (e.g. max mtime_ns over
+#: entries) in the key before this memo could serve it safely.
 _TABLE_SCHEMA_CACHE: dict[tuple, object] = {}
 
 

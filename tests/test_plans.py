@@ -223,10 +223,12 @@ def test_streaming_join_batch_twin_is_shuffle_bounded(spark):
     )
 
 
-def test_semdedup_assignment_broadcasts_centroids(spark):
-    """Caller-supplied-centroid assignment must broadcast the k-row
-    centroid relation over one vector scan (the kmeans _assign shape),
-    and the within-cell self-join must be an equi-join on cell."""
+def test_semdedup_assignment_is_literal_fold(spark):
+    """Caller-supplied-centroid assignment is a LITERAL argmin fold in
+    the projection that computes the norm (the round-12 shape): no
+    cross join, no per-id argmin aggregate/join-back (the old _assign
+    machinery's ``__best`` buffer must not appear anywhere in the
+    plan), and the within-cell self-join stays an equi-join."""
     from pyspark.sql import functions as F
 
     from sports_stats_data_pipeline_spark.operators.semdedup import (
@@ -244,8 +246,11 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     )
     out = semantic_dedup(emb, centroids=cents)
     plan = _plan(out)
-    assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__best" not in plan and "__dc" not in plan, (
+        "assignment regressed to the crossJoin+argmin-aggregate shape"
+    )
 
 
 def test_url_domain_curation_prunes_and_shuffles_bounded(spark):

@@ -129,3 +129,48 @@ def test_partition_invariance(spark):
 def test_bad_threshold(spark):
     with pytest.raises(ValueError):
         semantic_dedup(_synthetic(spark), threshold_micro=0)
+
+
+def test_literal_fold_assignment_matches_kmeans_assign(spark):
+    """The caller-supplied-centroids literal argmin fold (semdedup's
+    round-12 assignment) must pick the SAME cell per vector as
+    kmeans._assign on the same centroids — same squared-L2 fold order,
+    same (dist, cell) tie-break — including on tie-engineered vectors
+    equidistant from two centroids (round-12 ADVICE: the claimed
+    equivalence pin now exists as a direct test)."""
+    from sports_stats_data_pipeline_spark.operators.kmeans import _assign
+    from sports_stats_data_pipeline_spark.functions.vectors import (
+        as_double,
+    )
+
+    emb = _synthetic(spark)
+    # tie-engineered: equidistant from centroid 1 and 2 below — the
+    # (d, c) struct min must break toward the smaller cell id
+    emb = emb.unionByName(
+        spark.range(1).select(
+            F.lit(999).cast("long").alias("vec_id"),
+            F.lit([0.5, 0.5, 0.0, 0.0]).alias("embedding"),
+        )
+    )
+    cents = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "cell int, centroid array<double>",
+    )
+    fold_cells = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(emb, centroids=cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    vecs = emb.select(
+        F.col("vec_id").alias("__id"),
+        as_double(F.col("embedding")).alias("__v"),
+    )
+    ref_cells = {
+        r["__id"]: r["cell"] for r in _assign(vecs, cents).collect()
+    }
+    assert fold_cells == ref_cells

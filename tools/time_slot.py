@@ -56,10 +56,11 @@ def main() -> None:
                 best = wall
                 job_ids = tracker.getJobIdsForGroup(grp)
                 best_jobs = len(job_ids)
+                # bind each job info once: a job info expiring between
+                # a guard call and a .stageIds call would raise on None
+                infos = [tracker.getJobInfo(j) for j in job_ids]
                 best_stages = sum(
-                    len(tracker.getJobInfo(j).stageIds)
-                    for j in job_ids
-                    if tracker.getJobInfo(j) is not None
+                    len(i.stageIds) for i in infos if i is not None
                 )
             spark.sparkContext.setJobGroup("ts_idle", "between passes")
             spark.catalog.clearCache()
