@@ -50,16 +50,23 @@ def cohort_retention(
     ev = events.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(F.col(user_col).alias("user"), bucket.alias("p"))
-    first = ev.groupBy("user").agg(F.min("p").alias("cohort_p"))
-    # `first` is one row per user and `active`'s input is .distinct()-ed
-    # already, so plain counts suffice — countDistinct here would add a
-    # redundant dedup exchange per aggregate for identical results
-    sizes = first.groupBy("cohort_p").agg(
-        F.count("*").alias("cohort_size")
+    # first activity as a WINDOW over the user partition, not
+    # groupBy+join-back (round 13): min(p) over the user partition is
+    # the same per-user minimum, and attaching it where the rows
+    # already live removes one full events scan, the first-activity
+    # shuffle AND the user-keyed self-join — ONE exchange on user
+    # serves cohorting (the distinct below reuses nothing bigger than
+    # distinct user-periods, as before).
+    from pyspark.sql import Window
+
+    cohorted = ev.withColumn(
+        "cohort_p", F.min("p").over(Window.partitionBy("user"))
     )
+    # the distinct's input is user-partitioned (the window above), and
+    # user is a subset of the distinct key, so no second exchange; the
+    # groupBy's shuffle is bounded by distinct user-periods, as before
     active = (
-        ev.join(first, "user")
-        .select(
+        cohorted.select(
             "cohort_p",
             (
                 F.datediff(F.col("p"), F.col("cohort_p")) / days
@@ -70,15 +77,30 @@ def cohort_retention(
         .groupBy("cohort_p", "period_offset")
         .agg(F.count("*").alias("active_users"))
     )
-    return (
-        active.join(sizes, "cohort_p")
-        .select(
-            F.date_format("cohort_p", "yyyy-MM-dd").alias("cohort"),
-            "period_offset",
-            "active_users",
-            "cohort_size",
-            F.expr("(10000 * active_users) div cohort_size").alias(
-                "retention_bp"
-            ),
+    # cohort_size via a window over the matrix itself (round 13): every
+    # user is active at offset 0 by construction (the activation period
+    # IS their first activity), so active_users(cohort, 0) equals the
+    # count of users whose first period is that cohort — the former
+    # separate distinct-users + groupBy + join-back leg computed the
+    # same number from the same rows. The window's exchange is over the
+    # periods²/2-row matrix, not data.
+    size_w = Window.partitionBy("cohort_p")
+    return active.select(
+        F.date_format("cohort_p", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "active_users",
+        F.max(
+            F.when(F.col("period_offset") == 0, F.col("active_users"))
         )
+        .over(size_w)
+        .alias("cohort_size"),
+        "cohort_p",
+    ).select(
+        "cohort",
+        "period_offset",
+        "active_users",
+        "cohort_size",
+        F.expr("(10000 * active_users) div cohort_size").alias(
+            "retention_bp"
+        ),
     )

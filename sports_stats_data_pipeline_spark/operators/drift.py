@@ -48,14 +48,25 @@ def bin_counts(
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    return _bin_counts_expr(
+        df, col, F.lit(float(lo)), F.lit(float(hi)), n_bins
+    )
+
+
+def _bin_counts_expr(
+    df: DataFrame, col: str, lo, hi, n_bins: int
+) -> DataFrame:
+    """:func:`bin_counts` over COLUMN bounds (literals or columns from
+    an attached bounds relation). The floor arithmetic is IEEE-identical
+    either way: ``(hi - lo) / n_bins`` is the same double division
+    whether Python or codegen performs it."""
     c = F.col(col).cast("double")
-    raw = F.floor(
-        (c - F.lit(float(lo))) / F.lit((float(hi) - float(lo)) / n_bins)
-    ).cast("int")
+    w = (hi - lo) / F.lit(n_bins).cast("double")
+    raw = F.floor((c - lo) / w).cast("int")
     bin_id = (
         F.when(c.isNull(), None)
-        .when(c < F.lit(float(lo)), F.lit(UNDERFLOW))
-        .when(c > F.lit(float(hi)), F.lit(OVERFLOW))
+        .when(c < lo, F.lit(UNDERFLOW))
+        .when(c > hi, F.lit(OVERFLOW))
         .when(raw >= n_bins, F.lit(n_bins - 1))  # c == hi closes the top
         .otherwise(raw)
     )
@@ -79,24 +90,68 @@ def psi_report(
     psi_term). ``bounds`` defaults to the reference's min/max (one tiny
     aggregate; pass the persisted bounds to skip it). Sum ``psi_term``
     for the scalar — or call :func:`psi`."""
-    if bounds is None:
-        row = reference.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).first()
-        if row["lo"] is None or not row["hi"] > row["lo"]:
-            raise ValueError(
-                f"reference column {col!r} has no usable span: "
-                f"[{row['lo']}, {row['hi']}]"
+    if bounds is not None:
+        lo, hi = bounds
+        ref = bin_counts(reference, col, lo, hi, n_bins).withColumnRenamed(
+            "n", "ref_n"
+        )
+        cur = bin_counts(current, col, lo, hi, n_bins).withColumnRenamed(
+            "n", "cur_n"
+        )
+    else:
+        # default bounds ride the plan LAZILY as a broadcast 1-row
+        # relation instead of a .first() at build time: the eager form
+        # ran a full reference scan as a serial, driver-blocking job on
+        # EVERY plan build (the round-12 diff_summary finding — this
+        # was the quality slot's second build-time job). The span
+        # contract keeps firing BY NAME (drift_reference_span) from
+        # inside the plan, per the in-plan-assert convention
+        # (plans/contracts.py); :func:`psi` translates it back to the
+        # documented ValueError. The bin arithmetic is bit-identical:
+        # same doubles, same floor, whether the bounds arrive as Python
+        # floats or as columns of this aggregate.
+        raw_lo = F.min(F.col(col).cast("double"))
+        raw_hi = F.max(F.col(col).cast("double"))
+        guard_msg = F.concat(
+            F.lit(
+                f"drift_reference_span: reference column {col!r} has "
+                "no usable span: ["
+            ),
+            F.coalesce(F.col("__lo").cast("string"), F.lit("None")),
+            F.lit(", "),
+            F.coalesce(F.col("__hi").cast("string"), F.lit("None")),
+            F.lit("]"),
+        )
+        bdf = (
+            reference.agg(raw_lo.alias("__lo"), raw_hi.alias("__hi"))
+            .select(
+                F.when(
+                    F.col("__lo").isNull() | ~(F.col("__hi") > F.col("__lo")),
+                    F.raise_error(guard_msg).cast("double"),
+                )
+                .otherwise(F.col("__lo"))
+                .alias("__lo"),
+                F.col("__hi"),
             )
-        bounds = (row["lo"], row["hi"])
-    lo, hi = bounds
-    ref = bin_counts(reference, col, lo, hi, n_bins).withColumnRenamed(
-        "n", "ref_n"
-    )
-    cur = bin_counts(current, col, lo, hi, n_bins).withColumnRenamed(
-        "n", "cur_n"
-    )
+            # both bin sides consume this 1-row aggregate; persist so
+            # the reference-bounds scan runs once, not once per side
+            # (same tiny-relation persist rationale as `joined` below)
+            .persist()
+        )
+        ref = _bin_counts_expr(
+            reference.crossJoin(F.broadcast(bdf)),
+            col,
+            F.col("__lo"),
+            F.col("__hi"),
+            n_bins,
+        ).withColumnRenamed("n", "ref_n")
+        cur = _bin_counts_expr(
+            current.crossJoin(F.broadcast(bdf)),
+            col,
+            F.col("__lo"),
+            F.col("__hi"),
+            n_bins,
+        ).withColumnRenamed("n", "cur_n")
     # materialization boundary: ``totals`` and the output both consume
     # ``joined`` — without it each consumer re-executes BOTH bin scans
     # (Spark has no common-subplan elimination across these shapes;
@@ -144,8 +199,16 @@ def psi(
     epsilon: float = 1e-4,
 ) -> float:
     """Scalar PSI (see module docstring for thresholds)."""
-    return (
-        psi_report(reference, current, col, n_bins, bounds, epsilon)
-        .agg(F.sum("psi_term"))
-        .first()[0]
-    )
+    try:
+        return (
+            psi_report(reference, current, col, n_bins, bounds, epsilon)
+            .agg(F.sum("psi_term"))
+            .first()[0]
+        )
+    except Exception as exc:  # translate the in-plan span contract
+        if "drift_reference_span" in str(exc):
+            raise ValueError(
+                f"reference column {col!r} has no usable span "
+                "(drift_reference_span contract fired in-plan)"
+            ) from exc
+        raise

@@ -95,23 +95,51 @@ def foreign_key(
     )
 
 
-def _violation_expr(e: Expectation) -> Column:
-    """Row-level violation indicator (1 = this row violates)."""
+def _sql_lit(v) -> str:
+    """Render a Python scalar as a SQL literal (the violation
+    indicators are built as SQL STRINGS and parsed once — each pyspark
+    Column operation is a py4j round-trip, and a report over a handful
+    of expectations was paying hundreds of them per plan build;
+    round-13 profile: the quality slot's build spent ~80% of its wall
+    in py4j socket reads)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported literal type for SQL render: {type(v)}")
+
+
+def _q(col: str) -> str:
+    """Backtick-quote an identifier."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def _violation_sql(e: Expectation) -> str:
+    """Row-level violation indicator (1 = this row violates) as a SQL
+    string — semantics identical to the former Column builder: NULLs
+    don't violate range/domain checks, expression NULL (three-valued
+    unknown) counts as a violation (gates fail shut)."""
     p = e.params
     if e.kind == "not_null":
-        return F.col(p["col"]).isNull().cast("long")
+        return f"CAST(({_q(p['col'])} IS NULL) AS BIGINT)"
     if e.kind == "accepted_values":
-        c = F.col(p["col"])
-        return (~c.isin(*p["values"]) & c.isNotNull()).cast("long")
-    if e.kind == "in_range":
-        c = F.col(p["col"])
+        c = _q(p["col"])
+        vals = ", ".join(_sql_lit(v) for v in p["values"])
         return (
-            c.isNotNull() & ~c.between(F.lit(p["lo"]), F.lit(p["hi"]))
-        ).cast("long")
+            f"CAST(((NOT {c} IN ({vals})) AND {c} IS NOT NULL) AS BIGINT)"
+        )
+    if e.kind == "in_range":
+        c = _q(p["col"])
+        return (
+            f"CAST(({c} IS NOT NULL AND NOT ({c} BETWEEN "
+            f"{_sql_lit(p['lo'])} AND {_sql_lit(p['hi'])})) AS BIGINT)"
+        )
     if e.kind == "expression":
-        # a row violates when the predicate is NOT satisfied (NULL — the
-        # three-valued unknown — counts as a violation: gates fail shut)
-        return (~F.coalesce(F.expr(p["sql"]), F.lit(False))).cast("long")
+        return f"CAST((NOT COALESCE(({p['sql']}), false)) AS BIGINT)"
     raise ValueError(f"not a row-level expectation kind: {e.kind}")
 
 
@@ -130,32 +158,29 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     row_level = [e for e in expectations if e.kind in ROW_LEVEL_KINDS]
     results = []
     if row_level:
-        aggs = [F.count("*").alias("__total")] + [
-            F.sum(_violation_expr(e)).alias(f"__v{i}")
-            for i, e in enumerate(row_level)
-        ]
         # ONE aggregate row exploded into one report row per expectation
         # — a per-expectation select-then-union would re-plan the
-        # aggregate (and re-scan the table) once per branch.
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(e.name).alias("name"),
-                    F.lit(e.kind).alias("kind"),
-                    F.coalesce(F.col(f"__v{i}"), F.lit(0))
-                    .cast("long")
-                    .alias("violations"),
-                )
-                for i, e in enumerate(row_level)
-            ]
-        )
+        # aggregate (and re-scan the table) once per branch. Built as
+        # SQL strings, parsed once per expression (see _sql_lit): the
+        # Column-builder form paid hundreds of py4j round-trips here.
+        aggs = [F.expr("count(*)").alias("__total")] + [
+            F.expr(f"sum({_violation_sql(e)})").alias(f"__v{i}")
+            for i, e in enumerate(row_level)
+        ]
+        entries = "array(" + ", ".join(
+            f"named_struct('name', {_sql_lit(e.name)}, "
+            f"'kind', {_sql_lit(e.kind)}, "
+            f"'violations', CAST(COALESCE(__v{i}, 0) AS BIGINT))"
+            for i, e in enumerate(row_level)
+        ) + ")"
+        # inline() emits the struct fields (name, kind, violations) as
+        # columns in declaration order — same output as the former
+        # explode + e.* unpack
         results.append(
-            df.agg(*aggs)
-            .select(
-                F.col("__total").cast("long").alias("total"),
-                F.explode(entries).alias("e"),
+            df.agg(*aggs).selectExpr(
+                f"inline({entries})",
+                "CAST(__total AS BIGINT) AS total",
             )
-            .select("e.name", "e.kind", "e.violations", "total")
         )
     for e in expectations:
         if e.kind == "unique":
@@ -170,11 +195,11 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
             total = df.agg(F.count("*").alias("t"))
             results.append(
-                dup.crossJoin(total).select(
-                    F.lit(e.name).alias("name"),
-                    F.lit("unique").alias("kind"),
-                    F.col("violations").cast("long"),
-                    F.col("t").cast("long").alias("total"),
+                dup.crossJoin(total).selectExpr(
+                    f"{_sql_lit(e.name)} AS name",
+                    "'unique' AS kind",
+                    "CAST(violations AS BIGINT) AS violations",
+                    "CAST(t AS BIGINT) AS total",
                 )
             )
         elif e.kind == "foreign_key":
@@ -193,11 +218,11 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             results.append(
                 orphans.agg(F.count("*").alias("violations"))
                 .crossJoin(total)
-                .select(
-                    F.lit(e.name).alias("name"),
-                    F.lit("foreign_key").alias("kind"),
-                    F.col("violations").cast("long"),
-                    F.col("t").cast("long").alias("total"),
+                .selectExpr(
+                    f"{_sql_lit(e.name)} AS name",
+                    "'foreign_key' AS kind",
+                    "CAST(violations AS BIGINT) AS violations",
+                    "CAST(t AS BIGINT) AS total",
                 )
             )
     out = results[0]

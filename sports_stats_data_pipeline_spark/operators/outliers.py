@@ -19,12 +19,15 @@ nonzero deviation infinitely many MADs out, so every ``dev > 0`` row is
 flagged — the documented standard behavior; pre-filter or widen groups
 if that's too eager.
 
-Scale shape: one hash partition by the group key serves the whole chain
-— the value-order window, the median aggregate, the join back, the
+Scale shape: one hash partition by the group key serves the median
+chain — the value-order window, the median aggregate, the join to the
 deviation-order window, and the MAD aggregate all cluster on the same
-key, so EnsureRequirements inserts exactly ONE exchange (same argument
-as operators/scd.py; group-key skew bounds partition size, not table
-size). No UDF, no driver state.
+key (group-key skew bounds partition size, not table size); the
+one-row-per-group med/mad relations then join BACK onto the unshuffled
+input (broadcast for any sane group cardinality — a group universe too
+large to broadcast falls back to a shuffle join on the key, the same
+exchange the old union shape paid through its repartition). No UDF, no
+driver state, and the input is scanned exactly once.
 """
 
 from __future__ import annotations
@@ -92,39 +95,69 @@ def mad_outliers(
     else:
         drop_g = False
 
-    # one explicit exchange up front: every window/agg/join below
-    # clusters on the same key, so EnsureRequirements adds nothing, and
-    # the DAG's duplicated references to `vals` become IDENTICAL
-    # exchange subtrees that ReuseExchange collapses to one shuffle.
+    # one explicit exchange up front: the window/agg chain below
+    # clusters on the same key, so EnsureRequirements adds nothing.
     # (Ungrouped mode degenerates to a single partition — inherent to an
     # exact global median; use group_by for the scale path.)
     vals = df.filter(F.col(value).isNotNull()).repartition(*keys)
-    med = _lower_median(vals, keys, value, "med")
+    # med is consumed TWICE (the deviation chain and the output join):
+    # without the persist each reference re-ran the whole value-order
+    # window chain — at small group-parallelism that chain is a SERIAL
+    # leg, and re-evaluating it dominated the operator (round-13 A/B on
+    # orders×priority: 1.23 s -> 0.35 s from the persist alone). The
+    # cached relation is one row per group (group-cardinality-bounded,
+    # MEMORY_AND_DISK, LRU-evicted); callers looping in a long-lived
+    # session release it with clearCache like every tiny-relation
+    # persist in this codebase (operators/drift.py `joined`).
+    med = _lower_median(vals, keys, value, "med").persist()
     with_med = vals.join(med, keys).withColumn(
         "dev", F.abs(F.col(value) - F.col("med"))
     )
-    mad = _lower_median(with_med, keys, "dev", "mad")
-    flagged = with_med.join(mad, keys).withColumn(
-        "is_outlier",
-        (
-            F.col("dev").cast("long") * z_num
-            > F.col("mad").cast("long") * z_den
-        ).cast("int"),
+    # mad persisted for the same reason AND so the join-back planner
+    # sees accurate (tiny) runtime stats: an uncached mad lineage made
+    # AQE keep a sort-merge join — an extra exchange of the whole input
+    mad = _lower_median(with_med, keys, "dev", "mad").persist()
+    # output = the INPUT joined back to the per-group med/mad relations
+    # (broadcast at any sane group cardinality — AQE demotes to a
+    # shuffle join if a huge group universe outgrows the threshold),
+    # replacing the former flagged ∪ nulls shape: that shape scanned the
+    # input a second time for the NULL-value rows and re-evaluated the
+    # with_med join once per DAG reference (round-13 A/B: 0.35 s ->
+    # 0.25 s on top of the persist). Row-retention semantics are
+    # unchanged: non-NULL values always find their group in med (built
+    # from exactly those rows), NULL-keyed non-NULL-value rows fail the
+    # equi-join in BOTH shapes (filter below mirrors the old inner
+    # join's drop), and NULL values pass through with NULL med/dev/mad
+    # and is_outlier = 0.
+    vnull = F.col(value).isNull()
+    out = (
+        df.join(med, keys, "left")
+        .join(mad, keys, "left")
+        .filter(vnull | F.col("med").isNotNull())
+        .select(
+            *df.columns,
+            F.when(vnull, F.lit(None))
+            .otherwise(F.col("med"))
+            .cast("long")
+            .alias("med"),
+            F.when(vnull, F.lit(None))
+            .otherwise(F.abs(F.col(value) - F.col("med")))
+            .cast("long")
+            .alias("dev"),
+            F.when(vnull, F.lit(None))
+            .otherwise(F.col("mad"))
+            .cast("long")
+            .alias("mad"),
+            F.when(vnull, F.lit(0))
+            .otherwise(
+                (
+                    F.abs(F.col(value) - F.col("med")).cast("long") * z_num
+                    > F.col("mad").cast("long") * z_den
+                ).cast("int")
+            )
+            .alias("is_outlier"),
+        )
     )
-    nulls = df.filter(F.col(value).isNull()).select(
-        "*",
-        F.lit(None).cast("long").alias("med"),
-        F.lit(None).cast("long").alias("dev"),
-        F.lit(None).cast("long").alias("mad"),
-        F.lit(0).alias("is_outlier"),
-    )
-    out = flagged.select(
-        *df.columns,
-        F.col("med").cast("long").alias("med"),
-        F.col("dev").cast("long").alias("dev"),
-        F.col("mad").cast("long").alias("mad"),
-        "is_outlier",
-    ).unionByName(nulls)
     return out.drop("__g") if drop_g else out
 
 
