@@ -437,22 +437,61 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IS count_distinct(doc)). Driver-boundedness: model rows ≤ trigram
     # vocabulary, index rows ≤ benchmark shingle vocabulary — never
     # corpus-sized (docstring).
+    #
+    # ONE scan, ONE explode (round 13, the round-12 backlog fold): the
+    # former pre-collect filtered the main pass's two-branch union, so
+    # it scanned documents twice and — because the fam filter only
+    # applies AFTER the Generate — paid the tok branch's top-bigram
+    # sort/fold for every mod-slice doc whose 'len' row it was about to
+    # discard. This dedicated relation reads the corpus once, explodes
+    # the en slice's trigrams and the mod slice's distinct shingles
+    # from the same row, and skips the top-bigram expression entirely.
+    # Counts are identical: a doc that is BOTH en and mod contributes
+    # its trigrams to mcnt and its shingles to df, exactly as the two
+    # union branches did. (Struct-tagging the en gram stream costs ~2x
+    # a plain-string explode per element — round-12 measurement, which
+    # is why the MAIN pass keeps its two-branch shape — but here it
+    # replaces a whole second scan+explode, a strictly larger cost.)
+    _fg_t = "array<struct<fam:string,gram:string>>"
+    dec_structs = let1(
+        tokens("text"),
+        lambda toks: F.transform(
+            F.array_distinct(
+                F.when(F.size(toks) >= 3, token_grams(toks, 3)).otherwise(
+                    F.array(t)
+                )
+            ),
+            lambda g: st("dec", g),
+        ),
+    )
+    pre_structs = F.concat(
+        F.when(
+            F.col("lang") == "en",
+            F.transform(lm_grams, lambda g: st("lm", g)),
+        ).otherwise(F.array().cast(_fg_t)),
+        F.when(
+            F.col("doc_id") % _BENCH_MOD == 0, dec_structs
+        ).otherwise(F.array().cast(_fg_t)),
+    )
     pre = (
-        exploded.filter(
-            ((F.col("fam") == "lm") & (F.col("lang") == "en"))
-            | (
-                (F.col("fam") == "dec")
-                & (F.col("doc_id") % _BENCH_MOD == 0)
-            )
+        docs.filter(
+            (F.col("lang") == "en") | (F.col("doc_id") % _BENCH_MOD == 0)
         )
-        .groupBy("fam", "gram")
+        .select(F.explode(pre_structs).alias("fg"))
+        .groupBy(
+            F.col("fg.fam").alias("fam"), F.col("fg.gram").alias("gram")
+        )
         .agg(
-            F.count(F.when(F.col("fam") == "lm", F.lit(1))).alias("mcnt"),
+            F.count(F.when(F.col("fg.fam") == "lm", F.lit(1))).alias(
+                "mcnt"
+            ),
             # shingles are array_distinct per doc, so a plain row count
             # IS count_distinct(doc) — and avoids the Expand operator a
             # mixed distinct/non-distinct aggregate would put under the
             # (much larger) lm side of this same aggregation
-            F.count(F.when(F.col("fam") == "dec", F.lit(1))).alias("df"),
+            F.count(F.when(F.col("fg.fam") == "dec", F.lit(1))).alias(
+                "df"
+            ),
         )
         .toPandas()
     )

@@ -65,6 +65,23 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ObjectHashAggregate (collect_list/hll/sketch aggregates) falls
+        # back to SORT-based aggregation after only 128 distinct keys
+        # per task — a full per-partition sort whenever group
+        # cardinality is non-trivial, which is every sketch-carrying
+        # aggregate in this engine (quantile/HLL mart measures, CMS,
+        # Bloom shards, pooled vectors). The buffers here are small
+        # (bounded sketch entries), so a larger in-memory map is the
+        # right trade at any scale; the per-task bound remains
+        # (keys-per-task shrinks as partitions grow). Measured round
+        # 13: the mart's 5-measure delta aggregate 0.78 -> 0.60 s at
+        # sf0.1. Value-neutral: sort-based and hash aggregation see the
+        # same per-group input order (sort is by key only), and every
+        # order-sensitive consumer in this codebase sorts its arrays.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJAGG_FALLBACK", "65536"),
+        )
         # Spark's 10m broadcast bound dates to small-heap executors; on
         # multi-GB executors a <=32m dim table is cheap to ship and
         # saves a full shuffle of the fact side (measured at sf0.1:
