@@ -271,6 +271,36 @@ def _per_job_constant(spark, passes: int = 5) -> float:
     return round(best, 4)
 
 
+def _per_stage_increment(spark, c_job: float, passes: int = 5) -> float:
+    """Measure the marginal cost of one EXTRA STAGE beyond a job's
+    first (round-12 backlog #4 / round-12 verdict #7): the per-JOB noop
+    constant cannot see per-stage fixed cost, so netted ratios
+    understated the fixed share of multi-stage slots. Probe: a tiny
+    2-job/3-stage shuffle workload (range -> repartition -> noop under
+    AQE) timed min-of-``passes``; the increment is
+    (wall - n_jobs*c_job) / (n_stages - n_jobs), floored at 0. The
+    probe rows are 1000 longs — data cost is nil at any host speed."""
+    tracker = spark.sparkContext.statusTracker()
+    best = float("inf")
+    jobs = stages = 0
+    for i in range(passes):
+        grp = f"stage_probe_{i}_{time.time_ns()}"
+        spark.sparkContext.setJobGroup(grp, "per-stage probe")
+        t0 = time.perf_counter()
+        spark.range(1000).repartition(7).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.perf_counter() - t0
+        if wall < best:
+            best = wall
+            job_ids = tracker.getJobIdsForGroup(grp)
+            infos = [tracker.getJobInfo(j) for j in job_ids]
+            jobs = len(job_ids)
+            stages = sum(len(x.stageIds) for x in infos if x is not None)
+    extra = max(stages - jobs, 1)
+    return round(max(best - jobs * c_job, 0.0) / extra, 4)
+
+
 def _duckdb_calibration(
     reg, sf_dir: str, names, oracle_proxy=None, passes: int = 2
 ) -> tuple[dict[str, float], float]:
@@ -617,6 +647,31 @@ def main() -> None:
     netted_dropped = sorted(
         n for n in EXTENDED if n in extended and n not in ext_duck
     )
+    # job+stage-model netted ratios (round-12 verdict #7, ADDITIVE —
+    # the job-only series above keeps its cross-round meaning): fixed
+    # cost modeled as n_jobs x adjacent per-job constant PLUS
+    # (n_stages - n_jobs) x the measured per-stage increment. Uses the
+    # conservative (smaller) of two increment samples so the ratio
+    # stays an upper bound on the data term.
+    per_stage_inc = min(
+        _per_stage_increment(spark, net_c_run),
+        _per_stage_increment(spark, net_c_run),
+    )
+    netted_ratios_js = {
+        n: round(
+            max(
+                extended[n]
+                - ext_jobs.get(n, 1) * ext_slot_constant.get(n, net_c_run)
+                - max(ext_stages.get(n, 0) - ext_jobs.get(n, 0), 0)
+                * per_stage_inc,
+                0.0,
+            )
+            / max(ext_duck[n], _TINY),
+            3,
+        )
+        for n in EXTENDED
+        if n in extended and n in ext_duck
+    }
 
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the JSON line out of that tail (round 9 lost its bench record when
@@ -663,6 +718,8 @@ def main() -> None:
         extended_stage_counts=ext_stages,
         extended_ratios_netted=netted_ratios,
         extended_ratios_netted_dropped=netted_dropped,
+        per_stage_increment=per_stage_inc,
+        extended_ratios_netted_js=netted_ratios_js,
         mart_phase_walls=mart_phases,
         quality_family_walls=quality_walls,
         extended_asymmetric=EXTENDED_ASYMMETRIC,

@@ -147,6 +147,17 @@ def dedup_batch_against_store(
     accept one pinned relation per call for the session's lifetime.
     """
     signed = _signed(batch).persist()
+    # materialize the cache EAGERLY (one cheap noop action): the
+    # admission plan references `signed` from three subtrees (the
+    # anti-join's left side + both band explodes), and a lazily-cached
+    # relation under ONE job gets its expensive shingle/minhash
+    # signature computed CONCURRENTLY by each subtree's stage before
+    # any cache block lands (round-13 trace at 30x: the per-batch
+    # admission job read 50 s where the materialized pieces sum to
+    # ~15 s — the signature ran ~3x). The extra action is one
+    # scheduling constant per micro-batch; the duplicated signature
+    # work it removes grows with the batch.
+    signed.write.format("noop").mode("overwrite").save()
     if holds is not None:
         holds.append(signed)
 
@@ -220,11 +231,38 @@ def run_streaming_neardup_dedup(
             novel = novel.join(
                 existing.select("doc_id"), "doc_id", "left_anti"
             )
-            merged = existing.unionByName(novel)
+            # O(Δ) append (round 13, guide §1.2): write ONLY the novel
+            # rows and move their data files into the live store —
+            # the former existing∪novel full-store rewrite re-wrote
+            # every previously admitted (text, shingles, bands) row on
+            # EVERY batch, O(total) per batch, exactly the reference
+            # pathology this module's docstring criticizes. Crash
+            # contract, batch >= 1: the per-file renames are not
+            # atomic as a group, but a crash mid-move replays the
+            # batch (foreachBatch is at-least-once) and the replay
+            # heals — already-moved docs fall to the anti-join above,
+            # and a partially-visible batch cannot flip any decision:
+            # the store's admitted set is an independent set under the
+            # near-dup relation (if Y~Z with Z admitted after Y in the
+            # same batch, Z would have been dropped against Y —
+            # contradiction), so re-checking a survivor against a
+            # partial batch suffix finds no new match. Batch 0 keeps
+            # the staged-replace promote (creates the store
+            # atomically).
+            staging = store_path + ".staging"
+            novel.write.mode("overwrite").parquet(staging)
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(staging, f),
+                        os.path.join(store_path, f"b{batch_id}_{f}"),
+                    )
+            import shutil
+
+            shutil.rmtree(staging)
         else:
-            merged = novel
-        merged.write.mode("overwrite").parquet(store_path + ".staging")
-        promote_staging(store_path)
+            novel.write.mode("overwrite").parquet(store_path + ".staging")
+            promote_staging(store_path)
         # release the batch's persisted signature relation — a long-
         # running stream must not accumulate one pinned relation per
         # batch (targeted unpersist, NOT clearCache: the session is

@@ -482,15 +482,18 @@ def test_skew_corpus_actually_skewed(spark):
     not SCALE_DIR, reason="set SPARK_GRAFT_SCALE_DIR to a derived replica"
 )
 def test_stream_crash_mid_admission_converges(spark, tmp_path, monkeypatch):
-    """Round-11 verdict #6: kill the streaming LSH admission at scale
-    INSIDE the promote window of a later micro-batch (staging written,
-    live store not yet advanced — the worst crash point the
-    stage→rename-aside→promote protocol defends), then resume with the
-    SAME checkpoint and verify the resumed store is value-identical to
-    an uninterrupted run over the same batch split. Exercises at 30x
-    what test_sink_recovery pins at unit scale: recover_sink's orphan
-    cleanup + the replay guard's doc_id anti-join re-deriving batch
-    decisions idempotently."""
+    """Round-11 verdict #6, re-aimed at the round-13 append protocol:
+    kill the streaming LSH admission at scale MID-APPEND of a later
+    micro-batch (staging written, SOME of the batch's data files
+    already moved into the live store — the worst crash point of the
+    O(Δ) append path: the store is partially advanced and the
+    checkpoint is not), then resume with the SAME checkpoint and
+    verify the resumed store is value-identical to an uninterrupted
+    run over the same batch split. Exercises at 30x what
+    test_sink_recovery pins at unit scale, plus the append path's
+    self-healing argument (dedup_lsh.admit comment): replay anti-joins
+    away the already-moved docs and a partial batch suffix cannot flip
+    any survivor's decision."""
     import shutil
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
@@ -514,21 +517,26 @@ def test_stream_crash_mid_admission_converges(spark, tmp_path, monkeypatch):
             "append"
         ).parquet(landing)
 
-    # ---- crashed run: die inside batch >= 1's promote window
+    # ---- crashed run: die MID-APPEND of batch >= 1 (first store file
+    # moved, the rest still in staging — partial visibility)
     crash_store = str(tmp_path / "crash_store")
-    real_promote = DL.promote_staging
-    calls = {"n": 0}
+    real_rename = os.rename
+    moved = {"n": 0}
 
-    def dying_promote(path):
-        calls["n"] += 1
-        if calls["n"] == 2:  # batch 0 promoted; batch 1 staged then die
-            raise RuntimeError("injected crash: killed before promote")
-        return real_promote(path)
+    def dying_rename(src, dst):
+        if isinstance(dst, str) and dst.startswith(
+            os.path.join(crash_store, "b")
+        ):
+            moved["n"] += 1
+            if moved["n"] == 2:  # one file of batch 1 is in; die here
+                raise RuntimeError("injected crash: killed mid-append")
+        return real_rename(src, dst)
 
-    monkeypatch.setattr(DL, "promote_staging", dying_promote)
+    monkeypatch.setattr(os, "rename", dying_rename)
     with pytest.raises(StreamingQueryException, match="injected crash"):
         DL.run_streaming_neardup_dedup(spark, landing, crash_store)
-    monkeypatch.setattr(DL, "promote_staging", real_promote)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert moved["n"] >= 2, "append path never reached the move loop"
     assert os.path.exists(crash_store + ".staging")  # the orphan is real
 
     # ---- resume: same store, same checkpoint — batch 1 replays, the
