@@ -506,31 +506,36 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = float(max(1, int(mdl_pdf["gram"].str[2:].nunique())))
     idx_pdf = pre[(pre["fam"] == "dec") & (pre["df"] <= _MAX_BENCH_DF)][
         ["gram"]
-    ].rename(columns={"gram": "__ig"})
-    idx_pdf = idx_pdf.assign(__hit=1)
-    mdl_df = spark.createDataFrame(
-        mdl_pdf.rename(columns={"gram": "__mg", "mcnt": "__mcnt"}),
-        "__mg string, __mcnt long",
+    ].assign(__hit=1)
+    # model counts and decontam-index hits share the SAME join key
+    # (the gram) over DISJOINT fam slices, so they ship as ONE merged
+    # broadcast relation (round 13: one broadcast build job and one
+    # probe per row instead of two). Payload NULLs keep the semantics
+    # exact: an lm gram landing on an index-only entry reads __mcnt
+    # NULL (coalesced to 0, identical to no match); a dec gram landing
+    # on a model-only entry reads __hit NULL (sum skips it).
+    mi_pdf = mdl_pdf.rename(
+        columns={"gram": "__mg", "mcnt": "__mcnt"}
+    ).merge(
+        idx_pdf.rename(columns={"gram": "__mg"}), on="__mg", how="outer"
+    )
+    # nullable integer dtypes: the outer merge introduces NaNs, and
+    # Arrow refuses float-NaN -> integer casts
+    mi_pdf = mi_pdf.astype({"__mcnt": "Int64", "__hit": "Int32"})
+    mi_df = spark.createDataFrame(
+        mi_pdf, "__mg string, __mcnt long, __hit int"
     )
     ctx_df = spark.createDataFrame(ctx_pdf, "__ctx string, __ctx_cnt long")
-    idx_df = spark.createDataFrame(idx_pdf, "__ig string, __hit int")
-    enriched = (
-        exploded.join(
-            F.broadcast(mdl_df),
-            (F.col("fam") == "lm") & (F.col("gram") == F.col("__mg")),
-            "left",
-        )
-        .join(
-            F.broadcast(ctx_df),
-            (F.col("fam") == "lm")
-            & (F.substr("gram", F.lit(1), F.lit(2)) == F.col("__ctx")),
-            "left",
-        )
-        .join(
-            F.broadcast(idx_df),
-            (F.col("fam") == "dec") & (F.col("gram") == F.col("__ig")),
-            "left",
-        )
+    enriched = exploded.join(
+        F.broadcast(mi_df),
+        ((F.col("fam") == "lm") | (F.col("fam") == "dec"))
+        & (F.col("gram") == F.col("__mg")),
+        "left",
+    ).join(
+        F.broadcast(ctx_df),
+        (F.col("fam") == "lm")
+        & (F.substr("gram", F.lit(1), F.lit(2)) == F.col("__ctx")),
+        "left",
     )
     # add-k smoothed trigram log-prob — identical math (and identical
     # per-occurrence avg + double-rounding) to
